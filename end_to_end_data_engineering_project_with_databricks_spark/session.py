@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+The reference couples its stages to a notebook-global ``spark``
+(``getOrCreate`` inside ``transformData``, ETL_pipeline_countries.py:89 vs the
+global at :129).  We instead pass ``spark`` explicitly everywhere; this module
+only builds a well-configured local session for tests/bench.
+
+Scale notes (local[32] here, 1000-executor cluster in spirit):
+- AQE on: runtime partition coalescing, skew-join splitting, dynamic
+  broadcast demotion — the single most important 100 TB knob.
+- shuffle.partitions sized for the local fixture scale; on a real cluster
+  this comes from data volume (target ~128-256 MB per shuffle partition)
+  and AQE coalesces the rest.
+- Session timezone pinned to UTC so timestamp semantics are stable and
+  match the DuckDB oracle (naive UTC fixtures).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "e2e-dbx-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a local SparkSession tuned for the fixture scale."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "32MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def pin_session_conf(spark: SparkSession) -> SparkSession:
+    """Pin the runtime confs correctness depends on, on an externally
+    provided session (the driver owns the session for ``queries()``).
+
+    Only runtime-settable confs are touched; UTC timezone is required for
+    timestamp parity with the DuckDB oracle.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

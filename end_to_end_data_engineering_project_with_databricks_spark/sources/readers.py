@@ -1,0 +1,82 @@
+"""Read-side connectors.
+
+Parity targets in the reference:
+- multiline JSON scan: ``spark.read.option("multiline","true").json(path)``
+  (ETL_pipeline_countries.py:92) -> :func:`read_multiline_json`.
+- catalog table scan: ``spark.table(...)`` (ETL_pipeline_countries.py:129) ->
+  :func:`register_views` + ``spark.table``.
+
+The fixture tables (TESTDATA.md) are Parquet; Parquet is also the right
+100 TB answer (columnar, splittable, min/max pruning, vectorized reader) —
+unlike the reference's whole-document multiline JSON, which is unsplittable
+and defeats column pruning (SURVEY.md §4, §7 risks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from end_to_end_data_engineering_project_with_databricks_spark.session import pin_session_conf
+
+#: Every fixture table the driver pre-registers for the DuckDB oracle.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table.
+
+    Plain ``spark.read.parquet`` so Catalyst gets filter pushdown, column
+    pruning and partition-level min/max skipping for free.
+    """
+    pin_session_conf(spark)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views — the engine's ``spark.sql`` entry point, parity
+    with the reference's SQL-warehouse query surface (README.md:250-258)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_multiline_json(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Whole-document JSON scan, parity with ETL_pipeline_countries.py:92.
+
+    ``multiLine=true`` parses one JSON document per file; schema is inferred
+    when not supplied (the reference always infers).  At scale, pass an
+    explicit ``schema`` to skip the extra inference pass, and convert to
+    Parquet at the bronze->silver boundary — multiline JSON files are
+    unsplittable, so one file == at most one task.
+    """
+    reader = spark.read.option("multiline", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
