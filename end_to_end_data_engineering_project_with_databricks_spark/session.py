@@ -56,4 +56,7 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores timestamp[ns], which Spark's vectorized Parquet
+    # reader rejects; read the raw int64 nanos and convert in the reader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark

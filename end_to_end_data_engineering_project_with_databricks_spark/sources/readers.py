@@ -47,7 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pruning and partition-level min/max skipping for free.
     """
     pin_session_conf(spark)
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts is physically timestamp[ns]; with nanosAsLong it surfaces as
+        # int64 nanos.  Normalize to TIMESTAMP_NTZ (matching the other
+        # fixture tables and the DuckDB oracle's naive timestamps).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return df
 
 
 def load_tables(

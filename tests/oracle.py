@@ -72,9 +72,10 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     o_order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
 
     s_set = sorted(
-        tuple(_norm(row[i]) for i in order) for row in (tuple(r) for r in spark_rows)
+        (tuple(_norm(row[i]) for i in order) for row in (tuple(r) for r in spark_rows)),
+        key=repr,
     )
-    o_set = sorted(tuple(_norm(row[i]) for i in o_order) for row in oracle_rows)
+    o_set = sorted((tuple(_norm(row[i]) for i in o_order) for row in oracle_rows), key=repr)
     if s_set != o_set:
         diffs = [
             (s, o) for s, o in zip(s_set, o_set) if s != o
