@@ -1,0 +1,267 @@
+"""Deduplication operators for large-scale text corpora.
+
+The reference's only dedup is the cross-batch anti-join on a key
+(ETL_pipeline_countries.py:137).  A training-data pipeline needs the full
+ladder (BASELINE.json north star):
+
+- exact: hash-groupBy on content (or a stable fingerprint of it);
+- near-dup: MinHash signatures + LSH banding (candidate generation in
+  O(n·bands) instead of O(n²)) with exact Jaccard verification;
+- SimHash: 64-bit rotation-tolerant fingerprint + banded Hamming join;
+- n-gram Jaccard: exact pairwise similarity on shingle sets (the oracle
+  for the approximate paths, and usable directly on bounded subsets).
+
+Everything is JVM-side (split/explode/xxhash64/groupBy) — no Python UDFs.
+Scale design: each operator's candidate-generation step is a single
+equi-join on a computed key (band hash), so Catalyst shuffles both sides
+on that key — no cross join ever materializes.  At 100 TB the shingle
+explode dominates; it is a narrow map (no shuffle) and the first groupBy
+(signature agg) is the only wide op per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+    fingerprint,
+    tokens,
+)
+
+
+def shingles(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word-level k-gram shingles of a text column.
+
+    ``sequence(1, n-k+1)`` positions -> ``concat_ws`` of the k tokens from
+    each position; 1-based ``element_at``.  Pure JVM higher-order
+    functions; no explode needed until the caller wants rows."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    pos = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    grams = F.transform(
+        pos,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one row per distinct content, keeping the minimum id
+    as canonical and counting members.  A single hash aggregate —
+    map-side partial on content hash, so the shuffle carries one row per
+    distinct value per partition."""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count("*").alias("n_members")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``sig[i] = min over shingles of
+    xxhash64(i, shingle)``.
+
+    Computed by exploding distinct shingles then one groupBy with
+    ``num_hashes`` min-aggregates — one shuffle, partials combined
+    map-side.  xxhash64 with the seed column as the first argument gives
+    ``num_hashes`` independent hash families without any UDF.
+    Returns (id, sig: array<bigint>).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_k)).alias("_sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("_id").agg(*aggs)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """LSH banding: hash each band of the signature; documents sharing any
+    band hash become a candidate pair.
+
+    The pair join is an equi-join on (band_index, band_hash) — shuffled
+    on the band key, never a cross join.  Skew guard: a degenerate band
+    (e.g. the empty-document signature) would create a quadratic bucket;
+    bucket membership is deduped and the join key includes the band index
+    so AQE's skew-join split can kick in at scale.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = (
+        signatures.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("b"))
+        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .dropDuplicates(["_id", "band", "bh"])
+    )
+    left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
+    right = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Exact Jaccard on shingle sets for candidate pairs; keeps pairs with
+    similarity >= threshold.  Joins the (small) candidate set back to the
+    corpus twice — both joins are equi-joins on the id."""
+    sets_df = df.select(
+        F.col(id_col).alias("_jid"), shingles(text_col, shingle_k).alias("_set")
+    )
+    a = sets_df.select(F.col("_jid").alias("id_a"), F.col("_set").alias("set_a"))
+    b = sets_df.select(F.col("_jid").alias("id_b"), F.col("_set").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b")).cast("double")
+    union = F.size(F.array_union("set_a", "set_b")).cast("double")
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> exact-Jaccard verification.  With 16 bands x 4 rows the
+    S-curve crosses ~0.5 at J ≈ (1/16)^(1/4) ≈ 0.5, so J >= 0.7 pairs are
+    found with ≈ 99% probability."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """64-bit SimHash over whitespace tokens, fully expression-based:
+    for each bit b, sum +1/-1 according to bit b of xxhash64(token); the
+    fingerprint sets bit b if the sum is positive.
+
+    Uses ``aggregate`` over the token array with a 64-slot counter array —
+    one pass per row, no explode, no UDF."""
+    toks = tokens(text_col)
+    # bit positions are unrolled as Python ints (shiftright/shiftleft take
+    # literal shift counts, not Columns)
+    counters = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for b in range(64)
+                ]
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    bit_values = F.array(
+        *[
+            F.when(
+                F.element_at(counters, b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ]
+    )
+    return F.aggregate(
+        bit_values, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+
+    Blocking: split the 64-bit fingerprint into 4 16-bit bands; by
+    pigeonhole any pair within Hamming distance 3 agrees on at least one
+    band, so candidates come from an equi-join on (band, band_value) —
+    never a cross join.  Exact distance check via bit_count(xor)."""
+    fp = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("fp", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    buckets = fp.select("_id", "fp", F.explode(bands).alias("b")).select(
+        "_id", "fp", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+    left = buckets.select(
+        F.col("_id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "bv"
+    )
+    right = buckets.select(
+        F.col("_id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "bv"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        left.join(right, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+__all__ = [
+    "shingles",
+    "exact_dedup",
+    "fingerprint",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_verify",
+    "minhash_lsh_dedup",
+    "simhash64",
+    "simhash_near_dups",
+]

@@ -1,0 +1,109 @@
+"""Multimodal column conventions: opaque ``binary`` payloads + typed
+metadata structs, with Arrow-batched Python plumbing for decode /
+feature-extraction (BASELINE.json north star).
+
+Conventions (schema contract):
+- payload column: ``BinaryType`` — image/audio/video bytes, opaque to SQL;
+- metadata column: ``StructType`` with at least (modality string,
+  n_bytes long, source string) — prunable, filterable, JVM-side;
+- derived features land in additional typed columns, never by mutating
+  the payload.
+
+The actual media decoders (PIL/ffmpeg/etc.) are NOT available in this
+environment, so the decode step is a clearly marked deterministic stub —
+but the Spark-side plumbing is real and tested: schema handling,
+``mapInPandas`` Arrow batching, partition-size control.  Swapping
+``_decode_stub`` for a real decoder changes no plan shape.
+
+Scale notes: payloads dominate bytes; keep them in their own column so
+column pruning skips them unless touched, repartition by size before the
+Python stage (Arrow batch memory = batch_rows x payload size), and set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` accordingly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Feature schema produced by decode_features (stub or real).
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, checksum_mod int"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str, id_col: str, source_col: str
+) -> DataFrame:
+    """Promote a text column to the multimodal convention: binary payload
+    + metadata struct.  (Fixtures have no real media bytes; UTF-8 text
+    bytes stand in — the schema contract is what matters.)"""
+    payload = F.col(text_col).cast("binary")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text").alias("modality"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col(source_col).alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int]:
+    """STUB media decode — deterministic fake in lieu of image/audio libs
+    (not installed in this container).  Derives (width, height,
+    checksum_mod) purely from the payload length so results are
+    reproducible and oracle-checkable in plain SQL.  Replace with
+    PIL/ffmpeg for real media; the Spark plumbing around it is unchanged."""
+    n = len(payload)
+    return 64 + n % 512, 64 + (n * 7) % 512, (n * 31) % 251
+
+
+def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode/feature-extract over payloads via
+    ``mapInPandas`` — the standard shape for Python-side media work:
+    batches stream through the worker (never a full-partition
+    materialization), output schema declared up front."""
+
+    # NOTE: the decode fn is defined inside the closure so cloudpickle
+    # serializes it BY VALUE — Spark's Python workers do not have this
+    # package on their import path (the driver may launch from any cwd).
+    # It must stay in sync with _decode_stub (unit-tested).
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def decode(payload: bytes) -> tuple[int, int, int]:
+            n = len(payload)
+            return 64 + n % 512, 64 + (n * 7) % 512, (n * 31) % 251
+
+        for pdf in it:
+            decoded = pdf["payload"].map(decode)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf["payload"].map(len),
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "checksum_mod": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video-style frame sampling as plan-level plumbing: one row per
+    sampled frame index, computed from metadata only (duration proxy =
+    n_bytes), payload untouched until a decoder needs it.  Demonstrates
+    the explode-by-computed-sequence pattern used for real frame tables."""
+    n_frames = (F.col("meta.n_bytes") / F.lit(16)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return df.select(
+        F.col("doc_id"),
+        F.col("meta"),
+        F.explode(idx).alias("frame_idx"),
+    )

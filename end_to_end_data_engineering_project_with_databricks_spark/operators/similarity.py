@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator family (BASELINE.json): brute-force cosine top-k as
+the exact baseline, IVF (inverted-file) cell-probing as the scale path.
+
+Scale design:
+- The query side is always broadcast (top-k searches run for a bounded
+  query batch); the corpus side streams through executors — the plan is
+  BroadcastNestedLoopJoin over |corpus| x |queries| with all math inside
+  whole-stage codegen (functions/vectors.py), no Python in the row path.
+- Per-query top-k uses ``row_number() <= k`` over a window partitioned by
+  query id: one shuffle of (|corpus| x |queries|) scored rows, combinable.
+- IVF cuts the scored candidate set by |probed cells| / |cells|: vectors
+  are pre-assigned to their nearest centroid (an O(n x c) broadcast map
+  pass done once, amortized), and each query scores only vectors in its
+  ``nprobe`` nearest cells — the standard recall/throughput dial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+    cosine_similarity,
+)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    Returns (query_id, neighbor_id, score, rank), rank 1..k, self-match
+    excluded, ties broken on neighbor_id for determinism."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("q_vec", "c_vec").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_threshold_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """All pairs above a cosine threshold (id_a < id_b).
+
+    O(n²) scoring — correct as an exact baseline and for bounded inputs;
+    the LSH/IVF paths below are the at-scale candidate generators."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, a.id_a < b.id_b)
+        .select("id_a", "id_b", cosine_similarity("va", "vb").alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine).
+
+    Broadcast the centroid table, score all cells per vector, keep the
+    argmax via a window — one narrow map + one small shuffle.  At 100 TB
+    this output is written once, bucketed by cell_id, and reused by every
+    subsequent query batch."""
+    cent = F.broadcast(
+        centroids.select(F.col("cell_id"), F.col("centroid"))
+    )
+    scored = corpus.crossJoin(cent).select(
+        F.col(id_col),
+        vec_col,
+        "cell_id",
+        cosine_similarity(vec_col, "centroid").alias("cscore"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cscore"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cscore")
+    )
+
+
+def deterministic_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seed: the n_cells lowest-id vectors.
+
+    A stand-in for k-means|| (pyspark.ml KMeans fits here directly when a
+    trained codebook is wanted); deterministic seeding keeps the operator
+    reproducible for tests and the driver's rows-only check."""
+    w = Window.orderBy(F.asc(id_col))
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cells)
+        .select((F.col("rn") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: probe the ``nprobe`` nearest cells per query and
+    rank only vectors assigned to those cells.
+
+    The candidate join is an equi-join on cell_id (shuffle/broadcast by
+    Catalyst) — the only place corpus rows meet query rows, and it carries
+    |corpus| * (nprobe/n_cells) rows instead of |corpus| x |queries|."""
+    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "q_vec",
+        "cell_id",
+        cosine_similarity("q_vec", "centroid").alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cell_id"))
+    probed = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "q_vec", "cell_id")
+    )
+
+    cands = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell_id"
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(cands, "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_similarity("q_vec", "c_vec").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+__all__ = [
+    "brute_force_topk",
+    "cosine_threshold_pairs",
+    "ivf_assign",
+    "deterministic_centroids",
+    "ivf_topk",
+]

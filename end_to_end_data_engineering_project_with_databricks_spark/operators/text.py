@@ -1,0 +1,106 @@
+"""Text-analysis operators: token counting, language ID, quality scoring,
+document fingerprinting (BASELINE.json north star; targets the fixture
+``documents`` table).
+
+All pure ``pyspark.sql.functions`` expressions — these run inside
+whole-stage codegen, and every one is mirrored exactly in the DuckDB
+oracle SQL of queries/text_analysis.py (counts and single IEEE divisions
+only, so doubles stay bit-equal cross-engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+    tokens,
+)
+
+#: Tiny per-language stopword lists for the heuristic language scorer.
+#: Public common function words; intentionally small — language ID here is
+#: a cheap n-gram/stopword heuristic, not a model.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "la", "de", "y", "es", "un"),
+    "fr": ("le", "la", "et", "les", "est", "un"),
+    "zh": ("de", "shi", "le", "he"),
+}
+
+#: BPE-ish word-piece pattern: runs of letters, runs of digits, or a
+#: single non-space symbol — a public regex approximation of byte-pair
+#: pretokenization.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """How many tokens are in ``lang``'s stopword list."""
+    return F.size(
+        F.filter(tokens(text), lambda t: t.isin(*STOPWORDS[lang]))
+    )
+
+
+def language_scores(text: Column | str) -> dict[str, Column]:
+    return {lang: stopword_hits(text, lang) for lang in STOPWORDS}
+
+
+def predict_language(text: Column | str) -> Column:
+    """Argmax over per-language stopword hits; 'und' (undetermined) when no
+    list matches at all.  Ties break by language-code order — mirrored
+    exactly in the oracle SQL's CASE chain."""
+    scores = language_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in sorted(STOPWORDS):
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred.otherwise(F.lit("und"))
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Deterministic quality features: token count, mean token length,
+    stopword ratio, alnum ratio.  All ratios are single IEEE divisions of
+    exact integer counts."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_tok = whitespace_token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    n_alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", "")).cast("double")
+    en_hits = stopword_hits(c, "en").cast("double")
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": (n_chars - (n_tok - 1)) / n_tok,
+        "stopword_ratio": en_hits / n_tok,
+        "alnum_ratio": n_alnum / n_chars,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1]-ish score: rewards stopword presence (fluency
+    proxy) and plausible mean token length.  Arithmetic over exact counts
+    -> cross-engine deterministic."""
+    f = quality_features(text)
+    len_term = 1.0 - F.least(
+        F.abs(f["mean_token_len"] - F.lit(5.0)) / F.lit(5.0), F.lit(1.0)
+    )
+    stop_term = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return (len_term + stop_term) / 2
+
+
+def rolling_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive document fingerprint: xxhash64 chained over tokens
+    (h = xxhash64(h, token)) — a rolling hash that distinguishes
+    permutations, unlike the content-set fingerprints in dedup.py."""
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )

@@ -1,1 +1,154 @@
-"""Placeholder — filled in by later milestones."""
+"""Dedup query surface over the ``documents`` fixture (operators/dedup.py).
+
+Exact/fingerprint/n-gram-Jaccard are fully oracle-checked; MinHash-LSH and
+SimHash use engine-specific hash families (xxhash64 seeds) so they get the
+driver's rows-only gate plus property tests with planted near-duplicates
+(tests/test_dedup_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+    fingerprint,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    shingles,
+    simhash_near_dups,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+@query(
+    "dedup_exact_documents",
+    oracle="""
+    SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_members
+    FROM documents
+    GROUP BY text
+    """,
+    tags=("dedup", "agg"),
+    bench=True,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: one hash aggregate keyed on the text, min id
+    as canonical.  At 100 TB, group on fingerprint(text) instead so the
+    shuffle key is 32 bytes, not the document."""
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d, ["text"], "doc_id")
+
+
+@query(
+    "dedup_fingerprint_md5",
+    oracle="""
+    SELECT md5(lower(text)) AS fp, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY md5(lower(text))
+    """,
+    tags=("dedup", "agg"),
+)
+def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: group on md5(lower(text)) — the constant-width
+    shuffle-key variant of exact dedup (case-normalized)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint("text").alias("fp")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_members")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON p.id_a = ca.doc_id
+    JOIN counts cb ON p.id_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.05
+    """,
+    tags=("dedup", "join"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (3-shingle) Jaccard similarity pairs on a bounded
+    subset: explode distinct shingles, self-equi-join on the shingle to
+    count intersections (never a cross join), derive |union| from the two
+    set sizes.  This is the exact baseline the MinHash path approximates;
+    the doc_id bound is the driver for demo purposes — at scale the same
+    plan runs behind LSH candidate filtering."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(
+        F.col("doc_id"), F.explode(shingles("text", 3)).alias("shingle")
+    )
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 seed family is engine-specific -> rows-only
+    tags=("dedup", "approx"),
+    bench=True,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands x 4) near-dup pairs over the full
+    documents table, verified with exact Jaccard >= 0.5.  Candidate
+    generation is O(n x bands) via equi-join on band hashes — the shape
+    that survives 100 TB (tests plant near-duplicates and assert recall
+    against the exact-Jaccard baseline)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.5
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based fingerprint is engine-specific
+    tags=("dedup", "approx"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs at Hamming distance <= 3, banded
+    16-bit blocking (pigeonhole-complete for d<=3)."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)

@@ -1,1 +1,151 @@
-"""Placeholder — filled in by later milestones."""
+"""Event-stream analytics in batch form over ``events``: tumbling and
+sliding windows, gap-based sessionization.
+
+These are the batch-semantics twins of the streaming module (streaming/
+windows.py runs the same tumbling aggregation as a Structured Streaming
+query); window starts are exposed as epoch seconds (BIGINT) to keep the
+cross-engine schema exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    dsum,
+    sql_dsum,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+def _epoch(col: str = "ts") -> F.Column:
+    return F.col(col).cast("timestamp").cast("long")
+
+
+@query(
+    "events_tumbling_counts",
+    oracle=f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start_sec,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+    bench=True,
+)
+def events_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type.  Uses Spark's
+    ``window()`` generator (the same expression Structured Streaming
+    uses — see streaming/windows.py for the streaming twin), with the
+    start exposed as epoch seconds."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "10 minutes")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_windows",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events
+    ),
+    expanded AS (
+      SELECT (es // 300) * 300 AS window_start_sec, event_type, value FROM ev
+      UNION ALL
+      SELECT (es // 300) * 300 - 300 AS window_start_sec, event_type, value FROM ev
+    )
+    SELECT window_start_sec, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("events", "window-agg"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in
+    exactly two windows (Spark's window() generator emits both; the
+    oracle expands them via UNION ALL)."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        e.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, value, es,
+             CASE WHEN es - LAG(es) OVER w > 1800 OR LAG(es) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, event_id, value, es,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(es) AS session_start_sec,
+           MAX(es) - MIN(es) AS duration_sec,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+    tags=("events", "window", "session"),
+    bench=True,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag -> new-session
+    flag -> running sum as session id -> per-session aggregate.  The batch
+    equivalent of ``session_window`` in Structured Streaming; one shuffle
+    on user_id serves both window passes and the final aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", _epoch().alias("es")
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            (F.col("es") - F.lag("es").over(w) > 1800) | F.lag("es").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.min("es").alias("session_start_sec"),
+        (F.max("es") - F.min("es")).alias("duration_sec"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )

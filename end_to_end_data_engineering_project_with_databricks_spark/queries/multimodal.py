@@ -1,1 +1,98 @@
-"""Placeholder — filled in by later milestones."""
+"""Multimodal-column query surface (operators/multimodal.py): binary
+payloads + metadata structs, Arrow-batched Python decode plumbing, frame
+sampling.  The decode *stub* derives features from payload length only so
+the mapInPandas path stays oracle-checkable; the byte-level behavior is
+covered in tests/test_multimodal_ops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample_plan,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+@query(
+    "mm_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           'text' AS modality,
+           source
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("multimodal",),
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal schema contract: opaque binary payload + typed
+    metadata struct; payload-derived scalars (length, md5) computed
+    JVM-side.  Payload column pruning means queries touching only ``meta``
+    never read the bytes."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    mm = attach_binary_payload(d, "text", "doc_id", "source")
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.source").alias("source"),
+    )
+
+
+@query(
+    "mm_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(64 + octet_length(encode(text)) % 512 AS INT) AS width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INT) AS height,
+           CAST((octet_length(encode(text)) * 31) % 251 AS INT) AS checksum_mod
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    tags=("multimodal", "udf"),
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode via ``mapInPandas``: payload bytes stream
+    through Python in batches, features come back under a declared schema.
+    The decoder is a deterministic STUB (length-derived) because media
+    libs aren't in this container — swapping in PIL/ffmpeg changes no
+    plan shape (operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    mm = attach_binary_payload(d, "text", "doc_id", "source")
+    return decode_features(mm, "doc_id")
+
+
+@query(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx
+    FROM (
+      SELECT doc_id,
+             unnest(generate_series(
+               0,
+               greatest(CAST(octet_length(encode(text)) // 16 AS INT) - 1, 0),
+               10)) AS frame_idx
+      FROM documents
+      WHERE doc_id < 60
+    )
+    """,
+    tags=("multimodal", "generator"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: explode a computed frame-index sequence
+    from metadata (every 10th frame; n_frames = n_bytes/16 as the stub
+    duration proxy).  Payload untouched — a real decoder joins back on
+    (doc_id, frame_idx) only for sampled frames."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    mm = attach_binary_payload(d, "text", "doc_id", "source")
+    return frame_sample_plan(mm, every_n=10).select("doc_id", "frame_idx")

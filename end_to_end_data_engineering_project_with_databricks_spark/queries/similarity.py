@@ -1,1 +1,89 @@
-"""Placeholder — filled in by later milestones."""
+"""Similarity-search query surface over ``embeddings`` (operators/
+similarity.py).  Brute-force cosine math is bit-reproducible against
+DuckDB (same left-to-right double fold — functions/vectors.py), so the
+exact paths are fully oracle-checked; IVF probing is approximate and gets
+the rows-only gate plus consistency tests (tests/test_similarity_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+    sql_cosine,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_threshold_pairs,
+    ivf_topk,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+_COS = sql_cosine("q.embedding", "c.embedding")
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS score
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "topk"),
+    bench=True,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for an 8-query batch against the whole corpus:
+    broadcast queries x streamed corpus, JVM-side vector math, windowed
+    row_number per query.  The exact-recall baseline for the ANN paths."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return brute_force_topk(e, queries, k=5)
+
+
+@query(
+    "sim_threshold_pairs",
+    oracle=f"""
+    SELECT q.vec_id AS id_a, c.vec_id AS id_b, {_COS} AS score
+    FROM embeddings q
+    JOIN embeddings c ON q.vec_id < c.vec_id
+    WHERE q.vec_id < 300 AND c.vec_id < 300
+      AND {_COS} >= 0.35
+    """,
+    tags=("similarity", "join"),
+)
+def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine >= 0.35 on a bounded slice — the exact
+    similarity-join baseline (O(n²) scoring; the LSH/IVF operators are
+    the scale path for unbounded inputs)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return cosine_threshold_pairs(e, threshold=0.35)
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=None,  # approximate (cell probing) -> rows-only gate
+    tags=("similarity", "topk", "approx"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: 16 deterministic cells, probe 4 — scores
+    only ~1/4 of the corpus per query.  Companion test checks the result
+    equals brute force restricted to the probed cells (mechanism
+    correctness) and measures recall vs the exact baseline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5)

@@ -1,1 +1,214 @@
-"""Placeholder — filled in by later milestones."""
+"""Text-analysis query surface over ``documents`` (operators/text.py).
+
+Every heuristic is mirrored expression-for-expression in the oracle SQL:
+integer counts + single IEEE divisions keep doubles bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    davg,
+    sql_davg,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+    fingerprint,
+    tokens,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.operators.text import (
+    STOPWORDS,
+    TOKEN_REGEX,
+    predict_language,
+    quality_features,
+    quality_score,
+    regex_token_count,
+    rolling_fingerprint,
+    whitespace_token_count,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    pretokenizer (letters | digits | single symbol)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_ws_tokens"),
+        regex_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "text_language_profile",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           {sql_davg('n_chars')} AS avg_chars,
+           {sql_davg("len(string_split(text, ' '))")} AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "agg"),
+)
+def text_language_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (doc counts, size distributions)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars").alias("avg_chars"),
+        davg(F.size(tokens("text"))).alias("avg_tokens"),
+    )
+
+
+_LANG_CASE = " ".join(
+    f"WHEN {_sql_hits(lang)} = best THEN '{lang}'" for lang in sorted(STOPWORDS)
+)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             greatest({', '.join(_sql_hits(lang) for lang in sorted(STOPWORDS))}) AS best,
+             text
+      FROM documents
+    )
+    SELECT CASE WHEN best = 0 THEN 'und' {_LANG_CASE} ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1
+    """,
+    tags=("text", "agg"),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (argmax over per-language hit counts,
+    alphabetical tie-break) aggregated to predicted-language counts.
+    A cheap heuristic by design — the operator shape (score -> argmax ->
+    profile) is what a real n-gram model slots into."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(predict_language("text").alias("predicted_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+_SQL_NTOK = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+_SQL_MEANLEN = f"((CAST(length(text) AS DOUBLE) - ({_SQL_NTOK} - 1)) / {_SQL_NTOK})"
+_SQL_STOPR = f"(CAST({_sql_hits('en')} AS DOUBLE) / {_SQL_NTOK})"
+_SQL_SCORE = (
+    f"(((1.0 - least(abs({_SQL_MEANLEN} - 5.0) / 5.0, 1.0)) + "
+    f"least({_SQL_STOPR} * 4, 1.0)) / 2)"
+)
+
+
+@query(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {_SQL_NTOK} AS n_tokens,
+           {_SQL_MEANLEN} AS mean_token_len,
+           {_SQL_STOPR} AS stopword_ratio,
+           {_SQL_SCORE} AS quality
+    FROM documents
+    WHERE doc_id < 150
+    """,
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: token count, mean token length,
+    stopword ratio, composite score — the filter stage of a training-data
+    pipeline (keep score >= threshold)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["mean_token_len"].alias("mean_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "text_term_frequency",
+    oracle="""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 30
+    """,
+    tags=("text", "agg", "topk"),
+    bench=True,
+)
+def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency, top 30: explode -> hash agg -> top-k.  The
+    explode is a narrow map; the agg shuffles one row per distinct term
+    per partition (map-side combine)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(30)
+    )
+
+
+@query(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(text)) AS content_fp,
+           list_min(list_transform(string_split(text, ' '), t -> md5(t))) AS min_token_fp
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    tags=("text", "dedup"),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-content md5 + min-token-md5 (a 1-hash
+    MinHash — the set-sensitive variant).  The order-sensitive rolling
+    fingerprint (xxhash64 chain) is engine-specific and covered by
+    text_rolling_fingerprint's rows-only gate."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        fingerprint("text").alias("content_fp"),
+        F.array_min(F.transform(tokens("text"), lambda t: F.md5(t))).alias(
+            "min_token_fp"
+        ),
+    )
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=None,  # xxhash64 chain is engine-specific -> rows-only
+    tags=("text", "dedup"),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling fingerprint (xxhash64 chained over tokens):
+    distinguishes permuted near-dups that set-based fingerprints merge."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))

@@ -1,0 +1,91 @@
+"""Property tests for the approximate dedup operators (no SQL oracle):
+MinHash-LSH must find planted near-duplicates; SimHash must find planted
+small-perturbation duplicates; neither may report a pair the exact metric
+rejects (verification step guarantees precision by construction).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_dedup,
+    simhash_near_dups,
+)
+
+VOCAB = [f"w{i}" for i in range(200)]
+
+
+def _mk_docs(spark, n=60, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        toks = [rng.choice(VOCAB) for _ in range(80)]
+        rows.append((i, " ".join(toks)))
+    # plant near-duplicates: copy doc i with a few token edits
+    planted = []
+    for i, (base_id, text) in enumerate(rows[:5]):
+        toks = text.split(" ")
+        for j in range(3):  # 3 light edits ≈ J >= 0.9 on shingles
+            toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+        planted.append((1000 + base_id, " ".join(toks)))
+    return spark.createDataFrame(rows + planted, "doc_id long, text string"), {
+        (base_id, 1000 + base_id) for base_id in range(5)
+    }
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    df, planted = _mk_docs(spark)
+    found = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in found.collect()}
+    missing = planted - pairs
+    assert not missing, f"LSH missed planted near-dup pairs: {missing}"
+    # precision by construction: every reported pair passes exact Jaccard
+    assert all(r.jaccard >= 0.5 for r in found.collect())
+
+
+def test_minhash_estimates_track_exact_jaccard(spark):
+    df, planted = _mk_docs(spark)
+    all_pairs = (
+        df.alias("a")
+        .join(df.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    exact = jaccard_verify(all_pairs, df, "doc_id", "text", threshold=0.5)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    found = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5)
+    found_pairs = {(r.id_a, r.id_b) for r in found.collect()}
+    # LSH output must be a subset of the exact >=0.5 set (precision) and
+    # find all of it here (high-similarity pairs, recall ~1 at J>=0.7)
+    assert found_pairs <= exact_pairs
+    assert exact_pairs == found_pairs
+
+
+def test_simhash_finds_tiny_perturbations(spark):
+    rng = random.Random(11)
+    base = [rng.choice(VOCAB) for _ in range(120)]
+    perturbed = list(base)
+    perturbed[5] = "w_changed"  # single-token edit -> tiny Hamming delta
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(perturbed))]
+        + [(i + 10, " ".join(rng.choice(VOCAB) for _ in range(120))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    found = simhash_near_dups(df, "doc_id", "text", max_hamming=8)
+    pairs = {(r.id_a, r.id_b) for r in found.collect()}
+    assert (0, 1) in pairs
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")], "doc_id long, text string"
+    )
+    out = {r.text: (r.canonical_id, r.n_members) for r in exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {"a b c": (1, 2), "x y z": (3, 1)}

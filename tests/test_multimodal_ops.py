@@ -1,0 +1,48 @@
+"""Multimodal plumbing tests: binary payload round-trip through Arrow
+batches, metadata struct pruning, frame sampling shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    frame_sample_plan,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world", "s1"), (2, "x" * 100, "s2"), (3, "", "s3")],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_payload_bytes_roundtrip(spark):
+    mm = attach_binary_payload(_docs(spark), "text", "doc_id", "source")
+    rows = {r.doc_id: r for r in mm.collect()}
+    assert bytes(rows[1].payload) == b"hello world"
+    assert rows[1].meta.n_bytes == 11
+    assert rows[1].meta.modality == "text"
+    assert rows[3].meta.n_bytes == 0
+
+
+def test_decode_features_arrow_batches(spark):
+    mm = attach_binary_payload(_docs(spark), "text", "doc_id", "source")
+    feats = {r.doc_id: r for r in decode_features(mm).collect()}
+    assert feats[2].n_bytes == 100
+    assert feats[2].width == 64 + 100 % 512
+    assert feats[2].height == 64 + 700 % 512
+    assert feats[2].checksum_mod == (100 * 31) % 251
+    assert feats[3].n_bytes == 0
+
+
+def test_frame_sample_plan_shape(spark):
+    mm = attach_binary_payload(_docs(spark), "text", "doc_id", "source")
+    frames = frame_sample_plan(mm, every_n=2).collect()
+    # doc 2: 100 bytes -> 6 frames (100/16) -> indices 0,2,4
+    idx = sorted(r.frame_idx for r in frames if r.doc_id == 2)
+    assert idx == [0, 2, 4]
+    # empty doc still yields frame 0 (greatest(n-1, 0) floor)
+    assert sorted(r.frame_idx for r in frames if r.doc_id == 3) == [0]

@@ -1,0 +1,75 @@
+"""Property tests for similarity search: brute force must agree with a
+NumPy reference; IVF must be internally consistent (its result equals
+brute force restricted to the probed cells) and exact when probing every
+cell.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+    brute_force_topk,
+    deterministic_centroids,
+    ivf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(123)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs.astype(np.float64),
+    )
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    df, vecs = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(df, queries, k=4).collect()
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        expected = list(np.argsort(-s, kind="stable")[:4])
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: (r.query_id, r.rank)) if r.query_id == q]
+        assert mine == expected, f"query {q}: {mine} != {expected}"
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, queries, k=4)
+    approx = ivf_topk(df, queries, n_cells=8, nprobe=8, k=4)  # probe ALL cells
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
+    assert e == a
+
+
+def test_ivf_partial_probe_is_consistent(spark, emb):
+    """nprobe < n_cells: every returned neighbor must belong to a probed
+    cell, ranks must be contiguous from 1, scores non-increasing."""
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 3)
+    out = ivf_topk(df, queries, n_cells=8, nprobe=2, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_deterministic_centroids_are_stable(spark, emb):
+    df, _ = emb
+    c1 = deterministic_centroids(df, 8).collect()
+    c2 = deterministic_centroids(df, 8).collect()
+    assert [r.cell_id for r in c1] == [r.cell_id for r in c2] == list(range(8))
