@@ -234,6 +234,9 @@ def load_into_table(
     n = to_append.count()
     to_append.select(*RESULT_COLUMNS).write.mode("append").insertInto(table)
     to_append.unpersist()
+    # drop the cached file listing so this session's next read sees the
+    # appended files (sessions cache catalog-table listings independently)
+    spark.catalog.refreshTable(table)
     return n
 
 

@@ -1,0 +1,128 @@
+"""Structured Streaming tests: incremental file-source micro-batches,
+watermarked dedup with state eviction, session windows, and the
+foreachBatch idempotent sink (streaming twin of the reference's scheduled
+batch job)."""
+
+from __future__ import annotations
+
+import itertools
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
+    EVENTS_STREAM_SCHEMA,
+    dedup_within_watermark,
+    events_stream,
+    run_foreach_batch_idempotent,
+    run_to_memory,
+    session_windows,
+    tumbling_counts,
+)
+
+_counter = itertools.count()
+
+
+def _write_events(spark, path, rows):
+    """rows: (event_id, ts_sec, user_id, event_type, value, props)"""
+    df = spark.createDataFrame(
+        [(e, t * 1_000_000_000, u, et, v, p) for e, t, u, et, v, p in rows],
+        EVENTS_STREAM_SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = events_stream(spark, sf_dir)
+    result = run_to_memory(tumbling_counts(stream), output_mode="complete")
+    got = result.agg(F.sum("n_events")).collect()[0][0]
+    expected = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert got == expected
+
+
+def test_session_window_stream(spark, tmp_path):
+    src = str(tmp_path / "sess_src")
+    base = 1_700_000_000
+    _write_events(
+        spark,
+        src,
+        [
+            (1, base, 1, "click", 1.0, "{}"),
+            (2, base + 60, 1, "click", 1.0, "{}"),       # same session
+            (3, base + 60 + 3600, 1, "click", 1.0, "{}"),  # new session (>30min gap)
+            (4, base, 2, "view", 1.0, "{}"),
+        ],
+    )
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    stream = raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+    out = run_to_memory(session_windows(stream, "30 minutes"), output_mode="complete")
+    sessions = {(r.user_id, r.session_start_sec): r.n_events for r in out.collect()}
+    assert sessions == {
+        (1, base): 2,
+        (1, base + 60 + 3600): 1,
+        (2, base): 1,
+    }
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    base = 1_700_000_000
+    _write_events(
+        spark,
+        src,
+        [
+            (100, base, 1, "click", 1.0, "{}"),
+            (100, base + 10, 1, "click", 1.0, "{}"),  # duplicate event_id
+            (101, base + 20, 1, "click", 1.0, "{}"),
+        ],
+    )
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+    stream = raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+    out = run_to_memory(
+        dedup_within_watermark(stream, ["event_id"], "1 hour"), output_mode="append"
+    )
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [100, 101]
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """Stream micro-batches with overlapping keys through the anti-join
+    sink: re-delivered keys must not duplicate (exactly-once-per-key)."""
+    table = f"delta_tables.stream_sink_t{next(_counter)}"
+    src = str(tmp_path / "fb_src")
+    ckpt = str(tmp_path / "fb_ckpt")
+
+    def video_rows(ids):
+        return spark.createDataFrame(
+            [
+                ("kw", "e", "npt", f"vid-{i}", f"t{i}", f"d{i}", f"c{i}", None)
+                for i in ids
+            ],
+            "keyword string, etag string, nextPageToken string, videoId string,"
+            " title string, description string, channelTitle string,"
+            " publishedAt timestamp",
+        )
+
+    schema = video_rows([]).schema
+    video_rows(range(0, 10)).coalesce(1).write.mode("append").parquet(src)
+
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        sink = run_foreach_batch_idempotent(stream, table, ckpt)
+        assert sink.count() == 10
+
+        # second delivery: 5 repeated keys + 5 new ones
+        video_rows(range(5, 20)).coalesce(1).write.mode("append").parquet(src)
+        sink = run_foreach_batch_idempotent(
+            spark.readStream.schema(schema).parquet(src), table, ckpt
+        )
+        assert sink.count() == 20  # 0..19, no duplicates
+        assert sink.select("videoId").distinct().count() == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
