@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run the bench-flagged headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON line
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Methodology:
+- one local[$SPARK_GRAFT_CPUS] session, AQE on (session.get_spark);
+- a warm-up action first so JVM/codegen startup is not billed to q1;
+- each query materialized via the `noop` sink (full execution on the
+  executors, zero driver-collect cost) — the fair proxy for cluster
+  throughput, since .collect() would bill Arrow transfer of the whole
+  result to the driver;
+- wall-clock per query, summed into `value`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+    all_specs,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.session import (
+    get_spark,
+    pin_session_conf,
+)
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench")
+    pin_session_conf(spark)
+
+    specs = [s for s in all_specs().values() if s.bench]
+
+    # warm-up: JVM, codegen, parquet footer reads — not billed to any query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[spec.name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
