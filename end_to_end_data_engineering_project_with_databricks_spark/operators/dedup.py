@@ -28,6 +28,9 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns
     fingerprint,
     tokens,
 )
+from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+    scale_out,
+)
 
 
 def shingles(text_col: Column | str, k: int = 3) -> Column:
@@ -74,7 +77,9 @@ def minhash_signatures(
     ``num_hashes`` independent hash families without any UDF.
     Returns (id, sig: array<bigint>).
     """
-    sh = df.select(
+    # the shingle explode + num_hashes hash evals per shingle is pure
+    # compute; make sure it isn't serialized on a single small-file split
+    sh = scale_out(df).select(
         F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_k)).alias("_sh")
     )
     aggs = [
@@ -138,7 +143,7 @@ def jaccard_verify(
     """Exact Jaccard on shingle sets for candidate pairs; keeps pairs with
     similarity >= threshold.  Joins the (small) candidate set back to the
     corpus twice — both joins are equi-joins on the id."""
-    sets_df = df.select(
+    sets_df = scale_out(df).select(
         F.col(id_col).alias("_jid"), shingles(text_col, shingle_k).alias("_set")
     )
     a = sets_df.select(F.col("_jid").alias("id_a"), F.col("_set").alias("set_a"))
@@ -225,7 +230,8 @@ def simhash_near_dups(
     pigeonhole any pair within Hamming distance 3 agrees on at least one
     band, so candidates come from an equi-join on (band, band_value) —
     never a cross join.  Exact distance check via bit_count(xor)."""
-    fp = df.select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+    # 64 per-token bit tests per row: compute-bound, not byte-bound
+    fp = scale_out(df).select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
     bands = F.array(
         *[
             F.struct(

