@@ -14,11 +14,17 @@ from pyspark.sql import functions as F
 from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
     fingerprint,
 )
+from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+    sql_cosine,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_dedup,
     shingles,
     simhash_near_dups,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+    cosine_threshold_pairs,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
 from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
@@ -139,6 +145,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.5
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE {sql_cosine('a.embedding', 'b.embedding')} >= 0.6
+    ),
+    neighbors AS (
+      SELECT id_a AS vec_id, id_b AS nid FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+      UNION ALL SELECT vec_id, vec_id FROM e
+    )
+    SELECT vec_id, MIN(nid) AS canonical_id,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_neighbors
+    FROM neighbors GROUP BY vec_id
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup dedup: cosine >= 0.6 pairs (exact,
+    bit-reproducible vector fold — functions/vectors.py), neighbor lists
+    symmetrized, canonical = min neighbor id (one-hop; full transitive
+    closure is the iterative extension).  The vec_id bound caps the O(n²)
+    exact scoring for the oracle; at scale the same reduction runs behind
+    LSH/IVF candidate generation instead of all-pairs."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    pairs = cosine_threshold_pairs(e, threshold=0.6).select("id_a", "id_b")
+    neighbors = (
+        pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("nid"))
+        .unionAll(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("nid")))
+        .unionAll(e.select("vec_id", F.col("vec_id").alias("nid")))
+    )
+    return neighbors.groupBy("vec_id").agg(
+        F.min("nid").alias("canonical_id"),
+        (F.count("*") - 1).alias("n_neighbors"),
     )
 
 

@@ -16,6 +16,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric
     dsum,
     sql_dsum,
 )
+from end_to_end_data_engineering_project_with_databricks_spark.operators.asof import asof_join
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
 from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
 
@@ -148,4 +149,55 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("es") - F.min("es")).alias("duration_sec"),
         F.count("*").alias("n_events"),
         dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "events_asof_purchase_click",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.es AS purchase_sec, p.purchase_id,
+           c.es AS click_sec, c.click_id,
+           p.es - c.es AS gap_sec
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.es <= p.es
+    """,
+    tags=("events", "join", "asof"),
+)
+def events_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase matched to the user's latest click at
+    or before it (attribution).  Union + running ``last(ignorenulls)``
+    over one (user_id, time) window — a single shuffle, no range-join
+    row explosion (operators/asof.py); DuckDB's native ASOF JOIN is the
+    oracle.  Clicks are pre-deduped to one per (user, second) so the
+    match is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", _epoch().alias("es"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", _epoch().alias("es"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        purchases, clicks, keys=["user_id"], ts_col="es", right_payload=["click_id"]
+    )
+    return joined.select(
+        "user_id",
+        F.col("es").alias("purchase_sec"),
+        "purchase_id",
+        F.col("matched_es").alias("click_sec"),
+        "click_id",
+        (F.col("es") - F.col("matched_es")).alias("gap_sec"),
     )

@@ -1,0 +1,85 @@
+"""Query surface for the Arrow-vectorized UDF pack (functions/pandas_fns).
+
+Demonstrates all three grouped-Python shapes on fixture tables —
+scalar ``pandas_udf``, grouped-aggregate ``pandas_udf``, and
+``applyInPandas`` — each with a full DuckDB oracle (the UDFs are written
+exactness-safe; see functions/pandas_fns.py).  ``mapInPandas`` is
+exercised by the multimodal pack (queries/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.pandas_fns import (
+    acctbal_range,
+    minmax_normalize,
+    token_count,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+@query(
+    "pandas_scalar_token_count",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("pandas-udf", "text"),
+)
+def pandas_scalar_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: per-document token count.  One Arrow batch per
+    ~10k rows crosses the Python boundary; the plan around the UDF
+    (scan, projection) stays JVM-side and column-pruned."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", token_count("text").alias("n_tokens"))
+
+
+@query(
+    "pandas_grouped_agg_range",
+    oracle="""
+    SELECT c_mktsegment, MAX(c_acctbal) - MIN(c_acctbal) AS bal_range
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("pandas-udf", "agg"),
+)
+def pandas_grouped_agg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas_udf inside a regular groupBy().agg().
+    Spark shuffles by the key and hands each group to Python as one
+    Arrow batch — a UDAF without writing JVM code."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        acctbal_range("c_acctbal").alias("bal_range")
+    )
+
+
+@query(
+    "pandas_apply_minmax_norm",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CASE WHEN MAX(c_acctbal) OVER w <> MIN(c_acctbal) OVER w
+                THEN (c_acctbal - MIN(c_acctbal) OVER w)
+                     / (MAX(c_acctbal) OVER w - MIN(c_acctbal) OVER w)
+           END AS bal_norm
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+    tags=("pandas-udf", "window"),
+)
+def pandas_apply_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: per-nation min-max normalization.  Each nation's
+    rows arrive as one pandas DataFrame (shuffle on the group key —
+    same physical shape as a window aggregate, plus the Arrow hop);
+    use only when the per-group logic genuinely needs pandas, else a
+    Window (the oracle's form) stays JVM-side and is strictly faster."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    out_schema = "c_custkey long, c_nationkey int, c_acctbal double, bal_norm double"
+    return c.groupBy("c_nationkey").applyInPandas(
+        lambda pdf: minmax_normalize(pdf, "c_acctbal", "bal_norm"), out_schema
+    )

@@ -29,6 +29,8 @@ _QUERY_MODULES = (
     "end_to_end_data_engineering_project_with_databricks_spark.queries.multimodal",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.events_analytics",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.streaming_queries",
+    "end_to_end_data_engineering_project_with_databricks_spark.queries.pandas_queries",
+    "end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks",
 )
 
 REGISTRY: dict[str, "QuerySpec"] = {}

@@ -1,0 +1,131 @@
+"""Source/sink round-trip queries: CSV and text scans, partitioned
+Parquet sink with partition pruning.
+
+The reference's source surface is a REST payload landed as multiline
+JSON (covered by queries/reference_parity.py); SURVEY.md §2.2 lists
+csv/text among the standard sources our engine supplies.  Each query
+round-trips a fixture table through the format under test into a
+session-scoped temp dir, then computes an aggregate the DuckDB oracle
+runs against the *original* table — so the check covers the writer, the
+reader, and type fidelity end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    dsum,
+    sql_dsum,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+    load_table,
+    read_csv,
+    read_text,
+)
+
+_TMP_ROOT: str | None = None
+
+
+def _tmp(name: str) -> str:
+    """Session-scoped scratch dir (never under the read-only testdata)."""
+    global _TMP_ROOT
+    if _TMP_ROOT is None:
+        _TMP_ROOT = tempfile.mkdtemp(prefix="e2e_spark_roundtrip_")
+    return os.path.join(_TMP_ROOT, name)
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("source", "csv", "join"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> CSV (header) -> read back with an explicit schema ->
+    broadcast-join region -> aggregate.  Explicit schema skips the
+    inference pass; the tiny dimension side is broadcast."""
+    path = _tmp("nation_csv")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", "true").csv(path)
+    back = read_csv(
+        spark, path, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+    )
+
+
+@query(
+    "source_text_wordcount",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n
+    FROM toks GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 25
+    """,
+    tags=("source", "text", "agg"),
+)
+def source_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text -> line-oriented text files -> read_text ->
+    split/explode -> top-25 word count.  The classic text-source plan:
+    narrow tokenize, one hash-agg shuffle, TakeOrdered for the top-k."""
+    path = _tmp("docs_text")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select("text").write.mode("overwrite").text(path)
+    lines = read_text(spark, path)
+    return (
+        lines.select(F.explode(F.split(F.col("value"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(25)
+    )
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("sink", "parquet", "partitioning"),
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> Parquet partitioned by o_orderstatus -> filtered read.
+    The status predicate becomes directory-level partition pruning (the
+    'F' partition is the only one scanned — PartitionFilters in the
+    plan), the 100 TB pattern for low-cardinality hot filters."""
+    path = _tmp("orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+    )

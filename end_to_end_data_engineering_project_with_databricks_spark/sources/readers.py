@@ -78,6 +78,33 @@ def register_views(
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV scan.  Always pass ``schema`` on hot paths: without it Spark
+    runs an extra full-file inference pass, and CSV pushes down only
+    partition filters (no min/max skipping) — CSV is a landing format,
+    not a storage format; convert to Parquet at bronze->silver."""
+    reader = spark.read.option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text scan -> single ``value`` column; splittable by
+    line, so it parallelizes like any other file source."""
+    return spark.read.text(path)
+
+
 def read_multiline_json(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:
