@@ -17,9 +17,13 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric
     sql_dsum,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.streaming.stateful import (
+    running_user_totals,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
     events_stream,
     run_to_memory,
+    sliding_counts,
     tumbling_counts,
 )
 
@@ -43,3 +47,50 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_tumbling_counts once all source data is consumed."""
     stream = events_stream(spark, sf_dir)
     return run_to_memory(tumbling_counts(stream), output_mode="complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type, value FROM events
+    ),
+    expanded AS (
+      SELECT (es // 300) * 300 AS window_start_sec, event_type, value FROM ev
+      UNION ALL
+      SELECT (es // 300) * 300 - 300 AS window_start_sec, event_type, value FROM ev
+    )
+    SELECT window_start_sec, event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window-agg"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming sliding windows (10 min / 5 min hop): each
+    event lands in two overlapping windows' state entries; complete-mode
+    memory sink equals the batch twin events_sliding_windows."""
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(sliding_counts(stream), output_mode="complete")
+
+
+@query(
+    "stream_stateful_user_counts",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "pandas-udf"),
+)
+def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running counts.  The fixture is one parquet file, so availableNow
+    runs exactly one micro-batch and the update-mode emissions equal the
+    batch groupBy — which is why this stateful op can carry a full SQL
+    oracle; multi-batch state evolution is covered in
+    tests/test_streaming.py."""
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(running_user_totals(stream), output_mode="update")

@@ -73,6 +73,25 @@ def tumbling_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFra
     )
 
 
+def sliding_counts(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked sliding windows (10-minute length, 5-minute hop):
+    every event updates two overlapping windows' state — the streaming
+    twin of events_sliding_windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_sec"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """``session_window`` stateful aggregation: sessions close after
     ``gap`` of event-time inactivity per user (merged dynamically by the

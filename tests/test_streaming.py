@@ -91,6 +91,41 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     assert ids == [100, 101]
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state between micro-batches:
+    the second run (same checkpoint) must emit totals that include the
+    first run's events."""
+    from end_to_end_data_engineering_project_with_databricks_spark.streaming.stateful import (
+        USER_TOTALS_SCHEMA,
+        running_user_totals,
+    )
+
+    src = str(tmp_path / "state_src")
+    base = 1_700_000_000
+    # two files written sequentially -> with maxFilesPerTrigger=1,
+    # availableNow runs them as two micro-batches in mtime order
+    _write_events(spark, src, [(1, base, 1, "click", 1.0, "{}"),
+                               (2, base + 1, 1, "view", 1.0, "{}"),
+                               (3, base + 2, 2, "click", 1.0, "{}")])
+    time.sleep(1.1)  # distinct mtimes for deterministic batch order
+    _write_events(spark, src, [(4, base + 10, 1, "click", 1.0, "{}"),
+                               (5, base + 11, 3, "click", 1.0, "{}")])
+
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+    out = run_to_memory(running_user_totals(stream), output_mode="update")
+    emissions = sorted((r.user_id, r.n_events) for r in out.collect())
+    # batch 1 emits (1:2, 2:1); batch 2 re-emits user 1 with carried-over
+    # state (1:3) plus the new user (3:1)
+    assert emissions == [(1, 2), (1, 3), (2, 1), (3, 1)]
+
+
 def test_foreach_batch_idempotent_sink(spark, tmp_path):
     """Stream micro-batches with overlapping keys through the anti-join
     sink: re-delivered keys must not duplicate (exactly-once-per-key)."""
