@@ -19,6 +19,7 @@ import sys
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType
 
 try:
     # Module-level UDFs are cloudpickled BY REFERENCE (module + qualname),
@@ -34,14 +35,14 @@ except Exception:  # pragma: no cover - older vendored cloudpickle
     pass
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())  # DataType instance: importable with no active session
 def token_count(text: pd.Series) -> pd.Series:
     """Whitespace token count, vectorized over an Arrow batch.  Integer
     output — exact across engines."""
     return text.str.split(" ").str.len().astype("int64")
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def acctbal_range(bal: pd.Series) -> float:  # type: ignore[misc]
     """Grouped-aggregate pandas UDF: max - min of the group.  Both
     extrema are exact selections and the subtraction is a single IEEE

@@ -20,6 +20,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #: Modules that define queries; imported lazily by :func:`all_specs`.
 _QUERY_MODULES = (
     "end_to_end_data_engineering_project_with_databricks_spark.queries.tpch",
+    "end_to_end_data_engineering_project_with_databricks_spark.queries.tpch_extended",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.relational",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.scalar_functions",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.reference_parity",

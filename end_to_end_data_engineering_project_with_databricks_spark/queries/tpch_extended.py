@@ -1,0 +1,559 @@
+"""Extended TPC-H-style coverage: the decision-support query shapes the
+flagship module (queries/tpch.py) doesn't reach — EXISTS/NOT-EXISTS
+semi/anti joins (q4, q21), self-join nation pairs (q7), conditional
+market-share aggregation (q8), conditional counts (q12), outer-join count
+distributions (q13), LIKE-driven promo share (q14), argmax-by-aggregate
+(q15), correlated-average decorrelation (q17), HAVING over a 3-way join
+(q18), and disjunctive multi-predicate scans (q19).
+
+The fixture star schema (FIXTURES.md) has no ``partsupp`` table and drops
+several stock columns (``l_shipmode``, ``l_commitdate``, ``p_container``,
+``c_phone``), so queries needing them are adapted to equivalent *plan
+shapes* over the available columns — the operator coverage (the thing
+SURVEY.md §2.2 tracks) is what each query preserves, not the literal
+TPC-H business question.
+
+Scale notes apply throughout: lineitem is the 100 TB fact — every query
+keeps it on the probe side, filters it before any join (pushdown to the
+parquet scan), and broadcasts the small build sides (part at TPC-H scale
+is ~1/30 of lineitem — broadcast only after its selective filter).
+Aggregates use functions.numeric exact-decimal sums so results hash-match
+the DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (TPC-H q4 shape): EXISTS -> LEFT SEMI join.
+
+    Adapted: the returned-line predicate stands in for the stock
+    ``l_commitdate < l_receiptdate`` (column absent, FIXTURES.md).
+    Scale: the semi join shuffles only (o_orderkey) pairs after both
+    sides' filters push down; no row multiplication ever occurs.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    late = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume (TPC-H q7): nation self-join pair filter.
+
+    The nation dimension joins twice under different roles (supplier's
+    vs customer's nation) — both broadcast; the pair disjunction is
+    applied after both joins so Catalyst can still push each equi-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum("CASE WHEN n1.n_name = 'NATION_3' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'REGION_0'
+      AND p.p_type LIKE 'ECONOMY%'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_year
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H q8): conditional-sum ratio per year.
+
+    Eight-table join where every dimension side broadcasts; the ratio of
+    two exact decimal sums is a single IEEE division — bit-equal with
+    the oracle.  The selective part filter (LIKE 'ECONOMY%') is applied
+    before its broadcast, shrinking the build side ~6x.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type").like("ECONOMY%"))
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_0")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(national) / dsum(volume)).alias("mkt_share"))
+    )
+
+
+@query(
+    "q12_priority_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l.l_linestatus
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority split per linestatus (TPC-H q12 shape): conditional counts.
+
+    Adapted: groups by ``l_linestatus`` (``l_shipmode`` absent).  Integer
+    conditional sums are exact in any order — no decimal path needed.
+    """
+    urgent = ("1-URGENT", "2-HIGH")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin(*urgent)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H q13): outer join + re-agg.
+
+    ``COUNT(col)`` skips the NULLs the outer join manufactures for
+    order-less customers, so they land in the c_count=0 bucket — the
+    exact semantics the reference's anti-join also relies on.  The
+    second aggregation runs on one row per customer (already tiny).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT 100.0 * ({sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+             / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    tags=("join", "agg", "conditional"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H q14): LIKE-conditional global ratio.
+
+    One month of the fact joined against a broadcast part dimension; the
+    result is `100.0 * (exact_sum / exact_sum)` — two IEEE ops applied in
+    the same order as the oracle text, hence bit-equal.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), volume).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0) * (dsum(promo) / dsum(volume))).alias("promo_revenue"))
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (TPC-H q15): argmax over an agg.
+
+    The scalar MAX is computed once from the (tiny, one row per
+    supplier) revenue aggregate and broadcast back as a cross join —
+    equality on the exact decimal sums is deterministic, so the argmax
+    set matches the oracle even under revenue ties.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey, 0.2 * {sql_davg('l_quantity')} AS qty_threshold
+      FROM lineitem
+      GROUP BY l_partkey
+    ) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < t.qty_threshold
+    """,
+    tags=("join", "agg", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (TPC-H q17): decorrelated per-part average.
+
+    The correlated ``0.2 * avg(l_quantity)`` subquery becomes a per-part
+    aggregate joined back to the fact — the standard decorrelation that
+    replaces O(parts) subquery executions with one extra shuffle.  The
+    threshold uses the exact-decimal average so the `<` comparison can't
+    flip on a ULP difference between engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * davg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum('l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    HAVING {sql_dsum('l.l_quantity')} > 250
+    """,
+    tags=("join", "agg", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H q18): HAVING over a 3-way join aggregate.
+
+    At 100 TB the right plan aggregates lineitem by l_orderkey FIRST
+    (shrinking the fact ~4x before any join) — done explicitly here so
+    the join carries one row per order, then the HAVING filter runs
+    before the customer join, pruning further.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    tags=("join", "filter", "conditional"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H q19): OR-of-ANDs predicate across a join.
+
+    The disjunction mixes columns from both sides, so it can only run
+    post-join — but each disjunct's part-only conjuncts (brand+size)
+    could pre-filter the broadcast side; Catalyst does exactly that by
+    extracting the common `p_brand IN (...)` implied predicate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'A')
+    GROUP BY s.s_name
+    """,
+    tags=("join", "semi", "anti", "agg"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H q21 shape): the only query
+    combining a correlated EXISTS *and* NOT EXISTS with non-equi
+    conditions (`l2.l_suppkey <> l1.l_suppkey`).
+
+    Adapted: returnflag R/A stand in for the absent receipt/commit
+    dates.  Both subqueries become left-semi / left-anti joins keyed on
+    l_orderkey with the inequality as a residual condition — one
+    shuffle each on the same key, which AQE can co-plan.
+    """
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "A").select(
+        "l_orderkey", "l_suppkey"
+    ).alias("l3")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+        .join(orders, F.col("l1.l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle=f"""
+    SELECT substring(c.c_name, 10, 2) AS cntrycode,
+           COUNT(*) AS numcust,
+           {sql_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {sql_davg('c2.c_acctbal')}
+                         FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY cntrycode
+    """,
+    tags=("anti", "subquery", "agg"),
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant wealthy customers (TPC-H q22): scalar subquery + anti join.
+
+    Adapted: the country code comes from ``substring(c_name, 10, 2)``
+    (``c_phone`` absent).  The global average is one broadcast scalar;
+    the NOT EXISTS is the reference's own anti-join pattern
+    (ETL_pipeline_countries.py:137) pointed at orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.substring("c_name", 10, 2).alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
