@@ -69,27 +69,40 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: ``sig[i] = min over shingles of
-    xxhash64(i, shingle)``.
+    h_i(shingle)``, where ``h_i(s) = xxhash64(i, xxhash64(s))``.
 
-    Computed by exploding distinct shingles then one groupBy with
-    ``num_hashes`` min-aggregates — one shuffle, partials combined
-    map-side.  xxhash64 with the seed column as the first argument gives
-    ``num_hashes`` independent hash families without any UDF.
-    Returns (id, sig: array<bigint>).
+    Fully narrow — no explode, no shuffle: each shingle string is hashed
+    ONCE (the only variable-length hash), and the ``num_hashes`` families
+    re-hash that fixed-width long, which is ~an order of magnitude
+    cheaper per family than hashing the string again.  The min per
+    family is ``array_min`` over a per-row array, so signature
+    computation is a map the scheduler can place anywhere — at 100 TB
+    this stage pipelines with the corpus scan and the first (and only)
+    shuffle of the dedup pipeline is the LSH band join.
+    Returns (id, sig: array<bigint>); documents with no shingles are
+    dropped (they can't be near-dups of anything).
     """
-    # the shingle explode + num_hashes hash evals per shingle is pure
-    # compute; make sure it isn't serialized on a single small-file split
-    sh = scale_out(df).select(
-        F.col(id_col).alias("_id"), F.explode(shingles(text_col, shingle_k)).alias("_sh")
+    # millions of hash evals from a few MB of text: widen tiny scans so
+    # the compute doesn't serialize on one split (no-op at scale)
+    max_long = F.lit(2**63 - 1).cast("long")
+    # single-expression fold so the shingle string-hash runs exactly once
+    # per shingle (separate array_min projections would let Catalyst's
+    # CollapseProject inline — and recompute — the base transform per
+    # family, measured 3x slower)
+    sig = F.aggregate(
+        F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s)),
+        F.array_repeat(max_long, num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh.groupBy("_id").agg(*aggs)
-    return sig.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    return (
+        scale_out(df)
+        .filter(F.size(tokens(text_col)) >= shingle_k)
+        .select(F.col(id_col).alias("_id_"), sig.alias("sig"))
+        .select(F.col("_id_").alias(id_col), "sig")
     )
 
 
