@@ -26,6 +26,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric
     DEC,
     davg,
     dsum,
+    spark_sql_dsum,
     sql_davg,
     sql_dsum,
     SQL_DEC,
@@ -393,7 +394,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-               {sql_dsum('o_totalprice')} AS revenue
+               {spark_sql_dsum('o_totalprice')} AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
