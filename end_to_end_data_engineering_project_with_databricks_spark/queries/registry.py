@@ -22,6 +22,7 @@ _QUERY_MODULES = (
     "end_to_end_data_engineering_project_with_databricks_spark.queries.tpch",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.tpch_extended",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.relational",
+    "end_to_end_data_engineering_project_with_databricks_spark.queries.relational_extra",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.scalar_functions",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.reference_parity",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.dedup",

@@ -1,0 +1,203 @@
+"""Second-wave relational coverage: map-typed columns, positional
+generators, unpivot/melt, range window frames, union-by-name, and
+deterministic sampling.
+
+These round out SURVEY.md §2.2's checklist beyond the first relational
+module: every query here is a thin composition of built-in Spark
+operators (JVM-side, codegen-eligible) with a DuckDB oracle, following
+the same bit-equality conventions (functions/numeric.py; BIGINT casts
+for counts; 1-based positions to match DuckDB's generate_subscripts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    DEC,
+    SQL_DEC,
+    dsum,
+    sql_dsum,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           m['type'][1] AS type_val,
+           m['bucket'][1] AS bucket_val,
+           list_sort(map_keys(m)) AS sorted_keys,
+           CAST(cardinality(m) AS INTEGER) AS n_entries
+    FROM (
+      SELECT event_id,
+             map(['type', 'bucket'],
+                 [event_type, CASE WHEN value >= 50 THEN 'high' ELSE 'low' END]) AS m
+      FROM events
+    ) t
+    """,
+    tags=("functions", "map"),
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column pack: create_map / element_at / map_keys / size.
+
+    Maps are the natural carrier for sparse per-row metadata (multimodal
+    sidecars, feature bags).  All operators are JVM built-ins; keys are
+    emitted sorted because map iteration order is engine-specific.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"),
+        F.col("event_type"),
+        F.lit("bucket"),
+        F.when(F.col("value") >= 50, "high").otherwise("low"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "bucket").alias("bucket_val"),
+        F.array_sort(F.map_keys(m)).alias("sorted_keys"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@query(
+    "explode_with_position",
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS token
+    FROM documents
+    WHERE doc_id % 50 = 0
+    """,
+    tags=("generator",),
+)
+def explode_with_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: generator that also emits the element ordinal — the
+    building block for order-preserving token pipelines (positional
+    n-grams, alignment).  Positions are 1-based to match DuckDB's
+    generate_subscripts; Spark's posexplode is 0-based."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "token"
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey % 500 = 0
+    """,
+    tags=("reshape",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide measure columns -> long (measure, value) rows.
+
+    ``DataFrame.unpivot`` is a narrow row-local expansion (an Expand
+    node) — no shuffle, output 3x the filtered input.  The inverse of
+    the pivot query in the first relational module."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           CAST(SUM(CAST(o_totalprice AS {SQL_DEC})) OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+               RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS spend_90d
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame: trailing-90-day spend per customer.
+
+    ``rangeBetween`` frames by ORDER-BY *value* distance (epoch seconds),
+    not row offsets — rows landing in the same second share a frame, so
+    the result is deterministic even under within-second order ties
+    (where a ROWS frame would be ambiguous).  Exact decimal accumulation
+    keeps per-frame sums bit-equal with the oracle."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_epoch", F.unix_timestamp("o_orderdate")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("order_epoch"))
+        .rangeBetween(-7776000, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_epoch",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("spend_90d"),
+    )
+
+
+@query(
+    "union_by_name",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 9000.0
+    """,
+    tags=("setops",),
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: position-independent union — schemas align by column
+    name, the safe union for evolving pipelines (the positional union in
+    the first relational module breaks silently on column reorder)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    b = c.filter(F.col("c_acctbal") > 9000.0).select(
+        "c_acctbal", "c_custkey", "c_mktsegment"  # deliberately reordered
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "sample_systematic",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS sampled_revenue
+    FROM lineitem
+    WHERE l_orderkey % 100 = 7
+    """,
+    tags=("sample", "filter"),
+)
+def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-100 systematic sample on the fact table.
+
+    ``df.sample()`` is seed-dependent across engines and partitionings;
+    keyed modulo sampling is reproducible anywhere, joins consistently
+    (the same orders are sampled in every table keyed by orderkey), and
+    pushes down to the scan as a cheap predicate — the right sampling
+    primitive for 100 TB estimation pipelines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 7).agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("sampled_revenue"),
+    )
