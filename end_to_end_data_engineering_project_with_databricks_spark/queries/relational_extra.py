@@ -179,6 +179,45 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_percentile_disc",
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25,
+           quantile_disc(o_totalprice, 0.50) AS p50,
+           quantile_disc(o_totalprice, 0.90) AS p90
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile", "sql"),
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles per group (PERCENTILE_DISC WITHIN GROUP).
+
+    Discrete (selection) percentiles return actual data values — no
+    interpolation arithmetic — so they compare bit-exactly across
+    engines, unlike PERCENTILE_CONT whose lerp ordering differs.  Spark
+    plans this as a sort-based aggregate; at 100 TB prefer
+    approx_percentile (t-digest, mergeable partial state) when a
+    tolerance is acceptable — the approximate variant is registered
+    separately with the rows-only check."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
     "sample_systematic",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,

@@ -102,6 +102,108 @@ def source_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_orc_roundtrip",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "orc", "agg"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders -> ORC -> read back -> aggregate.  ORC is the other
+    columnar container Spark ships a vectorized reader for; the check
+    covers writer/reader round-trip fidelity for int64, double, string
+    and timestamp columns."""
+    path = _tmp("orders_orc")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "source_jsonlines_roundtrip",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("source", "json", "agg"),
+)
+def source_jsonlines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON Lines -> read back with an explicit schema ->
+    aggregate.  One JSON document per line (the splittable layout — a
+    100 TB corpus of line JSON parallelizes by byte range, unlike the
+    reference's whole-document ``multiLine`` files, SURVEY.md §4);
+    the explicit schema skips the inference pass."""
+    path = _tmp("events_jsonl")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema("event_id long, event_type string, value double").json(
+        path
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@query(
+    "sink_bucketed_join",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("sink", "bucketing", "join"),
+)
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed managed tables joined WITHOUT a shuffle: both sides are
+    written ``bucketBy(8, orderkey)`` so rows co-locate by join key at
+    write time and the SortMergeJoin reads bucket-aligned splits — zero
+    Exchange in the join stage.
+
+    This is THE 100 TB pattern for repeated fact-to-fact joins: pay the
+    shuffle once at ingest, then every downstream join on the bucket key
+    is narrow.  (Verified by tests/test_bucketed_join_plan asserting no
+    Exchange below the join.)"""
+    db = "e2e_bucketed"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _tmp("orders_b"))  # external: no cwd warehouse dependency
+        .saveAsTable(f"{db}.orders_b")
+    )
+    (
+        li.select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _tmp("lineitem_b"))
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.lineitem_b")
+    return (
+        ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@query(
     "sink_partitioned_pruning",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,
