@@ -21,6 +21,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.streaming.statefu
     running_user_totals,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
+    dedup_within_watermark,
     events_stream,
     run_to_memory,
     sliding_counts,
@@ -74,6 +75,28 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink equals the batch twin events_sliding_windows."""
     stream = events_stream(spark, sf_dir)
     return run_to_memory(sliding_counts(stream), output_mode="complete")
+
+
+@query(
+    "stream_dedup_keys",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup via ``dropDuplicatesWithinWatermark``: first
+    occurrence per (user_id, event_type) key survives; state for keys
+    older than the watermark is evicted, bounding memory — the streaming
+    generalization of the reference's anti-join idempotence
+    (ETL_pipeline_countries.py:137).  Only the key columns are emitted,
+    so the result is order-independent and equals DISTINCT — which row
+    survives per key depends on arrival order, but its key does not."""
+    stream = events_stream(spark, sf_dir)
+    deduped = dedup_within_watermark(
+        stream, keys=["user_id", "event_type"], watermark="1 hour"
+    ).select("user_id", "event_type")
+    return run_to_memory(deduped, output_mode="append")
 
 
 @query(
