@@ -204,6 +204,47 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_versioned_time_travel",
+    oracle=f"""
+    WITH v1 AS (SELECT * FROM orders WHERE o_orderstatus = 'F'),
+         v2 AS (SELECT * FROM orders WHERE o_orderstatus IN ('F', 'O'))
+    SELECT 1 AS version, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price FROM v1
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS total_price FROM v2
+    """,
+    tags=("sink", "versioned", "time-travel"),
+)
+def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-capability parity on plain Parquet: two commits to a
+    versioned table (sources/versioned.py — manifest log, atomic commit,
+    snapshot isolation), then one aggregate per *time-travel* snapshot.
+    Version 1 sees only the first commit; version 2 sees both — the
+    capability the reference's Delta gold layer claims
+    (README.md:243-245) but never exercises."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_versioned")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders.filter(F.col("o_orderstatus") == "F"), root)
+    V.append(orders.filter(F.col("o_orderstatus") == "O"), root)
+    snapshots = [
+        V.read(spark, root, version=v)
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .select(F.lit(v).alias("version"), "n_orders", "total_price")
+        for v in (1, 2)
+    ]
+    return snapshots[0].unionByName(snapshots[1])
+
+
+@query(
     "sink_partitioned_pruning",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -1,0 +1,154 @@
+"""Versioned Parquet table: the reference's Delta-table capabilities
+(append-only commits, time travel, schema enforcement) on plain Parquet.
+
+The reference's gold layer is a managed Delta table
+(ETL_pipeline_countries.py:133,138) whose value proposition — ACID
+appends, time travel, schema enforcement — is narrated at
+README.md:237-248 but only the append is ever exercised.  Delta Lake
+itself isn't available in this environment, so this module provides the
+portable equivalent the same way Delta does it: immutable data files
+plus an ordered transaction log, where *the log entry is the commit*.
+
+Layout:
+
+    <root>/data/<uuid>/part-*.parquet     immutable per-commit file groups
+    <root>/_log/v00000001.json            manifest: schema + all live files
+
+- **Commit = atomically creating the next manifest** (``open(..., "x")``
+  — O_EXCL).  A crashed writer leaves orphan data files but never a
+  half-visible commit; a concurrent writer loses the create race and
+  retries on the new snapshot (optimistic concurrency, same protocol as
+  Delta's log).
+- **Readers never list data directories** — they read the manifest, so
+  they see a consistent snapshot regardless of in-flight writes, and
+  ``version=`` gives time travel to any retained snapshot.
+- **Schema enforcement**: appends must match the table schema recorded
+  in the first manifest (names + types, order-insensitive), mirroring
+  Delta's write-side enforcement (README.md:240).
+
+Scale notes: the manifest lists file paths (one entry per ~128 MB-1 GB
+file) — at 100 TB that is ~1e5 entries, fine for a JSON document read
+once per query on the driver; Spark then plans the listed files exactly
+like any multi-file Parquet scan (parallel splits, pushdown, pruning).
+Log compaction/checkpointing (Delta's parquet checkpoint) would be the
+next step if commit counts grew unbounded.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+
+
+class SchemaMismatchError(ValueError):
+    """Append schema differs from the table schema."""
+
+
+def _log_path(root: str) -> str:
+    return os.path.join(root, _LOG_DIR)
+
+
+def _manifest_file(root: str, version: int) -> str:
+    return os.path.join(_log_path(root), f"v{version:08d}.json")
+
+
+def list_versions(root: str) -> list[int]:
+    log = _log_path(root)
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(log) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(_manifest_file(root, version)) as fh:
+        return json.load(fh)
+
+
+def _schema_key(schema_json: str) -> list[tuple[str, str]]:
+    fields = json.loads(schema_json)["fields"]
+    return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
+
+
+def append(df: DataFrame, root: str, max_commit_retries: int = 10) -> int:
+    """Commit ``df`` as a new version; returns the committed version.
+
+    The data files are written first (invisible until committed), then
+    the next manifest is created with O_EXCL — losing a concurrent
+    create race re-reads the new head and retries with the same data
+    files, so every committed version sees every successful append
+    exactly once."""
+    os.makedirs(_log_path(root), exist_ok=True)
+    batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
+    df.write.mode("errorifexists").parquet(batch_dir)
+    new_files = sorted(
+        os.path.join(batch_dir, f)
+        for f in os.listdir(batch_dir)
+        if f.endswith(".parquet")
+    )
+    schema_json = df.schema.json()
+
+    for _ in range(max_commit_retries):
+        versions = list_versions(root)
+        if versions:
+            head = _read_manifest(root, versions[-1])
+            if _schema_key(head["schema"]) != _schema_key(schema_json):
+                raise SchemaMismatchError(
+                    f"append schema {df.schema.simpleString()} does not match "
+                    f"table schema at {root}"
+                )
+            files = head["files"] + new_files
+            schema = head["schema"]  # canonical field order: first commit wins
+            next_version = versions[-1] + 1
+        else:
+            files, schema, next_version = new_files, schema_json, 1
+        manifest = {"version": next_version, "schema": schema, "files": files}
+        try:
+            with open(_manifest_file(root, next_version), "x") as fh:
+                json.dump(manifest, fh)
+            return next_version
+        except FileExistsError:
+            continue  # lost the race; retry against the new head
+    raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
+def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+    """Snapshot read; ``version=None`` reads the latest commit.  Empty
+    tables (no commits) are an error — create one with ``append``."""
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    manifest = _read_manifest(root, v)
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(manifest["schema"]))
+    if not manifest["files"]:
+        return spark.createDataFrame([], st)
+    return spark.read.schema(st).parquet(*manifest["files"])
+
+
+def idempotent_append(
+    df: DataFrame, root: str, key: str, intra_batch_dedup: bool = False
+) -> int:
+    """The reference's gold-table append (ETL_pipeline_countries.py:129-138)
+    with time travel: anti-join the incoming batch against the current
+    snapshot on ``key``, append only unseen keys.  Reproduces the exact
+    reference semantics — cross-batch dedup only; intra-batch duplicates
+    survive unless ``intra_batch_dedup`` (the documented extension,
+    SURVEY.md §2.1 fine print)."""
+    if intra_batch_dedup:
+        df = df.dropDuplicates([key])
+    if list_versions(root):
+        existing = read(df.sparkSession, root).select(key)
+        df = df.join(existing, key, "left_anti")
+    return append(df, root)

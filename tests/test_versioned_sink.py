@@ -1,0 +1,80 @@
+"""Versioned Parquet table: commit atomicity, time travel, schema
+enforcement, and reference-exact idempotent-append semantics."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from end_to_end_data_engineering_project_with_databricks_spark.sources import versioned as V
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vt")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, n int")
+
+
+def test_append_and_time_travel(spark, root):
+    assert V.append(_df(spark, [("a", 1), ("b", 2)]), root) == 1
+    assert V.append(_df(spark, [("c", 3)]), root) == 2
+    assert V.read(spark, root).count() == 3
+    assert V.read(spark, root, version=1).count() == 2
+    assert sorted(r.k for r in V.read(spark, root, version=1).collect()) == ["a", "b"]
+    assert V.list_versions(root) == [1, 2]
+
+
+def test_read_missing_version_and_empty_table(spark, root):
+    with pytest.raises(FileNotFoundError):
+        V.read(spark, root)
+    V.append(_df(spark, [("a", 1)]), root)
+    with pytest.raises(ValueError):
+        V.read(spark, root, version=7)
+
+
+def test_schema_enforcement(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)
+    bad = spark.createDataFrame([("a", 1.5)], "k string, n double")
+    with pytest.raises(V.SchemaMismatchError):
+        V.append(bad, root)
+    # column order is irrelevant (names+types are the contract)
+    reordered = spark.createDataFrame([(5, "e")], "n int, k string").select("n", "k")
+    V.append(reordered, root)
+    assert V.read(spark, root).count() == 2
+
+
+def test_uncommitted_data_files_are_invisible(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)
+    # simulate a crashed writer: data files exist, no manifest references them
+    orphan = os.path.join(root, V._DATA_DIR, "orphan")
+    _df(spark, [("zz", 99)]).write.parquet(orphan)
+    assert V.read(spark, root).count() == 1  # snapshot isolation
+
+
+def test_idempotent_append_reference_semantics(spark, root):
+    first = _df(spark, [("a", 1), ("a", 2), ("b", 3)])  # intra-batch dup on 'a'
+    V.idempotent_append(first, root, key="k")
+    # (a) first load appends all rows, intra-batch dups included
+    assert V.read(spark, root).count() == 3
+    # (b) identical re-run appends zero
+    V.idempotent_append(first, root, key="k")
+    assert V.read(spark, root).count() == 3
+    # (c) overlapping batch appends only unseen keys
+    V.idempotent_append(_df(spark, [("b", 9), ("c", 4)]), root, key="k")
+    assert V.read(spark, root).count() == 4
+    # (d) extension: intra-batch dedup drops in-batch duplicates
+    V.idempotent_append(
+        _df(spark, [("d", 1), ("d", 2)]), root, key="k", intra_batch_dedup=True
+    )
+    assert V.read(spark, root).count() == 5
+    # every state remains time-travelable
+    assert [V.read(spark, root, version=v).count() for v in V.list_versions(root)] == [
+        3,
+        3,
+        4,
+        5,
+    ]
