@@ -1,0 +1,79 @@
+"""Property-based checks (hypothesis) for the exact-aggregation layer.
+
+The engine's oracle parity rests on functions/numeric.py: dsum/davg must
+be (1) independent of row order and partitioning — Spark aggregates in
+nondeterministic order — and (2) bit-equal with the DuckDB SQL text the
+oracle runs.  Hypothesis hunts the corners a fixture can't: negatives,
+zeros, mixed magnitudes, many-decimal values, single-row and empty-ish
+groups.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+
+# values at 6-decimal granularity across sign and magnitude, the contract
+# dsum quantizes at; magnitudes up to 1e9 exercise the hi/lo split
+_value = st.integers(min_value=-(10**15), max_value=10**15).map(lambda n: n / 1e6)
+
+
+@st.composite
+def _value_lists(draw):
+    return draw(st.lists(_value, min_size=1, max_size=200))
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_value_lists(), parts=st.integers(min_value=1, max_value=9))
+def test_dsum_bit_equal_with_duckdb_any_partitioning(spark, values, parts):
+    sdf = (
+        spark.createDataFrame([(v,) for v in values], "x double")
+        .repartition(parts)
+        .agg(dsum("x").alias("s"), davg("x").alias("a"))
+    )
+    srow = sdf.collect()[0]
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": values}))
+    orow = con.execute(
+        f"SELECT {sql_dsum('x')} AS s, {sql_davg('x')} AS a FROM t"
+    ).fetchone()
+
+    assert srow.s == orow[0], f"sum drift: spark={srow.s!r} duckdb={orow[0]!r}"
+    assert srow.a == orow[1], f"avg drift: spark={srow.a!r} duckdb={orow[1]!r}"
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_value_lists())
+def test_dsum_is_order_independent(spark, values):
+    def total(vs, parts):
+        return (
+            spark.createDataFrame([(v,) for v in vs], "x double")
+            .repartition(parts)
+            .agg(dsum("x").alias("s"))
+            .collect()[0]
+            .s
+        )
+
+    assert total(values, 1) == total(list(reversed(values)), 7)
+
+
+def test_dsum_null_and_empty_group_semantics(spark):
+    df = spark.createDataFrame([("a", 1.5), ("a", None), ("b", None)], "k string, x double")
+    rows = {
+        r.k: (r.s, r.a)
+        for r in df.groupBy("k").agg(dsum("x").alias("s"), davg("x").alias("a")).collect()
+    }
+    assert rows["a"] == (1.5, 1.5)  # NULLs skipped, count excludes them
+    assert rows["b"][0] is None  # all-NULL group sums to NULL like SQL SUM
