@@ -71,6 +71,27 @@ def dsum(col: Column | str) -> Column:
     return (total.cast("double") / F.lit(SCALE))
 
 
+def dsum_partial_hi(col: Column | str) -> Column:
+    """Stage-1 (salted/partial) sum of the hi split — a plain long sum,
+    mergeable by further summing.  Pair with :func:`dsum_partial_lo` and
+    finish with :func:`dsum_merge` for explicit two-stage aggregation
+    (operators/scaling.py)."""
+    x = _scaled(col)
+    return F.sum(F.shiftright(x, _SHIFT))
+
+
+def dsum_partial_lo(col: Column | str) -> Column:
+    x = _scaled(col)
+    return F.sum(x - F.shiftright(x, _SHIFT) * F.lit(_L))
+
+
+def dsum_merge(hi_sum: Column | str, lo_sum: Column | str) -> Column:
+    """Merge summed partials into the exact double total (same final two
+    IEEE ops as :func:`dsum`, so two-stage results equal one-stage)."""
+    total = F.sum(_c(hi_sum)).cast("decimal(38,0)") * F.lit(_L) + F.sum(_c(lo_sum))
+    return (total.cast("double") / F.lit(SCALE))
+
+
 def davg(col: Column | str) -> Column:
     """Exact-sum average: exact fixed-point sum -> double, divided by count.
 

@@ -15,6 +15,13 @@ scan already has far more partitions than cores.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    dsum_merge,
+    dsum_partial_hi,
+    dsum_partial_lo,
+)
 
 
 def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -25,3 +32,37 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def skew_resistant_agg(
+    df: DataFrame,
+    keys: list[str],
+    distinct_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Skew-resistant per-key (COUNT DISTINCT, exact SUM) via explicit
+    two-stage aggregation.
+
+    The failure mode at 100 TB: a handful of hot keys (a viral
+    event_type, an empty-string language) send their ENTIRE distinct-set
+    state to single reducers — ``countDistinct``'s partial state is the
+    set itself, so map-side combine doesn't save the hot reducer.
+
+    Stage 1 groups by the composite ``(keys, distinct_col)``: the
+    shuffle hash-partitions on the composite, so a hot key fans out
+    across ALL reducers (the distinct value acts as a natural salt),
+    each deduplicating a disjoint slice of its values.  Stage 2 groups
+    the compact one-row-per-distinct-value output by ``keys`` alone —
+    orders of magnitude smaller than the raw fact.  The exact
+    fixed-point sum splits the same way: long partials in stage 1,
+    merged exactly in stage 2 (functions/numeric.py), so the two-stage
+    result is bit-equal with the one-stage aggregate.
+    """
+    stage1 = df.groupBy(*keys, F.col(distinct_col)).agg(
+        dsum_partial_hi(value_col).alias("_hi"),
+        dsum_partial_lo(value_col).alias("_lo"),
+    )
+    return stage1.groupBy(*keys).agg(
+        F.count("*").alias("n_distinct"),
+        dsum_merge("_hi", "_lo").alias("total_value"),
+    )

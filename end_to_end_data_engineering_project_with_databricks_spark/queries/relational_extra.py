@@ -218,6 +218,32 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_skew_resistant_distinct",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_distinct,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "distinct", "skew"),
+)
+def agg_skew_resistant_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit two-stage COUNT DISTINCT + exact SUM over the skewed
+    events table (5 hot event_type keys).  See
+    operators/scaling.skew_resistant_agg for the 100 TB rationale; the
+    oracle proves the two-stage plan equals the one-stage semantics."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        skew_resistant_agg,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_resistant_agg(
+        ev, keys=["event_type"], distinct_col="user_id", value_col="value"
+    )
+
+
+@query(
     "sample_systematic",
     oracle=f"""
     SELECT COUNT(*) AS n_rows,
