@@ -212,3 +212,60 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinguishes permuted near-dups that set-based fingerprints merge."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+
+
+@query(
+    "pipeline_corpus_curation",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+        AND n_chars BETWEEN 50 AND 10000
+        AND len(string_split(text, ' ')) >= 5
+    ),
+    deduped AS (
+      SELECT text, lang, MIN(doc_id) AS canonical_id,
+             COUNT(*) AS n_copies, MIN(n_tokens) AS n_tokens
+      FROM filtered
+      GROUP BY text, lang
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_dups_removed,
+           {sql_davg('n_tokens')} AS avg_tokens
+    FROM deduped
+    GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "text"),
+    bench=True,
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation, composed from the engine's own
+    operators: language filter -> quality gate (length + token count) ->
+    exact content dedup (keep min doc_id) -> per-language corpus stats.
+
+    The composed plan is exactly what a 100 TB curation run needs: all
+    filters push to the scan, the dedup groupBy is the only wide op over
+    the full corpus (keyed on (text, lang) so hot languages spread by
+    content), and the stats aggregate runs on one row per distinct
+    document.  Exact ops only, so the whole pipeline carries a full
+    DuckDB oracle; the fuzzy stage (MinHash-LSH) chains after this in
+    practice and is verified separately (dedup_minhash_lsh)."""
+    d = load_table(spark, sf_dir, "documents")
+    filtered = d.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(50, 10000)
+        & (F.size(tokens("text")) >= 5)
+    ).withColumn("n_tokens", F.size(tokens("text")))
+    deduped = filtered.groupBy("text", "lang").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_copies") - F.count("*")).cast("long").alias("n_dups_removed"),
+        davg("n_tokens").alias("avg_tokens"),
+    )
