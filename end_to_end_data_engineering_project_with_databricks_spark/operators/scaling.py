@@ -34,6 +34,50 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    skewed_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Inner equi-join that survives a hot key on the probe side by
+    salting: the skewed side gets a deterministic salt in
+    ``[0, salt_buckets)``, the dim side is replicated once per salt
+    value, and the join runs on ``(key, salt)`` — a hot key's rows now
+    spread over ``salt_buckets`` reducers instead of melting one.
+
+    Trade-off, stated honestly: the dim side is shuffled/built
+    ``salt_buckets`` times, so this only pays when the probe side's
+    skew dominates — which is exactly the regime AQE's skew-join split
+    (on by default, session.py) can't always reach: AQE splits by
+    *partition size after the fact*; salting prevents the pathological
+    partition from existing at all, and also covers stateful
+    aggregations downstream of the join where AQE does not re-plan.
+
+    The salt is ``xxhash64`` of ``salt_source`` (default: the whole-row
+    hash of the skewed side's columns) — deterministic, so re-runs and
+    the DuckDB oracle agree; join RESULTS are identical to the unsalted
+    join because each skewed row still meets every matching dim row
+    exactly once (the dim replica with its salt)."""
+    salt_col = (
+        F.xxhash64(*[F.col(c) for c in skewed.columns])
+        if salt_source is None
+        else F.xxhash64(F.col(salt_source))
+    )
+    left = skewed.withColumn("_salt", F.pmod(salt_col, F.lit(salt_buckets)))
+    replicas = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    joined = left.join(
+        replicas,
+        (left["_salt"] == replicas["_salt"])
+        & (F.col(skewed_key) == F.col(dim_key)),
+    )
+    return joined.drop("_salt")
+
+
 def skew_resistant_agg(
     df: DataFrame,
     keys: list[str],

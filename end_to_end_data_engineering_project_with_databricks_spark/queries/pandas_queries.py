@@ -12,6 +12,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from end_to_end_data_engineering_project_with_databricks_spark.functions.udtfs import (
+    register_udtfs,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.functions.pandas_fns import (
     acctbal_range,
     minmax_normalize,
@@ -82,4 +85,36 @@ def pandas_apply_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_schema = "c_custkey long, c_nationkey int, c_acctbal double, bal_norm double"
     return c.groupBy("c_nationkey").applyInPandas(
         lambda pdf: minmax_normalize(pdf, "c_acctbal", "bal_norm"), out_schema
+    )
+
+
+@query(
+    "udtf_char_ngrams",
+    oracle="""
+    SELECT doc_id,
+           unnest(generate_series(1, len(text) - 2)) AS pos,
+           unnest(list_transform(generate_series(1, len(text) - 2),
+                                 i -> substr(text, i, 3))) AS ngram
+    FROM documents
+    WHERE doc_id < 5
+    """,
+    tags=("udtf",),
+)
+def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) via SQL LATERAL join:
+    character trigrams with 1-based positions over a bounded document
+    slice.  Completes the UDF/UDAF/UDTF API triad; the docstring in
+    functions/udtfs.py states the keep-off-the-hot-path rule."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("documents",))
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, g.pos, g.ngram
+        FROM documents d, LATERAL char_ngrams(d.text, 3) g
+        WHERE d.doc_id < 5
+        """
     )

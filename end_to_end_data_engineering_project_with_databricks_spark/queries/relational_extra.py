@@ -218,6 +218,37 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+           {sql_dsum('l.l_extendedprice')} AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/scaling.salted_join): the fact side
+    carries a deterministic salt, the orders side is replicated per salt
+    value, and the join key becomes (orderkey, salt) — a hot orderkey
+    spreads over 8 reducers instead of melting one.  The oracle runs the
+    PLAIN join: salting must not change join semantics, only the
+    physical distribution."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        salted_join,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return (
+        salted_join(li, orders, "l_orderkey", "o_orderkey", salt_buckets=8)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_lines"), dsum("l_extendedprice").alias("revenue"))
+    )
+
+
+@query(
     "agg_skew_resistant_distinct",
     oracle=f"""
     SELECT event_type,
