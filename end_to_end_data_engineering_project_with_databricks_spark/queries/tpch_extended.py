@@ -557,3 +557,278 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           s.s_suppkey, ps.unit_cost
+    FROM part p
+    JOIN ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_type = 'ECONOMY' AND p.p_size < 15 AND r.r_name = 'ASIA'
+      AND ps.unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                          WHERE ps2.l_partkey = p.p_partkey)
+    ORDER BY s.s_acctbal DESC, p.p_partkey, s.s_suppkey
+    LIMIT 100
+    """,
+    tags=("join", "subquery", "window"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H q2 shape): correlated MIN subquery.
+
+    Adapted: no ``partsupp`` fixture (FIXTURES.md), so the part-supplier
+    cost relation is derived from lineitem — ``MIN(l_extendedprice /
+    l_quantity)`` per (partkey, suppkey) stands in for ``ps_supplycost``.
+    The correlated per-part MIN decorrelates into a window MIN over the
+    derived relation (a third decorrelation style next to q15's scalar
+    cross-join and q17's agg-join) — one shuffle on l_partkey instead of
+    O(parts) subquery executions.  The min is a single IEEE double (no
+    summation), so the equality predicate is bit-stable across engines.
+
+    Scale: the ps derivation is the only fact-table shuffle; part is
+    filtered before its broadcast join; the final ORDER BY runs on the
+    already-tiny qualifying set (TakeOrderedAndProject).
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = ps.withColumn(
+        "min_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "s_suppkey", "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)'
+                     ' - 0.5 * p.p_retailprice * l.l_quantity')} AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags=("join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H q9 shape).
+
+    Adapted: with no ``partsupp.ps_supplycost``, cost is proxied by
+    ``0.5 * p_retailprice * l_quantity``; the LIKE filter runs on
+    ``p_name`` colors.  Plan shape preserved: 5-way join pivoting on the
+    fact table, LIKE-filtered broadcast dimension, two-level group key
+    with a derived (year) component, exact-decimal profit sum.
+
+    Scale: part/supplier/nation broadcast; orders co-shuffles with
+    lineitem on orderkey — the one unavoidable big-big join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH val AS (
+      SELECT l.l_partkey,
+             {sql_dsum('l.l_extendedprice * l.l_quantity')} AS part_value
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, part_value
+    FROM val
+    WHERE part_value > (SELECT 0.005 * SUM(part_value) FROM val)
+    """,
+    tags=("agg", "subquery"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important parts by value share (TPC-H q11 shape): HAVING vs a
+    global-total scalar subquery.
+
+    Adapted: part value = sum(l_extendedprice * l_quantity) over a
+    region's suppliers (``ps_availqty * ps_supplycost`` absent).  The
+    scalar total is re-aggregated from the per-part aggregate (one row
+    per part, tiny) and broadcast back — the per-part values sum exactly
+    (functions/numeric), so the share threshold can't flip on float
+    association order.
+
+    Scale: one fact shuffle on l_partkey; the second agg reads the
+    first's output, not the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    total = val.agg((F.lit(0.005) * F.sum("part_value")).alias("threshold"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@query(
+    "q16_supplier_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_type NOT LIKE 'SMALL%'
+      AND p.p_size IN (5, 11, 17, 23, 29, 35, 41, 47)
+      AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                               WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("agg", "anti", "subquery"),
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier count by part attributes (TPC-H q16 shape): NOT IN
+    exclusion + COUNT DISTINCT over a derived part-supplier relation.
+
+    Adapted: the relation comes from DISTINCT lineitem pairs (no
+    partsupp); the excluded-supplier list is ``s_acctbal < 0`` (the
+    stock comment LIKE '%Complaints%' has no fixture column).  The NOT
+    IN compiles to a LEFT ANTI join — sound here because ``s_suppkey``
+    is non-null, sidestepping NOT IN's three-valued null trap.
+
+    Scale: DISTINCT pairs is a map-side-combinable shuffle far smaller
+    than the fact table; part and the exclusion list broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (~F.col("p_type").like("SMALL%"))
+        & (F.col("p_size").isin(5, 11, 17, 23, 29, 35, 41, 47))
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(bad_supp), ps.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle=f"""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING {sql_dsum('l.l_quantity')} > 100.0
+      )
+    """,
+    tags=("semi", "agg", "subquery"),
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-volume suppliers of a part family (TPC-H q20 shape): IN over
+    an aggregated-HAVING subquery -> LEFT SEMI join.
+
+    Adapted: the availability predicate (``ps_availqty > 0.5 * sum``)
+    becomes an absolute shipped-quantity threshold over a p_name LIKE
+    family and a one-year window — preserving the nested
+    agg-subquery-feeding-a-semi-join shape.
+
+    Scale: the inner agg shuffles only date+LIKE-filtered lines on
+    l_suppkey; its distinct-suppkey output is tiny, so the semi join
+    broadcasts into supplier.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    heavy = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100.0)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        supp.join(F.broadcast(heavy), supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
