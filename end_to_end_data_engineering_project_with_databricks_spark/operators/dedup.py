@@ -187,11 +187,27 @@ def minhash_lsh_dedup(
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
     pairs -> exact-Jaccard verification.  With 16 bands x 4 rows the
     S-curve crosses ~0.5 at J ≈ (1/16)^(1/4) ≈ 0.5, so J >= 0.7 pairs are
-    found with ≈ 99% probability."""
+    found with ≈ 99% probability.
+
+    The candidate set is persisted (the deliberate materialization point
+    of the pipeline — it is referenced three times below) and the corpus
+    is semi-filtered to candidate documents before verification, so the
+    expensive shingle recomputation touches only docs that appear in some
+    pair, not the whole corpus twice.  At 100 TB candidates are a
+    vanishing fraction of the corpus; without this filter verification
+    would re-scan and re-shingle everything."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
-    return jaccard_verify(cands, df, id_col, text_col, shingle_k, threshold)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).persist()
+    ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    cand_docs = df.join(
+        F.broadcast(ids), F.col(id_col) == F.col("_cid"), "left_semi"
+    )
+    return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
 
 
 def simhash64(text_col: Column | str) -> Column:
