@@ -24,6 +24,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows
     dedup_within_watermark,
     events_stream,
     run_to_memory,
+    session_windows,
     sliding_counts,
     tumbling_counts,
 )
@@ -97,6 +98,45 @@ def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, keys=["user_id", "event_type"], watermark="1 hour"
     ).select("user_id", "event_type")
     return run_to_memory(deduped, output_mode="append")
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id, value, epoch(ts) AS es FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, value, es,
+             CASE WHEN es - LAG(es) OVER w >= 1800 OR LAG(es) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, value, es,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+      FROM flagged
+    )
+    SELECT user_id, CAST(floor(MIN(es)) AS BIGINT) AS session_start_sec,
+           COUNT(*) AS n_events, {sql_dsum('value')} AS total_value
+    FROM sessions GROUP BY user_id, sno
+    """,
+    tags=("streaming", "session", "window-agg"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ``session_window`` (30-min gap) per user, run
+    to completion in complete mode — the dynamically-merged stateful twin
+    of the batch events_sessionize.  Oracle nuance: Spark merges an event
+    into the open session iff it arrives STRICTLY within gap of the
+    previous event (session end is exclusive at prev_ts + gap), so the
+    gaps-and-islands oracle starts a new session on ``diff >= 1800`` —
+    the batch sessionize query's ``> 1800`` convention would disagree on
+    exact-boundary events.  Fractional-second timestamps are kept (no
+    floor) for the same reason."""
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(session_windows(stream), output_mode="complete")
 
 
 @query(
