@@ -245,6 +245,70 @@ def sink_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_merge_upsert",
+    oracle=f"""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)),
+         src AS (
+           SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                  2 * o_totalprice AS o_totalprice, o_orderdate,
+                  o_orderpriority
+           FROM orders WHERE o_orderkey % 4 IN (2, 3)
+         ),
+         merged AS (
+           SELECT b.* FROM base b
+           WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+           UNION ALL
+           SELECT * FROM src
+         )
+    SELECT CASE WHEN o_orderkey % 4 = 2 THEN 'updated'
+                WHEN o_orderkey % 4 = 3 THEN 'inserted'
+                ELSE 'kept' END AS row_class,
+           COUNT(*) AS n_rows, {sql_dsum('o_totalprice')} AS total_price
+    FROM merged GROUP BY 1
+    """,
+    tags=("sink", "versioned", "merge"),
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the versioned table
+    (sources/versioned.merge_upsert): commit a base snapshot of orders,
+    merge a batch that updates the overlapping quarter of keys (status
+    'U', doubled price) and inserts a new quarter, then aggregate the
+    merged snapshot by row class.  Only files containing a matched key
+    are rewritten — the Delta-MERGE-style fix for the reference's
+    whole-table anti-join (SURVEY.md §7 hard parts); the file-granularity
+    CoW behavior itself is asserted in tests/test_versioned_sink.py."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_merge")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders.filter(F.col("o_orderkey") % 4 < 3), root)
+    src = orders.filter(F.col("o_orderkey") % 4 >= 2).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (2 * F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    V.merge_upsert(src, root, key="o_orderkey")
+    return (
+        V.read(spark, root)
+        .groupBy(
+            F.when(F.col("o_orderkey") % 4 == 2, "updated")
+            .when(F.col("o_orderkey") % 4 == 3, "inserted")
+            .otherwise("kept")
+            .alias("row_class")
+        )
+        .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
     "sink_partitioned_pruning",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,

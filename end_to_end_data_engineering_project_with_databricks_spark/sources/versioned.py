@@ -137,6 +137,93 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     return spark.read.schema(st).parquet(*manifest["files"])
 
 
+def merge_upsert(df: DataFrame, root: str, key: str, max_commit_retries: int = 10) -> int:
+    """Copy-on-write MERGE (upsert) keyed on ``key``: source rows replace
+    same-key table rows, unmatched source rows insert.  Returns the
+    committed version.
+
+    This is the scale fix for the reference's whole-table anti-join
+    (ETL_pipeline_countries.py:137, SURVEY.md §7 hard parts): instead of
+    scanning or rewriting the full table per batch, only *files that
+    contain a matched key* are rewritten (found via ``_metadata.file_path``
+    joined against the batch keys); untouched files carry over into the
+    new manifest by path.  At 100 TB a merge batch touches a vanishing
+    fraction of files, so the rewrite is O(touched files), exactly like
+    Delta's copy-on-write MERGE.
+
+    Concurrency: same optimistic O_EXCL commit as ``append``, but a lost
+    race recomputes the touched set against the new head (the previous
+    attempt's data files become unreferenced orphans, as in Delta).
+    Intra-batch duplicate keys are collapsed with ``dropDuplicates`` —
+    MERGE requires a unique source key to be deterministic.  The batch
+    keys are broadcast: merge batches are incremental by design; a
+    table-sized "merge" should be a rewrite via ``append`` instead."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    spark = df.sparkSession
+    src = df.dropDuplicates([key])
+    if not list_versions(root):
+        return append(src, root)
+
+    for _ in range(max_commit_retries):
+        versions = list_versions(root)
+        head_v = versions[-1]
+        head = _read_manifest(root, head_v)
+        if _schema_key(head["schema"]) != _schema_key(src.schema.json()):
+            raise SchemaMismatchError(
+                f"merge schema {df.schema.simpleString()} does not match "
+                f"table schema at {root}"
+            )
+        st = StructType.fromJson(json.loads(head["schema"]))
+        cols = [f.name for f in st.fields]
+        keys = src.select(key)
+        touched: set[str] = set()
+        if head["files"]:
+            snap = spark.read.schema(st).parquet(*head["files"])
+            paths = (
+                snap.select(F.col(key), F.col("_metadata.file_path").alias("_path"))
+                .join(F.broadcast(keys), key, "left_semi")
+                .select("_path")
+                .distinct()
+                .collect()
+            )
+            # _metadata.file_path is URI-form (file:/... or file:///...);
+            # manifests store plain filesystem paths
+            from urllib.parse import urlparse
+
+            touched = {urlparse(r._path).path for r in paths}
+        survivors = [f for f in head["files"] if f not in touched]
+        rewrite = src.select(*cols)
+        if touched:
+            keep = (
+                spark.read.schema(st)
+                .parquet(*sorted(touched))
+                .join(F.broadcast(keys), key, "left_anti")
+            )
+            rewrite = keep.select(*cols).unionByName(rewrite)
+
+        batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
+        rewrite.write.mode("errorifexists").parquet(batch_dir)
+        new_files = sorted(
+            os.path.join(batch_dir, f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {
+            "version": head_v + 1,
+            "schema": head["schema"],
+            "files": survivors + new_files,
+        }
+        try:
+            with open(_manifest_file(root, head_v + 1), "x") as fh:
+                json.dump(manifest, fh)
+            return head_v + 1
+        except FileExistsError:
+            continue  # lost the race; recompute touched files on the new head
+    raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
 def idempotent_append(
     df: DataFrame, root: str, key: str, intra_batch_dedup: bool = False
 ) -> int:

@@ -55,6 +55,47 @@ def test_uncommitted_data_files_are_invisible(spark, root):
     assert V.read(spark, root).count() == 1  # snapshot isolation
 
 
+def test_merge_upsert_updates_inserts_and_rewrites_only_touched_files(spark, root):
+    # two separate single-file commits -> CoW granularity is deterministic
+    V.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1), root)
+    V.append(_df(spark, [("c", 3), ("d", 4)]).coalesce(1), root)
+    before = set(V._read_manifest(root, 2)["files"])
+    # update 'c' (in commit 2's files) and insert 'e'; commit 1 untouched
+    v = V.merge_upsert(_df(spark, [("c", 30), ("e", 5)]), root, key="k")
+    assert v == 3
+    rows = {r.k: r.n for r in V.read(spark, root).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 30, "d": 4, "e": 5}
+    after = V._read_manifest(root, 3)["files"]
+    kept = [f for f in after if f in before]
+    # commit 1's files survive by path (copy-on-write at file granularity)
+    commit1_files = set(V._read_manifest(root, 1)["files"])
+    assert commit1_files <= set(kept)
+    # commit 2's files (contained matched key 'c') were rewritten
+    commit2_files = set(V._read_manifest(root, 2)["files"]) - commit1_files
+    assert not commit2_files & set(after)
+    # time travel still sees the pre-merge snapshot
+    assert V.read(spark, root, version=2).count() == 4
+
+
+def test_merge_upsert_on_empty_table_and_dup_source(spark, root):
+    # first merge on an empty table is just a commit; intra-batch dup keys collapse
+    V.merge_upsert(_df(spark, [("a", 1), ("a", 2)]), root, key="k")
+    assert V.read(spark, root).count() == 1
+    # merge with no matched keys rewrites nothing, only inserts
+    before = set(V._read_manifest(root, 1)["files"])
+    V.merge_upsert(_df(spark, [("b", 9)]), root, key="k")
+    after = set(V._read_manifest(root, 2)["files"])
+    assert before <= after
+    assert sorted(r.k for r in V.read(spark, root).collect()) == ["a", "b"]
+
+
+def test_merge_upsert_schema_enforcement(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)
+    bad = spark.createDataFrame([("a", 1.5)], "k string, n double")
+    with pytest.raises(V.SchemaMismatchError):
+        V.merge_upsert(bad, root, key="k")
+
+
 def test_idempotent_append_reference_semantics(spark, root):
     first = _df(spark, [("a", 1), ("a", 2), ("b", 3)])  # intra-batch dup on 'a'
     V.idempotent_append(first, root, key="k")
