@@ -309,6 +309,44 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_versioned_delete_compact",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "versioned", "delete", "compact"),
+)
+def sink_versioned_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-maintenance ops on the versioned table: three incremental
+    commits of orders (one per status), a copy-on-write DELETE of the 'F'
+    rows (drops that commit's files from the manifest — no rewrite since
+    the predicate aligns with commit boundaries), then OPTIMIZE-style
+    compaction of the remaining small files.  The final aggregate proves
+    both ops preserve exactly the non-deleted data."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_delete_compact")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    for status in ("F", "O", "P"):
+        V.append(orders.filter(F.col("o_orderstatus") == status), root)
+    V.delete_where(spark, root, "o_orderstatus = 'F'")
+    V.compact(spark, root)
+    return (
+        V.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
     "sink_partitioned_pruning",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,

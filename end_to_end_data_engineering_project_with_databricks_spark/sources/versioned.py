@@ -224,6 +224,133 @@ def merge_upsert(df: DataFrame, root: str, key: str, max_commit_retries: int = 1
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
 
 
+def delete_where(
+    spark: SparkSession, root: str, predicate, max_commit_retries: int = 10
+) -> int:
+    """Copy-on-write DELETE: remove rows matching ``predicate`` (a SQL
+    string or Column); returns the committed version.
+
+    Same file-granularity CoW as :func:`merge_upsert` — only files that
+    contain at least one matching row are rewritten (with the non-matching
+    remainder); every other file carries over by path.  Rows where the
+    predicate is NULL are kept, matching SQL DELETE semantics.  A file
+    whose rows all match simply drops out of the manifest (no rewrite)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    for _ in range(max_commit_retries):
+        versions = list_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {root}")
+        head_v = versions[-1]
+        head = _read_manifest(root, head_v)
+        st = StructType.fromJson(json.loads(head["schema"]))
+        cols = [f.name for f in st.fields]
+        touched: set[str] = set()
+        if head["files"]:
+            from urllib.parse import urlparse
+
+            snap = spark.read.schema(st).parquet(*head["files"])
+            paths = (
+                snap.filter(pred)
+                .select(F.col("_metadata.file_path").alias("_path"))
+                .distinct()
+                .collect()
+            )
+            touched = {urlparse(r._path).path for r in paths}
+        survivors = [f for f in head["files"] if f not in touched]
+        new_files: list[str] = []
+        if touched:
+            remainder = (
+                spark.read.schema(st)
+                .parquet(*sorted(touched))
+                .filter(~F.coalesce(pred, F.lit(False)))
+                .select(*cols)
+            )
+            if not remainder.isEmpty():
+                batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
+                remainder.write.mode("errorifexists").parquet(batch_dir)
+                new_files = sorted(
+                    os.path.join(batch_dir, f)
+                    for f in os.listdir(batch_dir)
+                    if f.endswith(".parquet")
+                )
+        manifest = {
+            "version": head_v + 1,
+            "schema": head["schema"],
+            "files": survivors + new_files,
+        }
+        try:
+            with open(_manifest_file(root, head_v + 1), "x") as fh:
+                json.dump(manifest, fh)
+            return head_v + 1
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_commit_retries: int = 10,
+) -> int:
+    """Bin-pack small files (Delta OPTIMIZE): rewrite every live file
+    smaller than ``small_file_bytes`` into ~``target_file_bytes`` files;
+    data is unchanged, only the file layout.  Returns the committed
+    version (the current head if fewer than two small files exist — a
+    no-op needs no commit).
+
+    Incremental-ingest tables accumulate one small file group per commit;
+    at 100 TB that is death by a million 1 MB scans (per-file open cost,
+    tiny row groups, no effective column-chunk compression).  Compaction
+    is the standing maintenance op that keeps scan parallelism matched to
+    data size rather than commit history."""
+    from pyspark.sql.types import StructType
+
+    for _ in range(max_commit_retries):
+        versions = list_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {root}")
+        head_v = versions[-1]
+        head = _read_manifest(root, head_v)
+        sizes = {f: os.path.getsize(f) for f in head["files"]}
+        small = [f for f, s in sizes.items() if s < small_file_bytes]
+        if len(small) < 2:
+            return head_v
+        st = StructType.fromJson(json.loads(head["schema"]))
+        total = sum(sizes[f] for f in small)
+        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
+        (
+            spark.read.schema(st)
+            .parquet(*sorted(small))
+            .coalesce(n_out)
+            .write.mode("errorifexists")
+            .parquet(batch_dir)
+        )
+        new_files = sorted(
+            os.path.join(batch_dir, f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        keep = [f for f in head["files"] if f not in set(small)]
+        manifest = {
+            "version": head_v + 1,
+            "schema": head["schema"],
+            "files": keep + new_files,
+        }
+        try:
+            with open(_manifest_file(root, head_v + 1), "x") as fh:
+                json.dump(manifest, fh)
+            return head_v + 1
+        except FileExistsError:
+            continue
+    raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
 def idempotent_append(
     df: DataFrame, root: str, key: str, intra_batch_dedup: bool = False
 ) -> int:

@@ -96,6 +96,48 @@ def test_merge_upsert_schema_enforcement(spark, root):
         V.merge_upsert(bad, root, key="k")
 
 
+def test_delete_where_rewrites_only_touched_files(spark, root):
+    V.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1), root)
+    V.append(_df(spark, [("c", 3), ("d", 4)]).coalesce(1), root)
+    v = V.delete_where(spark, root, "n = 3")
+    assert v == 3
+    rows = {r.k: r.n for r in V.read(spark, root).collect()}
+    assert rows == {"a": 1, "b": 2, "d": 4}
+    # commit 1's file untouched; commit 2's file rewritten without 'c'
+    commit1 = set(V._read_manifest(root, 1)["files"])
+    after = set(V._read_manifest(root, 3)["files"])
+    assert commit1 <= after
+    assert not (set(V._read_manifest(root, 2)["files"]) - commit1) & after
+    # deleting every row of a file drops it with no rewrite
+    V.delete_where(spark, root, "k IN ('a', 'b')")
+    assert {r.k for r in V.read(spark, root).collect()} == {"d"}
+    # pre-delete snapshots still readable
+    assert V.read(spark, root, version=2).count() == 4
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, root):
+    df = spark.createDataFrame([("a", 1), ("b", None)], "k string, n int")
+    V.append(df, root)
+    V.delete_where(spark, root, "n < 0")  # NULL predicate -> keep, like SQL DELETE
+    assert V.read(spark, root).count() == 2
+
+
+def test_compact_binpacks_small_files_without_changing_data(spark, root):
+    for i in range(5):
+        V.append(_df(spark, [(f"k{i}", i)]).coalesce(1), root)
+    assert len(V._read_manifest(root, 5)["files"]) == 5
+    v = V.compact(spark, root)
+    assert v == 6
+    files = V._read_manifest(root, 6)["files"]
+    assert len(files) == 1  # tiny files -> one output file
+    rows = {r.k: r.n for r in V.read(spark, root).collect()}
+    assert rows == {f"k{i}": i for i in range(5)}
+    # idempotent: a second compact is a no-op and commits nothing
+    assert V.compact(spark, root) == 6
+    # pre-compaction snapshot unchanged
+    assert V.read(spark, root, version=5).count() == 5
+
+
 def test_idempotent_append_reference_semantics(spark, root):
     first = _df(spark, [("a", 1), ("a", 2), ("b", 3)])  # intra-batch dup on 'a'
     V.idempotent_append(first, root, key="k")
