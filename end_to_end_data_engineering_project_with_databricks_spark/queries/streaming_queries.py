@@ -21,6 +21,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.streaming.statefu
     running_user_totals,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
+    click_purchase_stream_join,
     dedup_within_watermark,
     events_stream,
     run_to_memory,
@@ -137,6 +138,30 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor) for the same reason."""
     stream = events_stream(spark, sf_dir)
     return run_to_memory(session_windows(stream), output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks matched to the same
+    user's purchases within 1 hour after the click.  The two-sided
+    event-time bound plus watermarks make the join state evictable
+    (bounded memory at 100 TB/day stream rates); inner matches emit
+    immediately, so the availableNow run equals the batch time-range
+    join the oracle computes."""
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(click_purchase_stream_join(stream), output_mode="append")
 
 
 @query(

@@ -109,6 +109,52 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def click_purchase_stream_join(stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    purchases within ``horizon`` after it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in both directions, so the state store can evict: a buffered click
+    older than (watermark - horizon) can never match a future purchase
+    and is dropped — without the time bound, stream-stream join state
+    grows forever.  Inner-join matches emit as soon as both sides arrive
+    (no watermark wait), so the completed availableNow run equals the
+    batch join."""
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias(
+            "gap_sec"
+        ),
+    )
+
+
 def dedup_within_watermark(stream: DataFrame, keys: list[str], watermark: str) -> DataFrame:
     """Streaming key-dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` evicts seen-keys older than the
