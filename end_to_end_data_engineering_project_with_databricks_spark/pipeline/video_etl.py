@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
 from typing import Protocol
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,47 +65,12 @@ class SearchSource(Protocol):
     def fetch(self, keyword: str, max_results: int) -> dict: ...
 
 
-@dataclass
-class SyntheticVideoSource:
-    """Deterministic, network-free stand-in for the YouTube API.
-
-    Emits a payload with the exact nested shape the reference consumes
-    (fields used at ETL_pipeline_countries.py:101-110; FIXTURES.md §B).
-    ``overlap`` video ids are shared across keywords so anti-join-dedup
-    paths are exercisable.
-    """
-
-    seed: int = 42
-    overlap: int = 0
-
-    def fetch(self, keyword: str, max_results: int) -> dict:
-        items = []
-        for i in range(max_results):
-            if i < self.overlap:
-                vid = f"vid-shared-{self.seed}-{i:04d}"
-            else:
-                vid = f"vid-{keyword}-{self.seed}-{i:04d}"
-            items.append(
-                {
-                    "kind": "youtube#searchResult",
-                    "etag": f"item-etag-{i}",
-                    "id": {"kind": "youtube#video", "videoId": vid},
-                    "snippet": {
-                        "publishedAt": f"2024-05-{(i % 28) + 1:02d}T12:34:56Z",
-                        "title": f"{keyword} video {i}",
-                        "description": f"About {keyword} #{i}",
-                        "channelTitle": f"channel-{i % 7}",
-                    },
-                }
-            )
-        return {
-            "kind": "youtube#searchListResponse",
-            "etag": f"etag-{keyword}-{self.seed}",
-            "nextPageToken": "CAUQAA",
-            "regionCode": "US",
-            "pageInfo": {"totalResults": 1_000_000, "resultsPerPage": max_results},
-            "items": items,
-        }
+# SyntheticVideoSource lives in sources/video_datasource.py (the Python
+# Data Source module is pickled by value to executors and must be
+# self-contained); re-exported here for the pipeline-facing API.
+from end_to_end_data_engineering_project_with_databricks_spark.sources.video_datasource import (  # noqa: E402
+    SyntheticVideoSource,
+)
 
 
 class RestVideoSource:

@@ -309,6 +309,49 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_python_datasource",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('Brazil',  40, 40, 7, TIMESTAMP '2024-05-01 12:34:56', TIMESTAMP '2024-05-28 12:34:56'),
+      ('Germany', 40, 40, 7, TIMESTAMP '2024-05-01 12:34:56', TIMESTAMP '2024-05-28 12:34:56'),
+      ('Japan',   40, 40, 7, TIMESTAMP '2024-05-01 12:34:56', TIMESTAMP '2024-05-28 12:34:56')
+    ) AS t(keyword, n_videos, n_distinct_ids, n_channels,
+           first_published, last_published)
+    """,
+    tags=("source", "datasource", "python"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source as the extract stage
+    (sources/video_datasource.py): ``format("video_search")`` with one
+    input partition per keyword, so the fetch runs on executors — the
+    distributed form of the reference's driver-side REST call
+    (ETL_pipeline_countries.py:42-49).  The synthetic payload is
+    deterministic, so the per-keyword aggregate is known in closed form
+    and the oracle is a literal VALUES table — an exact end-to-end check
+    of the connector's schema, option handling, partitioning, and
+    timestamp conversion."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.video_datasource import (
+        VideoSearchDataSource,
+    )
+
+    spark.dataSource.register(VideoSearchDataSource)
+    df = (
+        spark.read.format("video_search")
+        .option("keywords", "Germany,Japan,Brazil")
+        .option("maxResults", 40)
+        .option("overlap", 5)
+        .load()
+    )
+    return df.groupBy("keyword").agg(
+        F.count("*").alias("n_videos"),
+        F.count_distinct("videoId").alias("n_distinct_ids"),
+        F.count_distinct("channelTitle").alias("n_channels"),
+        F.min("publishedAt").alias("first_published"),
+        F.max("publishedAt").alias("last_published"),
+    )
+
+
+@query(
     "sink_versioned_delete_compact",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
