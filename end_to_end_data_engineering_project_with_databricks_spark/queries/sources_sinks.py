@@ -352,6 +352,69 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_python_datasource_stream",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('France', 32, 32, 7, TIMESTAMP '2024-05-01 12:34:56', TIMESTAMP '2024-05-28 12:34:56'),
+      ('India',  32, 32, 7, TIMESTAMP '2024-05-01 12:34:56', TIMESTAMP '2024-05-28 12:34:56')
+    ) AS t(keyword, n_videos, n_distinct_ids, n_channels,
+           first_published, last_published)
+    """,
+    tags=("source", "datasource", "python", "streaming"),
+)
+def source_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python Data Source with pagination: the nextPageToken
+    chain the reference stores but never follows
+    (ETL_pipeline_countries.py:104) becomes a rate-limited streaming
+    source — one page per keyword per micro-batch, fetched on executors.
+    The stream runs under a processingTime trigger until all 4 pages x 2
+    keywords are drained (4 genuine incremental micro-batches with
+    offset tracking), then the materialized sink is aggregated against a
+    closed-form VALUES oracle."""
+    import time
+    import uuid as _uuid
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.video_datasource import (
+        VideoSearchDataSource,
+    )
+
+    spark.dataSource.register(VideoSearchDataSource)
+    stream = (
+        spark.readStream.format("video_search")
+        .option("keywords", "France,India")
+        .option("pageSize", 8)
+        .option("pages", 4)
+        .option("overlap", 3)
+        .load()
+    )
+    name = f"vds_stream_{_uuid.uuid4().hex[:12]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    expected = 2 * 4 * 8
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table(name).count() < expected:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("keyword")
+        .agg(
+            F.count("*").alias("n_videos"),
+            F.count_distinct("videoId").alias("n_distinct_ids"),
+            F.count_distinct("channelTitle").alias("n_channels"),
+            F.min("publishedAt").alias("first_published"),
+            F.max("publishedAt").alias("last_published"),
+        )
+    )
+
+
+@query(
     "sink_versioned_delete_compact",
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -32,7 +32,12 @@ from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 @dataclass
@@ -52,6 +57,16 @@ class SyntheticVideoSource:
 
     seed: int = 42
     overlap: int = 0
+
+    def fetch_page(self, keyword: str, page_size: int, page: int) -> dict:
+        """One page of results (items ``page*page_size`` onward), with a
+        real ``nextPageToken`` chain — the pagination the reference
+        stores but never follows (ETL_pipeline_countries.py:104,
+        SURVEY.md §2.1 fine print)."""
+        payload = self.fetch(keyword, (page + 1) * page_size)
+        payload["items"] = payload["items"][page * page_size :]
+        payload["nextPageToken"] = f"page-{page + 1}"
+        return payload
 
     def fetch(self, keyword: str, max_results: int) -> dict:
         items = []
@@ -90,14 +105,16 @@ VIDEO_SEARCH_SCHEMA = (
 
 
 class VideoSearchDataSource(DataSource):
-    """``format("video_search")`` batch source; options:
+    """``format("video_search")`` batch + streaming source; options:
 
     - ``keywords``: comma-separated search keywords (one input partition
       each — this is the parallelism unit);
     - ``maxResults``: rows per keyword (default 50, the reference's cap);
     - ``seed`` / ``overlap``: forwarded to the synthetic payload
       generator (``overlap`` ids repeat across keywords so downstream
-      anti-join dedup has work to do).
+      anti-join dedup has work to do);
+    - streaming only: ``pageSize`` (rows per page per micro-batch,
+      default 10) and ``pages`` (total pages available, default 5).
     """
 
     @classmethod
@@ -109,6 +126,9 @@ class VideoSearchDataSource(DataSource):
 
     def reader(self, schema) -> "VideoSearchReader":
         return VideoSearchReader(self.options)
+
+    def streamReader(self, schema) -> "VideoSearchStreamReader":
+        return VideoSearchStreamReader(self.options)
 
 
 class VideoSearchReader(DataSourceReader):
@@ -150,6 +170,74 @@ class VideoSearchReader(DataSourceReader):
             )
 
 
+class VideoSearchStreamReader(DataSourceStreamReader):
+    """Paginated streaming reader: offset = pages consumed; each
+    micro-batch fetches the NEXT page for every keyword (the
+    ``nextPageToken`` chain the reference stores but never follows),
+    with one :class:`InputPartition` per (keyword, page) so fetches
+    still fan out across executors within a batch.
+
+    ``latestOffset`` advances one page per trigger up to ``pages`` — a
+    rate-limited source (maxFilesPerTrigger-style): a processingTime
+    trigger drains exactly one page per micro-batch, giving real
+    multi-batch incremental execution with offset tracking across
+    batches.  (availableNow snapshots latestOffset once at start, so it
+    consumes a single page — use a processingTime trigger and stop when
+    caught up to drain the source.)"""
+
+    def __init__(self, options: dict) -> None:
+        raw = options.get("keywords", "")
+        self.keywords = [k.strip() for k in raw.split(",") if k.strip()]
+        if not self.keywords:
+            raise ValueError("video_search requires a non-empty 'keywords' option")
+        self.page_size = int(options.get("pagesize", 10))
+        self.pages = int(options.get("pages", 5))
+        self.seed = int(options.get("seed", 42))
+        self.overlap = int(options.get("overlap", 0))
+        self._served = 0
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        if self._served < self.pages:
+            self._served += 1
+        return {"page": self._served}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        return [
+            InputPartition((kw, page))
+            for page in range(start["page"], end["page"])
+            for kw in self.keywords
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        keyword, page = partition.value
+        payload = SyntheticVideoSource(seed=self.seed, overlap=self.overlap).fetch_page(
+            keyword, self.page_size, page
+        )
+        etag = payload["etag"]
+        next_token = payload["nextPageToken"]
+        for item in payload["items"]:
+            sn = item["snippet"]
+            published = datetime.strptime(
+                sn["publishedAt"], "%Y-%m-%dT%H:%M:%SZ"
+            ).replace(tzinfo=timezone.utc)
+            yield (
+                keyword,
+                etag,
+                next_token,
+                item["id"]["videoId"],
+                sn["title"],
+                sn["description"],
+                sn["channelTitle"],
+                published,
+            )
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up; offsets are deterministic
+
+
 # Ship this module to executors BY VALUE: the engine is a repo-local
 # package that is not necessarily on executor Python workers' sys.path
 # (e.g. when the driver script lives elsewhere and prepends the repo
@@ -163,5 +251,6 @@ __all__ = [
     "SyntheticVideoSource",
     "VideoSearchDataSource",
     "VideoSearchReader",
+    "VideoSearchStreamReader",
     "VIDEO_SEARCH_SCHEMA",
 ]

@@ -52,3 +52,39 @@ def test_schema_and_timestamp_conversion(spark, source_df):
 def test_missing_keywords_option_fails(spark, source_df):
     with pytest.raises(Exception, match="keywords"):
         source_df("").count()
+
+
+def test_stream_reader_one_page_per_microbatch(spark):
+    import time
+    import uuid
+
+    spark.dataSource.register(VideoSearchDataSource)
+    stream = (
+        spark.readStream.format("video_search")
+        .option("keywords", "p,q")
+        .option("pageSize", 5)
+        .option("pages", 3)
+        .load()
+    )
+    name = f"vds_test_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 2 * 3 * 5:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+    assert spark.table(name).count() == 30
+    # rate limiting: each data-carrying micro-batch consumed exactly one
+    # page per keyword (2 keywords x 5 rows)
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3
+    assert all(p["numInputRows"] == 10 for p in data_batches)
+    # videoIds across pages are a contiguous, non-overlapping sequence
+    ids = sorted(r.videoId for r in spark.table(name).filter("keyword = 'p'").collect())
+    assert ids == [f"vid-p-42-{i:04d}" for i in range(15)]
