@@ -1,0 +1,127 @@
+"""Modern Spark 4 SQL surface: recursive CTEs, the VARIANT type for
+semi-structured data, and parameterized SQL.
+
+The reference's analyst entry point is raw SQL over the gold table
+(README.md:250-258); these queries extend that surface with the Spark 4
+SQL features a current warehouse user expects.  All three run through
+``spark.sql`` — the same entry point the reference's SQL warehouse uses —
+and all are DuckDB-oracle-checked (DuckDB shares WITH RECURSIVE and JSON
+extraction semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+    load_table,
+)
+
+
+def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+@query(
+    "sql_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-12-01'
+    )
+    SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+    FROM months
+    LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+    tags=("sql", "recursive-cte", "join"),
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4) building a month spine, left-joined to
+    order counts — the gap-filling time-series pattern: months with no
+    orders appear with a zero count instead of vanishing, which a plain
+    GROUP BY over the fact table cannot produce.  The spine is 84 rows
+    (driver-trivial recursion) and broadcasts into the fact-side join;
+    the month-truncated join key prunes to one aggregate-sized shuffle."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months
+          WHERE m < TIMESTAMP '2001-12-01'
+        )
+        SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )
+
+
+@query(
+    "sql_variant_extraction",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("sql", "variant", "json", "agg"),
+)
+def sql_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4's semi-structured type): ``parse_json`` the
+    events.props payload once into a variant column, then typed
+    ``variant_get`` extraction feeding a grouped aggregate.  Unlike
+    ``get_json_object`` (string re-parse per access), variant parses
+    once into a binary-encoded form and every extraction is a cheap
+    typed path read — the right shape when many fields are pulled from
+    the same payload at 100 TB."""
+    _register(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT event_type, parse_json(props) AS pv FROM events
+        )
+        SELECT event_type,
+               SUM(variant_get(pv, '$.k', 'long')) AS k_sum,
+               MIN(variant_get(pv, '$.k', 'long')) AS k_min,
+               MAX(variant_get(pv, '$.k', 'long')) AS k_max
+        FROM v
+        GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_acctbal >= 5000.0 AND c_mktsegment <> 'MACHINERY'
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "parameterized"),
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers): the injection-safe
+    form of the reference's ad-hoc analyst SQL.  Parameters are bound as
+    literals by the parser — they reach Catalyst as foldable constants,
+    so pushdown/pruning behave exactly as with inline literals."""
+    _register(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_customers
+        FROM customer
+        WHERE c_acctbal >= :min_bal AND c_mktsegment <> :excluded
+        GROUP BY c_mktsegment
+        """,
+        args={"min_bal": 5000.0, "excluded": "MACHINERY"},
+    )
