@@ -101,6 +101,72 @@ def sql_variant_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_listagg_nations",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("sql", "agg", "listagg"),
+)
+def sql_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG (Spark 4) with WITHIN GROUP ordering: nations of each
+    region as one ordered comma-joined string.  The deterministic ORDER
+    BY inside the aggregate is what makes the result (and its oracle
+    hash) stable — an unordered listagg would be partitioning-dependent."""
+    _register(spark, sf_dir, "region", "nation")
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )
+
+
+@query(
+    "sql_lateral_topk_per_group",
+    oracle="""
+    SELECT r.r_name, x.n_name, x.n_customers
+    FROM region r,
+    LATERAL (
+      SELECT n.n_name, COUNT(*) AS n_customers
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = r.r_regionkey
+      GROUP BY n.n_name
+      ORDER BY n_customers DESC, n.n_name
+      LIMIT 2
+    ) x
+    """,
+    tags=("sql", "lateral", "topk", "subquery"),
+)
+def sql_lateral_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: the two most-represented nations per
+    region — top-k-per-group written as a per-row subquery instead of a
+    window.  Catalyst decorrelates the lateral into a join + per-group
+    ranking (no per-region re-execution), so the declarative form costs
+    one shuffle like the ``row_number() <= k`` rewrite; the ORDER BY
+    tiebreak on n_name keeps the result deterministic."""
+    _register(spark, sf_dir, "region", "nation", "customer")
+    return spark.sql(
+        """
+        SELECT r.r_name, x.n_name, x.n_customers
+        FROM region r,
+        LATERAL (
+          SELECT n.n_name, COUNT(*) AS n_customers
+          FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_customers DESC, n.n_name
+          LIMIT 2
+        ) x
+        """
+    )
+
+
+@query(
     "sql_parameterized",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers
