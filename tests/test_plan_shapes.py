@@ -80,3 +80,39 @@ def test_candidate_joins_are_equi_not_cross(spark, sf_dir, name):
     assert not has_cartesian(_df(spark, sf_dir, name)), (
         f"{name} degraded to a cross/NL join"
     )
+
+
+def test_q9_broadcasts_dims_and_shuffles_only_the_fact_join(spark, sf_dir):
+    df = _df(spark, sf_dir, "q9_product_profit")
+    kinds = join_kinds(df)
+    # part/supplier/nation broadcast; lineitem-orders is the one
+    # permitted non-broadcast (big-big) join
+    assert kinds.count("BroadcastHashJoin") >= 3
+    assert not has_cartesian(df)
+
+
+def test_q2_decorrelates_min_subquery_into_one_fact_shuffle(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "q2_min_cost_supplier"))
+    # the correlated MIN must be a window over the derived relation,
+    # not a re-executed subquery join against lineitem
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 not a global sort
+
+
+def test_q16_not_in_compiles_to_anti_join(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "q16_supplier_count"))
+    assert "LeftAnti" in plan, plan
+
+
+def test_lateral_topk_decorrelates_no_cartesian(spark, sf_dir):
+    df = _df(spark, sf_dir, "sql_lateral_topk_per_group")
+    # Catalyst must decorrelate the LATERAL into joins, not per-row
+    # re-execution or a cartesian domain join
+    assert not has_cartesian(df)
+
+
+def test_minhash_verify_reads_only_candidate_docs(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "dedup_minhash_lsh"))
+    # the semi-filter before Jaccard verification must survive: without
+    # it the whole corpus is re-shingled twice
+    assert "LeftSemi" in plan, plan
