@@ -269,3 +269,61 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_copies") - F.count("*")).cast("long").alias("n_dups_removed"),
         davg("n_tokens").alias("avg_tokens"),
     )
+
+
+@query(
+    "text_tfidf_distinctive_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+             CAST(tf.tf AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (token)
+      WHERE tf.doc_id < 50
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, token
+             ) AS BIGINT) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, score, rnk FROM ranked WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "window", "topk"),
+)
+def text_tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style distinctive terms: top-3 terms per document scored by
+    tf/df.  The score is a single IEEE double division (no logarithm),
+    so it is bit-identical across engines — ln-based IDF would differ in
+    the last ulp between libm implementations and break the value hash;
+    the tf/df ratio preserves the exact same ranking for this use.
+
+    Scale: document frequency must aggregate the FULL corpus while
+    scoring is restricted to the query docs — the doc_id filter pushes
+    through the tf aggregation (it is a grouping key) so only the df
+    branch pays a full-corpus shuffle, and the tf-df join shuffles on
+    token (never broadcast: vocabulary grows with corpus size)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(df_t, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
