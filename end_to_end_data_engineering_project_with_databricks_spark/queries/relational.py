@@ -339,6 +339,35 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_hll_sketch_union",
+    oracle=None,  # DataSketches HLL binary is engine-specific; rows-only
+    tags=("agg", "approx", "sketch"),
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (hll_sketch_agg / hll_union_agg): distinct
+    customers per order priority, plus an 'ALL' row computed by MERGING
+    the per-group sketches — not by re-scanning the data.  Mergeability
+    is the property that matters at 100 TB: partial sketches roll up
+    across partitions, time windows, or rollup levels (cf.
+    events_hierarchical_rollup) with fixed-size state, where exact
+    COUNT(DISTINCT) would need the full key set at every level.  The
+    companion test bounds relative error against exact counts."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH per_prio AS (
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk
+          FROM orders GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority, hll_sketch_estimate(sk) AS approx_customers
+        FROM per_prio
+        UNION ALL
+        SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk)) FROM per_prio
+        """
+    )
+
+
+@query(
     "agg_rollup_year_status",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,

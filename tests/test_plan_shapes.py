@@ -116,3 +116,27 @@ def test_minhash_verify_reads_only_candidate_docs(spark, sf_dir):
     # the semi-filter before Jaccard verification must survive: without
     # it the whole corpus is re-shingled twice
     assert "LeftSemi" in plan, plan
+
+
+def test_hll_sketch_estimates_within_error_bound(spark, sf_dir):
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    est = {
+        r.o_orderpriority: r.approx_customers
+        for r in _df(spark, sf_dir, "agg_hll_sketch_union").collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
