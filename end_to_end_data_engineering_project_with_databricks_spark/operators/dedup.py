@@ -210,44 +210,44 @@ def minhash_lsh_dedup(
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
 
 
-def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash over whitespace tokens, fully expression-based:
-    for each bit b, sum +1/-1 according to bit b of xxhash64(token); the
-    fingerprint sets bit b if the sum is positive.
+def simhash64(hashes_col: Column | str) -> Column:
+    """64-bit SimHash from a pre-computed token-hash array: for each bit
+    b, sum +1/-1 according to bit b of the hash; the fingerprint sets
+    bit b if the sum is positive.
 
-    Uses ``aggregate`` over the token array with a 64-slot counter array —
-    one pass per row, no explode, no UDF."""
-    toks = tokens(text_col)
+    Takes the HASH array, not the text: the caller materializes
+    ``transform(tokens(text), xxhash64)`` in its own projection first
+    (see :func:`simhash_near_dups`), so each token is hashed exactly
+    once.  Each bit is then an independent ``aggregate`` with a SCALAR
+    long accumulator over that array.  The earlier formulation
+    (one pass with a 64-slot counter array, ``zip_with`` + 64-element
+    array literal per token) allocated two arrays per token per row in
+    the interpreted higher-order-function path and OOM-killed executors
+    on a default-sized (1 GiB) heap; 64 scalar folds do the same work
+    with zero per-element allocation and run in bounded memory
+    regardless of session sizing."""
+    h = F.col(hashes_col) if isinstance(hashes_col, str) else hashes_col
+
     # bit positions are unrolled as Python ints (shiftright/shiftleft take
-    # literal shift counts, not Columns)
-    counters = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for b in range(64)
-                ]
-            ),
-            lambda a, x: a + x,
-        ),
-    )
-    bit_values = F.array(
-        *[
-            F.when(
-                F.element_at(counters, b + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), b),
-            ).otherwise(F.lit(0).cast("long"))
-            for b in range(64)
-        ]
-    )
-    return F.aggregate(
-        bit_values, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x)
-    )
+    # literal shift counts, not Columns); a factory closes over b because
+    # pyspark dispatches higher-order lambdas on their exact arity
+    def _bit_counter(b: int) -> Column:
+        return F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(t, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    counters = [_bit_counter(b) for b in range(64)]
+    fp = F.lit(0).cast("long")
+    for b, c in enumerate(counters):
+        fp = fp.bitwiseOR(
+            F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return fp
 
 
 def simhash_near_dups(
@@ -258,9 +258,18 @@ def simhash_near_dups(
     Blocking: split the 64-bit fingerprint into 4 16-bit bands; by
     pigeonhole any pair within Hamming distance 3 agrees on at least one
     band, so candidates come from an equi-join on (band, band_value) —
-    never a cross join.  Exact distance check via bit_count(xor)."""
+    never a cross join.  Exact distance check via bit_count(xor).
+
+    Token hashes are materialized in their own projection before the
+    64-bit fold: the hash array is referenced 64 times by simhash64, and
+    a separate projection step stops CollapseProject from inlining (and
+    recomputing) the tokenize+hash per bit."""
     # 64 per-token bit tests per row: compute-bound, not byte-bound
-    fp = scale_out(df).select(F.col(id_col).alias("_id"), simhash64(text_col).alias("fp"))
+    hashed = scale_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    fp = hashed.select("_id", simhash64("_th").alias("fp"))
     bands = F.array(
         *[
             F.struct(
