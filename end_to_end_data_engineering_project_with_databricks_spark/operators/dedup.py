@@ -115,8 +115,10 @@ def lsh_candidate_pairs(
     The pair join is an equi-join on (band_index, band_hash) — shuffled
     on the band key, never a cross join.  Skew guard: a degenerate band
     (e.g. the empty-document signature) would create a quadratic bucket;
-    bucket membership is deduped and the join key includes the band index
-    so AQE's skew-join split can kick in at scale.
+    the join key includes the band index so AQE's skew-join split can
+    kick in at scale.  Each document emits exactly one (band, hash) per
+    band index, so bucket rows are distinct by construction — no dedup
+    shuffle before the join.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
     band_structs = F.array(
@@ -130,11 +132,9 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = (
-        signatures.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("b"))
-        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-        .dropDuplicates(["_id", "band", "bh"])
-    )
+    buckets = signatures.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
     return (
