@@ -210,6 +210,62 @@ def minhash_lsh_dedup(
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: iterative
+    min-label propagation until fixpoint.  Returns (node, component)
+    where component is the minimum node id reachable from ``node``.
+
+    This is the step every production dedup pipeline needs after
+    candidate pairs: near-duplication is transitive in intent (A~B, B~C
+    -> one cluster) but pairwise in measurement, so keep-one-per-cluster
+    requires the transitive closure.  Each iteration is one join + one
+    min-aggregate (two key shuffles); iterations = graph diameter, and
+    near-dup graphs are shallow (clusters are cliques-ish), so 2-4
+    rounds typically converge.  Each round's labels are materialized
+    with ``localCheckpoint`` — iterative DataFrames MUST truncate
+    lineage, since the label plan references itself and doubles per
+    round (exponential analysis cost by ~iteration 20 otherwise); the
+    checkpoint makes every round's plan O(1).  The loop exits on a
+    driver-side converged check — the standard Spark shape for
+    iterative algorithms (same skeleton as large-star/small-star at
+    planetary scale).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels, sym.src == labels.node
+        ).select(F.col("dst").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "old"), "node"
+            )
+            .filter(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(hashes_col: Column | str) -> Column:
     """64-bit SimHash from a pre-computed token-hash array: for each bit
     b, sum +1/-1 according to bit b of the hash; the fingerprint sets

@@ -18,6 +18,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors
     sql_cosine,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_dedup,
     shingles,
@@ -198,3 +199,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit blocking (pigeonhole-complete for d<=3)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 1000
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT p.id_a, p.id_b FROM p0 p
+      JOIN counts ca ON p.id_a = ca.doc_id
+      JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.02
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS cluster_size
+    FROM comp
+    """,
+    tags=("dedup", "iterative", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup clustering: exact 3-shingle Jaccard pairs
+    (>= 0.02, doc_id < 1000) as the edge set, then iterative min-label
+    propagation (operators/dedup.connected_components) to the fixpoint —
+    the step that turns pairwise near-dup measurements into
+    keep-one-per-cluster groups (A~B, B~C -> one cluster even when A~C
+    was never measured).  The Spark side is a driver-bounded loop of
+    join + min-aggregate rounds (iterations = graph diameter); the
+    oracle is DuckDB's recursive CTE computing the same closure — the
+    one query pairing an iterative DataFrame algorithm with a recursive
+    SQL oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(counts.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+        .join(counts.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.02
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    from pyspark.sql.window import Window
+
+    return comp.withColumn(
+        "cluster_size",
+        F.count("*").over(Window.partitionBy("component")).cast("long"),
+    )
