@@ -36,7 +36,17 @@ def brute_force_topk(
     """Exact cosine top-k per query vector.
 
     Returns (query_id, neighbor_id, score, rank), rank 1..k, self-match
-    excluded, ties broken on neighbor_id for determinism."""
+    excluded, ties broken on neighbor_id for determinism.
+
+    Two-phase top-k: scoring happens JVM-side (bit-exact fold,
+    functions/vectors.py), then a NARROW per-partition top-k
+    pre-reduction via ``mapInPandas`` — pure row SELECTION, no float
+    math, so exactness is untouched — cuts the |corpus| x |queries|
+    scored rows down to (partitions x queries x k) candidates before
+    the only shuffle; the final window ranks that tiny set.  Without
+    the pre-reduction the full scored relation shuffles into
+    |queries| partitions — at 100 TB that is the whole corpus funneled
+    through a handful of reducers."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -52,9 +62,25 @@ def brute_force_topk(
             cosine_similarity("q_vec", "c_vec").alias("score"),
         )
     )
+
+    def _local_topk(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf))
+            cand = cand.sort_values(
+                ["query_id", "score", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            best = cand.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    candidates = scored.mapInPandas(_local_topk, schema=scored.schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        candidates.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
 
