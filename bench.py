@@ -52,10 +52,13 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer reads — not billed to any query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    # best of 3: run 1 pays whole-stage-codegen compilation, and a shared
+    # host can inject multi-second noise into any single run — the min of
+    # three is a far more stable steady-state estimate than min of two
     timings: dict[str, float] = {}
     for spec in specs:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
