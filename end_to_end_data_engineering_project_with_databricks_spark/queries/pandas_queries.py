@@ -118,3 +118,82 @@ def udtf_char_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 5
         """
     )
+
+
+@query(
+    "pandas_cogroup_asof",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.es AS purchase_sec, p.purchase_id,
+           c.es AS click_sec, c.click_id,
+           p.es - c.es AS gap_sec
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND c.es <= p.es
+    """,
+    tags=("pandas-udf", "cogroup", "asof"),
+)
+def pandas_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-grouped applyInPandas (``groupBy().cogroup()``): purchases and
+    clicks are shuffled by user_id ONCE each and handed to Python as
+    aligned per-user Arrow batch pairs; ``pandas.merge_asof`` does the
+    backward as-of match inside each pair.  The cogroup primitive is the
+    idiomatic escape hatch for per-key algorithms over TWO relations
+    (the single-relation forms are applyInPandas/mapInPandas); semantics
+    and oracle are identical to events_asof_purchase_click, which solves
+    the same problem JVM-side with a union + running last() — the pair
+    documents the trade: cogroup costs Arrow transfer but opens the full
+    pandas toolbox per key."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    es = F.col("ts").cast("timestamp").cast("long")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", es.alias("es"), F.col("event_id").alias("purchase_id")
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", es.alias("es"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+
+    def merge(purchases_pdf: pd.DataFrame, clicks_pdf: pd.DataFrame) -> pd.DataFrame:
+        if purchases_pdf.empty:
+            return pd.DataFrame(
+                columns=[
+                    "user_id", "purchase_sec", "purchase_id",
+                    "click_sec", "click_id", "gap_sec",
+                ]
+            )
+        right = clicks_pdf.rename(columns={"es": "click_sec", "click_id": "click_id"})
+        right = right.assign(es=right["click_sec"]).sort_values("es")
+        out = pd.merge_asof(
+            purchases_pdf.sort_values("es"),
+            right[["es", "click_sec", "click_id"]],
+            on="es",
+            direction="backward",
+        )
+        out = out.rename(columns={"es": "purchase_sec"})
+        out["click_sec"] = out["click_sec"].astype("Int64")
+        out["click_id"] = out["click_id"].astype("Int64")
+        out["gap_sec"] = (out["purchase_sec"] - out["click_sec"]).astype("Int64")
+        return out[
+            ["user_id", "purchase_sec", "purchase_id", "click_sec", "click_id", "gap_sec"]
+        ]
+
+    return purchases.groupBy("user_id").cogroup(clicks.groupBy("user_id")).applyInPandas(
+        merge,
+        schema=(
+            "user_id long, purchase_sec long, purchase_id long, "
+            "click_sec long, click_id long, gap_sec long"
+        ),
+    )
