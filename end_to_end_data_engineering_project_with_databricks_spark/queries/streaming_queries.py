@@ -165,6 +165,49 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_static_join",
+    oracle=f"""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 10 AS cohort FROM events
+    )
+    SELECT d.cohort, COUNT(*) AS n_events, {sql_dsum('e.value')} AS total_value
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    GROUP BY d.cohort
+    """,
+    tags=("streaming", "join", "broadcast"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against a static
+    (batch) dimension, then aggregated by the dimension attribute.
+    Unlike stream-stream joins this needs NO join state — the static
+    side is (re)broadcast per micro-batch — which makes it the default
+    pattern for dimension enrichment in pipelines; only the aggregate
+    keeps state.  The dimension here is derived from the same fixture
+    (user -> cohort) so the oracle is a plain batch join."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 10).alias("cohort"))
+    )
+    stream = events_stream(spark, sf_dir)
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        dsum,
+    )
+
+    enriched = stream.join(F.broadcast(dim), "user_id").groupBy("cohort").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    return run_to_memory(enriched, output_mode="complete")
+
+
+@query(
     "stream_stateful_user_counts",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events
