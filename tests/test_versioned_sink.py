@@ -161,3 +161,27 @@ def test_idempotent_append_reference_semantics(spark, root):
         4,
         5,
     ]
+
+
+def test_concurrent_appends_both_commit(spark, root):
+    import threading
+
+    V.append(_df(spark, [("seed", 0)]), root)
+    errs = []
+
+    def worker(tag):
+        try:
+            V.append(_df(spark, [(tag, 1)]).coalesce(1), root)
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=worker, args=(f"w{i}",)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # every writer won some version; no commit lost, no duplicate version
+    assert V.list_versions(root) == [1, 2, 3, 4, 5]
+    rows = sorted(r.k for r in V.read(spark, root).collect())
+    assert rows == ["seed", "w0", "w1", "w2", "w3"]
