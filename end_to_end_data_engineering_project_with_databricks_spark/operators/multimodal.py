@@ -95,6 +95,58 @@ def decode_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+#: Schema produced by resize_payloads: resized payload + old/new dims.
+RESIZE_SCHEMA = (
+    "doc_id bigint, payload binary, orig_width int, orig_height int, "
+    "width int, height int, n_bytes bigint"
+)
+
+
+def resize_payloads(
+    df: DataFrame, target_width: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched resize over payloads via ``mapInPandas`` — the write
+    path of media preprocessing: unlike decode_features the payload is
+    REPLACED (derived payloads never mutate in place; they are a new
+    column in a new relation).  The resize itself is a STUB in lieu of
+    image libs: the fake decode's dimensions scale to ``target_width``
+    preserving aspect ratio, and the output payload is the input bytes
+    resampled by stride — deterministic, so byte lengths and dimensions
+    are closed-form and the query layer can oracle-check them in SQL.
+
+    Scale: identical batching rules as decode — payload bytes dominate,
+    so cap ``arrow.maxRecordsPerBatch`` and repartition by size before
+    this stage; the payload column prunes away for any reader that only
+    touches dimensions."""
+
+    # defined in-closure for by-value pickling (see decode_features NOTE)
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize(payload: bytes) -> tuple[bytes, int, int, int, int]:
+            n = len(payload)
+            ow, oh = 64 + n % 512, 64 + (n * 7) % 512  # _decode_stub dims
+            w = min(target_width, ow)
+            h = max(1, (oh * w) // ow)
+            stride = max(1, n // max(1, w * h // 8))
+            return payload[::stride], ow, oh, w, h
+
+        for pdf in it:
+            out = pdf["payload"].map(resize)
+            resized = out.map(lambda t: t[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": resized,
+                    "orig_width": out.map(lambda t: t[1]),
+                    "orig_height": out.map(lambda t: t[2]),
+                    "width": out.map(lambda t: t[3]),
+                    "height": out.map(lambda t: t[4]),
+                    "n_bytes": resized.map(len),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video-style frame sampling as plan-level plumbing: one row per
     sampled frame index, computed from metadata only (duration proxy =

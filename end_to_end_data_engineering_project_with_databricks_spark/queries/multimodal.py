@@ -96,3 +96,53 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     mm = attach_binary_payload(d, "text", "doc_id", "source")
     return frame_sample_plan(mm, every_n=10).select("doc_id", "frame_idx")
+
+
+@query(
+    "mm_resize",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+      WHERE doc_id < 300
+    ),
+    dims AS (
+      SELECT doc_id, n,
+             64 + n % 512 AS ow,
+             64 + (n * 7) % 512 AS oh
+      FROM b
+    ),
+    scaled AS (
+      SELECT doc_id, n, ow, oh,
+             (oh * 64) // ow AS h
+      FROM dims
+    ),
+    strided AS (
+      SELECT doc_id, n, ow, oh, h,
+             greatest(1, n // greatest(1, 8 * h)) AS stride
+      FROM scaled
+    )
+    SELECT doc_id,
+           CAST(ow AS INT) AS orig_width, CAST(oh AS INT) AS orig_height,
+           CAST(64 AS INT) AS width, CAST(h AS INT) AS height,
+           CAST((n + stride - 1) // stride AS BIGINT) AS n_bytes
+    FROM strided
+    """,
+    tags=("multimodal", "pandas-udf"),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.resize_payloads): the
+    payload-REPLACING media path — Arrow batches stream through Python,
+    the stub scales the fake decode's dimensions to width 64 preserving
+    aspect ratio and stride-resamples the bytes.  Determinism makes the
+    new dimensions and byte count closed-form, so the mapInPandas write
+    path (not just the read path) is value-hash-checked; actual byte
+    content is asserted in tests/test_multimodal_ops.py."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        resize_payloads,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    mm = attach_binary_payload(d, "text", "doc_id", "source")
+    return resize_payloads(mm, target_width=64).select(
+        "doc_id", "orig_width", "orig_height", "width", "height", "n_bytes"
+    )

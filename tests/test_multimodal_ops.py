@@ -46,3 +46,28 @@ def test_frame_sample_plan_shape(spark):
     assert idx == [0, 2, 4]
     # empty doc still yields frame 0 (greatest(n-1, 0) floor)
     assert sorted(r.frame_idx for r in frames if r.doc_id == 3) == [0]
+
+
+def test_resize_payload_bytes_are_strided_slices(spark, sf_dir):
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_payloads,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    mm = attach_binary_payload(d, "text", "doc_id", "source")
+    out = {r.doc_id: r for r in resize_payloads(mm, target_width=64).collect()}
+    for row in d.select("doc_id", "text").collect():
+        payload = row.text.encode()
+        n = len(payload)
+        ow, oh = 64 + n % 512, 64 + (n * 7) % 512
+        h = (oh * 64) // ow
+        stride = max(1, n // max(1, 8 * h))
+        got = out[row.doc_id]
+        assert bytes(got.payload) == payload[::stride]
+        assert (got.orig_width, got.orig_height) == (ow, oh)
+        assert got.n_bytes == len(payload[::stride])
