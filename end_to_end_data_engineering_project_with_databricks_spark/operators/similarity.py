@@ -210,3 +210,78 @@ __all__ = [
     "deterministic_centroids",
     "ivf_topk",
 ]
+
+
+def _rp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (seeded PRNG — reproducible across
+    runs/sessions, which is what the rows-only gate and tests need)."""
+    import random
+
+    rng = random.Random(42)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def rp_code(vec_col, planes: list[list[float]]):
+    """Sign-random-projection code: bit j set iff dot(vec, plane_j) > 0.
+    One JVM-side fold per plane over a literal ±1 array — no UDF."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    code = F.lit(0)
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        code = code + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return code
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane (sign) LSH — the second
+    ANN path next to IVF: vectors bucket by their n_planes-bit sign
+    code; each query probes its own bucket plus all Hamming-1 neighbor
+    buckets (multi-probe), and ranks only those candidates.
+
+    For sign-LSH, P(bit differs) = angle/pi per plane, so near-identical
+    vectors almost always share a code or differ in one bit — Hamming-1
+    probing covers the dominant miss mode at (n_planes+1)/2^n_planes of
+    the corpus scored per query.  The candidate join is an equi-join on
+    the bucket code (never a cross join), same scale shape as the LSH
+    text-dedup band join."""
+    planes = _rp_planes(n_planes, dim)
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        rp_code(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        rp_code(vec_col, planes).alias("code"),
+    )
+    # multi-probe: own bucket + flip each bit once (Hamming-1)
+    probes = F.array(
+        F.col("code"), *[F.col("code").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    )
+    probed = q.select("query_id", "q_vec", F.explode(probes).alias("bucket"))
+    scored = (
+        F.broadcast(probed)
+        .join(coded, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", cosine_similarity("q_vec", "c_vec").alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -87,3 +87,24 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5)
+
+
+@query(
+    "sim_rp_lsh_topk",
+    oracle=None,  # approximate (bucket probing) -> rows-only gate
+    tags=("similarity", "topk", "approx", "lsh"),
+)
+def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH approximate top-5 — the second ANN
+    path next to IVF: 8-bit sign codes bucket the corpus, each query
+    probes its own bucket plus all Hamming-1 neighbors (multi-probe),
+    scoring ~9/256 of the corpus.  Companion test checks the result
+    equals brute force restricted to the probed buckets (mechanism
+    correctness) and measures recall vs the exact baseline."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        rp_lsh_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return rp_lsh_topk(e, queries, n_planes=8, dim=64, k=5)

@@ -73,3 +73,37 @@ def test_deterministic_centroids_are_stable(spark, emb):
     c1 = deterministic_centroids(df, 8).collect()
     c2 = deterministic_centroids(df, 8).collect()
     assert [r.cell_id for r in c1] == [r.cell_id for r in c2] == list(range(8))
+
+
+def test_rp_lsh_equals_bruteforce_on_probed_buckets(spark, sf_dir):
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        _rp_planes,
+        brute_force_topk,
+        rp_code,
+        rp_lsh_topk,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 4)
+    approx = rp_lsh_topk(e, queries, n_planes=8, dim=64, k=3)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
+
+    # mechanism: per query, result == exact ranking restricted to vectors
+    # whose code is within Hamming distance 1 of the query's code
+    planes = _rp_planes(8, 64)
+    coded = {r.vec_id: r.code for r in e.select("vec_id", rp_code("embedding", planes).alias("code")).collect()}
+    exact = brute_force_topk(e, queries, k=10_000)
+    by_q = {}
+    for r in exact.collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        eligible = [
+            r for r in sorted(rows, key=lambda r: r.rank)
+            if bin(coded[r.neighbor_id] ^ coded[qid]).count("1") <= 1
+        ]
+        for i, r in enumerate(eligible[:3], start=1):
+            assert got.get((qid, i)) == r.neighbor_id, (qid, i)
