@@ -480,3 +480,50 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+@query(
+    "source_corrupt_records",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('valid',   CAST(3 AS BIGINT), CAST(60 AS BIGINT)),
+      ('corrupt', CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(record_class, n_records, value_sum)
+    """,
+    tags=("source", "json", "data-quality"),
+)
+def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling (PERMISSIVE mode): a JSON-lines file with
+    3 valid and 2 broken rows is read with a ``_corrupt_record`` column —
+    bad rows surface as data instead of failing the job or being
+    silently dropped, the contract that matters when 100 TB of scraped
+    input is never fully clean.  The aggregate splits records by
+    validity; counts and the valid-side sum are closed-form, so the full
+    quarantine path is value-hash-checked."""
+    path = _tmp("corrupt_jsonl")
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "data.json"), "w") as fh:
+        fh.write(
+            '{"id": 1, "value": 10}\n'
+            '{"id": 2 "value": 20}\n'          # missing comma -> corrupt
+            '{"id": 3, "value": 20}\n'
+            'not json at all\n'                 # corrupt
+            '{"id": 4, "value": 30}\n'
+        )
+    df = (
+        spark.read.schema("id long, value long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return (
+        df.groupBy(
+            F.when(F.col("_corrupt_record").isNull(), "valid")
+            .otherwise("corrupt")
+            .alias("record_class")
+        )
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("value").alias("value_sum"),
+        )
+    )

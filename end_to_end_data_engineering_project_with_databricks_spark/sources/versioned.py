@@ -77,14 +77,41 @@ def _schema_key(schema_json: str) -> list[tuple[str, str]]:
     return sorted((f["name"], json.dumps(f["type"], sort_keys=True)) for f in fields)
 
 
-def append(df: DataFrame, root: str, max_commit_retries: int = 10) -> int:
+def _merge_schemas(table_schema_json: str, batch_schema_json: str) -> str:
+    """Schema evolution (Delta mergeSchema semantics): the evolved schema
+    is the table's fields followed by the batch's new fields.  A field
+    present in both must have the identical type — evolution ADDS
+    columns, it never retypes them."""
+    t = json.loads(table_schema_json)
+    b = json.loads(batch_schema_json)
+    t_types = {f["name"]: json.dumps(f["type"], sort_keys=True) for f in t["fields"]}
+    for f in b["fields"]:
+        if f["name"] in t_types:
+            if json.dumps(f["type"], sort_keys=True) != t_types[f["name"]]:
+                raise SchemaMismatchError(
+                    f"column {f['name']!r} type change is not schema evolution"
+                )
+        else:
+            t["fields"].append(f)
+    return json.dumps(t)
+
+
+def append(
+    df: DataFrame, root: str, max_commit_retries: int = 10, evolve_schema: bool = False
+) -> int:
     """Commit ``df`` as a new version; returns the committed version.
 
     The data files are written first (invisible until committed), then
     the next manifest is created with O_EXCL — losing a concurrent
     create race re-reads the new head and retries with the same data
     files, so every committed version sees every successful append
-    exactly once."""
+    exactly once.
+
+    ``evolve_schema=True`` permits the batch to ADD columns (Delta
+    mergeSchema): the manifest schema widens to the union, and readers
+    fill the new columns with NULL for pre-evolution files (the Parquet
+    reader projects an explicit schema, so missing columns read as
+    null).  Type changes are still rejected."""
     os.makedirs(_log_path(root), exist_ok=True)
     batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
     df.write.mode("errorifexists").parquet(batch_dir)
@@ -100,12 +127,15 @@ def append(df: DataFrame, root: str, max_commit_retries: int = 10) -> int:
         if versions:
             head = _read_manifest(root, versions[-1])
             if _schema_key(head["schema"]) != _schema_key(schema_json):
-                raise SchemaMismatchError(
-                    f"append schema {df.schema.simpleString()} does not match "
-                    f"table schema at {root}"
-                )
+                if not evolve_schema:
+                    raise SchemaMismatchError(
+                        f"append schema {df.schema.simpleString()} does not match "
+                        f"table schema at {root}"
+                    )
+                schema = _merge_schemas(head["schema"], schema_json)
+            else:
+                schema = head["schema"]  # canonical field order: first commit wins
             files = head["files"] + new_files
-            schema = head["schema"]  # canonical field order: first commit wins
             next_version = versions[-1] + 1
         else:
             files, schema, next_version = new_files, schema_json, 1

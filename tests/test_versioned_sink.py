@@ -185,3 +185,23 @@ def test_concurrent_appends_both_commit(spark, root):
     assert V.list_versions(root) == [1, 2, 3, 4, 5]
     rows = sorted(r.k for r in V.read(spark, root).collect())
     assert rows == ["seed", "w0", "w1", "w2", "w3"]
+
+
+def test_schema_evolution_adds_columns_nulls_for_old_files(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)
+    wider = spark.createDataFrame([("b", 2, "x")], "k string, n int, extra string")
+    # without opting in, widening is still rejected
+    with pytest.raises(V.SchemaMismatchError):
+        V.append(wider, root)
+    V.append(wider, root, evolve_schema=True)
+    rows = {r.k: (r.n, r.extra) for r in V.read(spark, root).collect()}
+    # pre-evolution rows read the new column as NULL
+    assert rows == {"a": (1, None), "b": (2, "x")}
+    # narrower-than-table appends are fine post-evolution when evolving
+    # (missing column in the batch -> nulls), but type changes never are
+    retyped = spark.createDataFrame([("c", 3.5, "y")], "k string, n double, extra string")
+    with pytest.raises(V.SchemaMismatchError):
+        V.append(retyped, root, evolve_schema=True)
+    # time travel preserves each version's data
+    assert V.read(spark, root, version=1).columns == ["k", "n"]
+    assert len(V.read(spark, root, version=2).columns) == 3
