@@ -773,3 +773,64 @@ def pivot_nation_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         *[F.coalesce(F.col(s), F.lit(0)).alias(s) for s in _SEGMENTS],
     )
+
+
+@query(
+    "agg_exact_corr_regression",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('l_quantity')} AS sx,
+             {sql_dsum('l_extendedprice')} AS sy,
+             {sql_dsum('l_quantity * l_extendedprice')} AS sxy,
+             {sql_dsum('l_quantity * l_quantity')} AS sxx,
+             {sql_dsum('l_extendedprice * l_extendedprice')} AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_lines,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def agg_exact_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation and simple linear regression WITHOUT the built-in
+    corr()/regr_*() aggregates: both engines' native implementations use
+    different streaming-moment formulas whose float rounding diverges in
+    the last ulps, so instead the five moment sums are accumulated
+    exactly (fixed-point dsum — order-independent, bit-equal
+    cross-engine) and the statistics are derived with the SAME closed
+    formula and operation order on both sides.  Identical double inputs
+    + identical IEEE op sequence (mul/div/sqrt are correctly rounded)
+    = bit-identical corr/slope/intercept — a value-hash-checkable form
+    of an otherwise approximation-fuzzy aggregate family.
+
+    Scale: one map-side-combinable shuffle of six accumulators per
+    group — the same cost as any grouped sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(qty).alias("sx"),
+        dsum(price).alias("sy"),
+        dsum(qty * price).alias("sxy"),
+        dsum(qty * qty).alias("sxx"),
+        dsum(price * price).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n_lines"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
