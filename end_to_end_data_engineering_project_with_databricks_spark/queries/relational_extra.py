@@ -297,3 +297,63 @@ def sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         dsum("l_extendedprice").alias("sampled_revenue"),
     )
+
+
+@query(
+    "agg_histogram_width_bucket",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 500000 THEN 21
+                ELSE CAST(floor(o_totalprice / 25000) AS BIGINT) + 1
+           END AS bucket,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS bucket_total
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "histogram"),
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket: one narrow bucket-assign
+    map + one combinable hash agg — the constant-memory way to see a
+    distribution at 100 TB (contrast percentile_disc, which must
+    shuffle values).  Bucket 21 is the overflow bin, per SQL-standard
+    width_bucket semantics shared by both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("bucket_total"))
+    )
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    oracle="""
+    SELECT s_suppkey, s_nationkey, s_acctbal,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+    tags=("window",),
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank ((rank-1)/(n-1))
+    and cume_dist (rows_at_or_before/n) per nation.  Both are single
+    IEEE divisions of integer counts, so values hash identically across
+    engines; the s_suppkey tiebreak makes rank order total."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
