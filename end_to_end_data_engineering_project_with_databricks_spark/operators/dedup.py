@@ -88,34 +88,13 @@ def minhash_signatures(
     # single-expression fold so the shingle string-hash runs exactly once
     # per shingle (separate array_min projections would let Catalyst's
     # CollapseProject inline — and recompute — the base transform per
-    # family, measured 3x slower).  Hash families use double hashing
-    # (Kirsch-Mitzenmacher): h_i = h1 XOR (i * masked(h2)) — two xxhash64
-    # evaluations per shingle instead of num_hashes, with the per-family
-    # mix reduced to one multiply + one xor.  The mask bounds the
-    # multiplicand to 54 bits so i * masked(h2) stays under 2^60: no long
-    # overflow, which ANSI mode (Spark 4 default) would turn into a
-    # runtime error; XOR cannot overflow.
-    mask54 = F.lit(0x3FFFFFFFFFFFFF).cast("long")
-    # nested transforms: the inner pass hashes each shingle string once;
-    # the outer pass derives h2 from that long, never re-touching the string
-    base_hashes = F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s))
+    # family, measured 3x slower)
     sig = F.aggregate(
-        F.transform(
-            base_hashes,
-            lambda h: F.struct(
-                h.alias("h1"),
-                F.xxhash64(h).bitwiseAND(mask54).alias("h2"),
-            ),
-        ),
+        F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s)),
         F.array_repeat(max_long, num_hashes),
         lambda acc, h: F.zip_with(
             acc,
-            F.array(
-                *[
-                    h["h1"].bitwiseXOR(h["h2"] * F.lit(i).cast("long"))
-                    for i in range(num_hashes)
-                ]
-            ),
+            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)]),
             lambda a, b: F.least(a, b),
         ),
     )
