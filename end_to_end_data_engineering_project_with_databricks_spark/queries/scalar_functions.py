@@ -300,3 +300,31 @@ def explode_outer_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("o_orderpriority"), "-")
     )
     return o.select("o_orderkey", F.explode_outer(arr).alias("tok"))
+
+
+@query(
+    "try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 3) END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+    tags=("functions", "ansi"),
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic: with ANSI mode on (Spark 4 default),
+    division by zero and bad casts RAISE — ``try_divide``/``try_cast``
+    are the per-expression opt-outs that return NULL instead, the right
+    tool when a pipeline must survive dirty rows without disabling ANSI
+    globally.  DuckDB divides-to-NULL via NULLIF and shares TRY_CAST."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.try_divide("o_totalprice", F.col("o_orderkey") % 3).alias("safe_div"),
+        F.try_to_number("o_orderpriority", F.lit("9")).cast("int").alias("bad_cast"),
+        F.col("o_orderpriority").substr(1, 1).try_cast("int").alias("prio_digit"),
+    )

@@ -161,3 +161,36 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
         assert sink.select("videoId").distinct().count() == 20
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_file_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Offset tracking across restarts: a second availableNow run with the
+    SAME checkpoint processes only files that arrived after the first run
+    — re-running never duplicates already-committed input (exactly-once
+    per input file), the property that makes scheduled incremental
+    ingest safe to re-run.  File sink + checkpoint is the recoverable
+    pair (memory sinks cannot recover)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    spark.range(0, 10).write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema("id long").parquet(src)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.id for r in spark.read.parquet(out).collect())
+
+    assert drain() == list(range(10))
+    # re-run with nothing new: nothing is reprocessed
+    assert drain() == list(range(10))
+    # new files land; restart from the same checkpoint picks up ONLY them
+    spark.range(10, 25).write.mode("append").parquet(src)
+    assert drain() == list(range(25))  # no duplicates of 0-9
