@@ -96,8 +96,47 @@ def _merge_schemas(table_schema_json: str, batch_schema_json: str) -> str:
     return json.dumps(t)
 
 
+def _file_stats(
+    spark: SparkSession, files: list[str], schema_json: str, stats_cols: list[str]
+) -> dict:
+    """Per-file min/max for ``stats_cols`` — one aggregate over the batch
+    grouped by ``_metadata.file_path``.  Values are stored JSON-native
+    (numbers/strings); timestamps land as ISO strings."""
+    from urllib.parse import urlparse
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromJson(json.loads(schema_json))
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    rows = (
+        spark.read.schema(st)
+        .parquet(*files)
+        .groupBy(F.col("_metadata.file_path").alias("_path"))
+        .agg(*aggs)
+        .collect()
+    )
+
+    def _norm(v):
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    return {
+        urlparse(r._path).path: {
+            c: [_norm(r[f"min_{c}"]), _norm(r[f"max_{c}"])] for c in stats_cols
+        }
+        for r in rows
+    }
+
+
 def append(
-    df: DataFrame, root: str, max_commit_retries: int = 10, evolve_schema: bool = False
+    df: DataFrame,
+    root: str,
+    max_commit_retries: int = 10,
+    evolve_schema: bool = False,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as a new version; returns the committed version.
 
@@ -111,7 +150,13 @@ def append(
     mergeSchema): the manifest schema widens to the union, and readers
     fill the new columns with NULL for pre-evolution files (the Parquet
     reader projects an explicit schema, so missing columns read as
-    null).  Type changes are still rejected."""
+    null).  Type changes are still rejected.
+
+    ``stats_cols``: record per-file min/max for these columns in the
+    manifest (Delta-style data skipping).  ``read`` with a ``where``
+    range then opens only files whose range can match — at 100 TB on a
+    time- or key-sorted ingest this is the difference between scanning
+    one file and scanning the table."""
     os.makedirs(_log_path(root), exist_ok=True)
     batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
     df.write.mode("errorifexists").parquet(batch_dir)
@@ -121,6 +166,11 @@ def append(
         if f.endswith(".parquet")
     )
     schema_json = df.schema.json()
+    new_stats = (
+        _file_stats(df.sparkSession, new_files, schema_json, stats_cols)
+        if stats_cols
+        else {}
+    )
 
     for _ in range(max_commit_retries):
         versions = list_versions(root)
@@ -136,10 +186,17 @@ def append(
             else:
                 schema = head["schema"]  # canonical field order: first commit wins
             files = head["files"] + new_files
+            stats = {**head.get("stats", {}), **new_stats}
             next_version = versions[-1] + 1
         else:
             files, schema, next_version = new_files, schema_json, 1
-        manifest = {"version": next_version, "schema": schema, "files": files}
+            stats = new_stats
+        manifest = {
+            "version": next_version,
+            "schema": schema,
+            "files": files,
+            "stats": stats,
+        }
         try:
             with open(_manifest_file(root, next_version), "x") as fh:
                 json.dump(manifest, fh)
@@ -149,9 +206,42 @@ def append(
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
 
 
-def read(spark: SparkSession, root: str, version: int | None = None) -> DataFrame:
+def prune_files(manifest: dict, where: tuple) -> list[str]:
+    """Data skipping: files whose recorded [min, max] for ``where``'s
+    column can intersect [lo, hi].  Files with no stats for the column
+    are kept (cannot be proven skippable); lo/hi of None mean
+    unbounded."""
+    col, lo, hi = where
+    stats = manifest.get("stats", {})
+    kept = []
+    for f in manifest["files"]:
+        rng = stats.get(f, {}).get(col)
+        if rng is None:
+            kept.append(f)
+            continue
+        fmin, fmax = rng
+        if fmin is None or fmax is None:  # all-null file: only prunable
+            kept.append(f)  # conservatively keep
+            continue
+        if (hi is not None and fmin > hi) or (lo is not None and fmax < lo):
+            continue
+        kept.append(f)
+    return kept
+
+
+def read(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    where: tuple | None = None,
+) -> DataFrame:
     """Snapshot read; ``version=None`` reads the latest commit.  Empty
-    tables (no commits) are an error — create one with ``append``."""
+    tables (no commits) are an error — create one with ``append``.
+
+    ``where=(col, lo, hi)`` applies manifest-stats data skipping (files
+    recorded via ``append(stats_cols=...)`` whose min/max range cannot
+    intersect [lo, hi] are never opened) AND the corresponding row
+    filter, so results are exact regardless of file layout."""
     versions = list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {root}")
@@ -162,9 +252,19 @@ def read(spark: SparkSession, root: str, version: int | None = None) -> DataFram
     from pyspark.sql.types import StructType
 
     st = StructType.fromJson(json.loads(manifest["schema"]))
-    if not manifest["files"]:
+    files = manifest["files"] if where is None else prune_files(manifest, where)
+    if not files:
         return spark.createDataFrame([], st)
-    return spark.read.schema(st).parquet(*manifest["files"])
+    df = spark.read.schema(st).parquet(*files)
+    if where is not None:
+        from pyspark.sql import functions as F
+
+        col, lo, hi = where
+        if lo is not None:
+            df = df.filter(F.col(col) >= lo)
+        if hi is not None:
+            df = df.filter(F.col(col) <= hi)
+    return df
 
 
 def merge_upsert(df: DataFrame, root: str, key: str, max_commit_retries: int = 10) -> int:
@@ -244,6 +344,11 @@ def merge_upsert(df: DataFrame, root: str, key: str, max_commit_retries: int = 1
             "version": head_v + 1,
             "schema": head["schema"],
             "files": survivors + new_files,
+            # rewritten files carry no stats (conservatively unprunable);
+            # surviving files keep theirs
+            "stats": {
+                f: s for f, s in head.get("stats", {}).items() if f in set(survivors)
+            },
         }
         try:
             with open(_manifest_file(root, head_v + 1), "x") as fh:
@@ -310,6 +415,9 @@ def delete_where(
             "version": head_v + 1,
             "schema": head["schema"],
             "files": survivors + new_files,
+            "stats": {
+                f: s for f, s in head.get("stats", {}).items() if f in set(survivors)
+            },
         }
         try:
             with open(_manifest_file(root, head_v + 1), "x") as fh:
@@ -371,6 +479,9 @@ def compact(
             "version": head_v + 1,
             "schema": head["schema"],
             "files": keep + new_files,
+            "stats": {
+                f: s for f, s in head.get("stats", {}).items() if f in set(keep)
+            },
         }
         try:
             with open(_manifest_file(root, head_v + 1), "x") as fh:

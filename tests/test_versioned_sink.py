@@ -205,3 +205,35 @@ def test_schema_evolution_adds_columns_nulls_for_old_files(spark, root):
     # time travel preserves each version's data
     assert V.read(spark, root, version=1).columns == ["k", "n"]
     assert len(V.read(spark, root, version=2).columns) == 3
+
+
+def test_stats_based_data_skipping(spark, root):
+    # three single-file commits with disjoint key ranges + recorded stats
+    for lo in (0, 100, 200):
+        df = spark.createDataFrame(
+            [(lo + i, f"r{lo + i}") for i in range(10)], "id long, payload string"
+        ).coalesce(1)
+        V.append(df, root, stats_cols=["id"])
+    m = V._read_manifest(root, 3)
+    assert len(m["files"]) == 3 and len(m["stats"]) == 3
+    # a range inside the middle commit prunes to exactly one file
+    assert len(V.prune_files(m, ("id", 103, 107))) == 1
+    # unbounded-low range keeps the first two files
+    assert len(V.prune_files(m, ("id", None, 150))) == 2
+    # pruned read is still row-exact
+    rows = sorted(r.id for r in V.read(spark, root, where=("id", 103, 107)).collect())
+    assert rows == [103, 104, 105, 106, 107]
+    # files without stats are conservatively kept, and the row filter
+    # keeps results exact
+    nostats = spark.createDataFrame(
+        [(500, "x")], "id long, payload string"
+    ).coalesce(1)
+    V.append(nostats, root)  # no stats_cols
+    m4 = V._read_manifest(root, 4)
+    assert len(V.prune_files(m4, ("id", 103, 107))) == 2  # 1 pruned-in + 1 statless
+    rows = sorted(r.id for r in V.read(spark, root, where=("id", 103, 107)).collect())
+    assert rows == [103, 104, 105, 106, 107]
+    # compaction drops rewritten files' stats but keeps correctness
+    V.compact(spark, root)
+    rows = sorted(r.id for r in V.read(spark, root, where=("id", 205, 209)).collect())
+    assert rows == [205, 206, 207, 208, 209]
