@@ -270,3 +270,69 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl(ten_min, "10min").unionByName(lvl(hourly, "hour")).unionByName(
         lvl(daily, "day")
     )
+
+
+@query(
+    "events_forward_fill",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE user_id < 20
+    ),
+    daily AS (
+      SELECT user_id, (es // 86400) * 86400 AS day_sec,
+             {sql_dsum('value')} AS day_value
+      FROM e GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT 1704067200 + 86400 * unnest(generate_series(0, 29)) AS day_sec
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    spine AS (SELECT u.user_id, d.day_sec FROM users u CROSS JOIN days d),
+    j AS (
+      SELECT s.user_id, s.day_sec, daily.day_value
+      FROM spine s LEFT JOIN daily USING (user_id, day_sec)
+    )
+    SELECT user_id, day_sec, day_value,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day_sec
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM j
+    """,
+    tags=("events", "window", "gap-fill"),
+)
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling + forward fill (last observation carried forward):
+    per-user daily totals joined onto a dense day spine, missing days
+    filled with ``last(..., ignorenulls=True)`` over an ordered window —
+    the time-series normalization step before any model that assumes
+    regular sampling.  The spine is a tiny literal sequence crossed with
+    the (bounded) user dim; one shuffle on user_id serves both the
+    left join and the fill window."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = (
+        e.select("user_id", _epoch().alias("es"), "value")
+        .groupBy(
+            "user_id",
+            ((F.col("es") / 86400).cast("long") * 86400).alias("day_sec"),
+        )
+        .agg(dsum("value").alias("day_value"))
+    )
+    days = spark.range(30).select(
+        (F.lit(1704067200) + 86400 * F.col("id")).alias("day_sec")
+    )
+    users = e.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day_sec"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day_sec",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
