@@ -110,3 +110,40 @@ def skew_resistant_agg(
         F.count("*").alias("n_distinct"),
         dsum_merge("_hi", "_lo").alias("total_value"),
     )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join ([lo, hi) containment) as an EQUI-join.
+
+    A naive range join between two big sides plans as a nested-loop
+    (O(n*m) comparisons).  Binning makes it shuffle-joinable: each
+    interval explodes into every ``bin_width``-sized bin it overlaps,
+    each point keys by the single bin containing it, the two sides
+    equi-join on the bin id, and the exact predicate refines.  Each
+    point lives in exactly one bin, so no dedup is needed.  Cost is
+    |intervals| x avg_bins_per_interval + one key shuffle — choose
+    ``bin_width`` near the typical interval length so the explode
+    factor stays small.  The same trick underlies the IVF/LSH candidate
+    joins (operators/similarity.py, operators/dedup.py)."""
+    from pyspark.sql import functions as F
+
+    p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_width))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bin_width),
+                F.floor(F.col(hi_col) / bin_width),
+            )
+        ),
+    )
+    return p.join(iv, "_bin").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    ).drop("_bin")

@@ -357,3 +357,46 @@ def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT s.s_suppkey,
+           COUNT(c.c_custkey) AS n_customers
+    FROM supplier s
+    LEFT JOIN customer c
+      ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal < s.s_acctbal + 500
+    GROUP BY s.s_suppkey
+    """,
+    tags=("join", "range", "binned"),
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join via binning (operators/scaling.binned_range_join):
+    customers counted into each supplier's [acctbal, acctbal+500) band.
+    Intervals explode into the bins they overlap, points key by their
+    single containing bin, and the match becomes one equi-join shuffle
+    plus an exact refine — the scale path the broadcast-NL range join
+    (join_range_price_bands) cannot take when neither side is tiny.
+    Suppliers with an empty band are restored by a left join against the
+    matched counts (COUNT of the null-extended column = 0)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        binned_range_join,
+    )
+
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    matched = (
+        binned_range_join(cust, supp, "c_acctbal", "lo", "hi", bin_width=500.0)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_matched"))
+    )
+    base = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return base.join(matched, "s_suppkey", "left").select(
+        "s_suppkey",
+        F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_customers"),
+    )
