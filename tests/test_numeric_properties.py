@@ -77,3 +77,44 @@ def test_dsum_null_and_empty_group_semantics(spark):
     }
     assert rows["a"] == (1.5, 1.5)  # NULLs skipped, count excludes them
     assert rows["b"][0] is None  # all-NULL group sums to NULL like SQL SUM
+
+
+# fixture-realistic magnitudes (quantities/prices): 2-decimal values in
+# [1, 1000].  The corr guarantee is about THIS regime — with tiny values
+# the 1e-6 product quantization legitimately dominates a near-zero
+# variance denominator, which is not a regression worth guarding.
+_pos_value = st.integers(min_value=100, max_value=100_000).map(lambda n: n / 100)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=st.lists(st.tuples(_pos_value, _pos_value), min_size=5, max_size=80))
+def test_exact_moment_correlation_is_bounded_and_close_to_numpy(spark, pairs):
+    """The derived corr (agg_exact_corr_regression's formula over exact
+    moment sums) stays within [-1, 1] modulo quantization headroom and
+    agrees with numpy's direct computation on realistic-magnitude data —
+    the closed formula over 1e-6-quantized moments does not distort the
+    statistic in the regime the fixtures exercise."""
+    import math
+
+    import numpy as np
+
+    xs = np.array([p[0] for p in pairs])
+    ys = np.array([p[1] for p in pairs])
+    if np.std(xs) == 0 or np.std(ys) == 0:
+        return  # degenerate: correlation undefined
+    sdf = spark.createDataFrame(pairs, "x double, y double")
+    s = sdf.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    ).first()
+    denom = math.sqrt(s.n * s.sxx - s.sx * s.sx) * math.sqrt(s.n * s.syy - s.sy * s.sy)
+    if denom < 1.0:
+        return  # near-constant columns: quantization dominates, corr unstable
+    corr = (s.n * s.sxy - s.sx * s.sy) / denom
+    assert -1.0 - 1e-6 <= corr <= 1.0 + 1e-6
+    expected = float(np.corrcoef(xs, ys)[0, 1])
+    assert abs(corr - expected) < 1e-4
