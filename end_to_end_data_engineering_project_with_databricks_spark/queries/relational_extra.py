@@ -400,3 +400,25 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.coalesce(F.col("n_matched"), F.lit(0)).cast("long").alias("n_customers"),
     )
+
+
+@query(
+    "agg_approx_percentile",
+    oracle=None,  # t-digest sketch is engine-specific -> rows-only gate
+    tags=("agg", "percentile", "approx", "sketch"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (mergeable quantile sketch): p25/p50/p90 of
+    order totals per status with bounded accuracy (1/10000 relative
+    rank error).  The sketch counterpart to agg_percentile_disc: the
+    exact form must shuffle values for a per-group sort, the sketch
+    keeps fixed-size mergeable state per partition — the same
+    scale trade as exact COUNT(DISTINCT) vs HLL
+    (agg_hll_sketch_union).  Companion test bounds each estimate
+    against the exact discrete percentile."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.approx_percentile("o_totalprice", F.lit(0.50), F.lit(10000)).alias("p50"),
+        F.approx_percentile("o_totalprice", F.lit(0.90), F.lit(10000)).alias("p90"),
+    )

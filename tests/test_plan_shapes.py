@@ -140,3 +140,20 @@ def test_hll_sketch_estimates_within_error_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    approx = {
+        r.o_orderstatus: (r.p25, r.p50, r.p90)
+        for r in _df(spark, sf_dir, "agg_approx_percentile").collect()
+    }
+    exact = {
+        r.o_orderstatus: (r.p25, r.p50, r.p90)
+        for r in _df(spark, sf_dir, "agg_percentile_disc").collect()
+    }
+    assert set(approx) == set(exact)
+    for status, (a25, a50, a90) in approx.items():
+        e25, e50, e90 = exact[status]
+        for a, e in ((a25, e25), (a50, e50), (a90, e90)):
+            # 1e4 accuracy on fixture group sizes -> near-exact; 1% slack
+            assert abs(a - e) <= 0.01 * max(1.0, abs(e)), (status, a, e)
