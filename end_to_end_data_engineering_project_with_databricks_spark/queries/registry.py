@@ -38,6 +38,82 @@ _QUERY_MODULES = (
 
 REGISTRY: dict[str, "QuerySpec"] = {}
 
+#: The driver's CORRECTNESS gate oracle-checks only the FIRST 50 entries of
+#: ``queries()`` (registration order == dict order).  These 50 slots are
+#: therefore curated to sample EVERY SURVEY.md §2 family — reference-parity
+#: (§2.1), each §2.2 capability category, and every LLM-data-pipeline
+#: operator family — rather than letting module import order spend all 50
+#: slots on TPC-H + relational queries (round-1 failure mode; VERDICT.md §
+#: "Next round" item 1).  Everything NOT in this window still registers and
+#: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # -- §2.1 reference parity (ETL_pipeline_countries.py ops 5-15) --
+    "ref_antijoin_incremental",
+    "ref_nested_struct_flatten",
+    "ref_multiline_json_pipeline",
+    # -- TPC-H bench flagships (projection/filter/join/agg/topk core) --
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    # -- dedup ladder (exact -> fingerprint -> n-gram -> LSH -> graph) --
+    "dedup_exact_documents",
+    "dedup_fingerprint_md5",
+    "dedup_ngram_jaccard",
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    # -- similarity search (exact baseline + threshold + ANN) --
+    "sim_topk_bruteforce",
+    "sim_threshold_pairs",
+    "sim_ivf_topk",
+    # -- text analysis + curation pipeline --
+    "text_tfidf_distinctive_terms",
+    "text_token_stats",
+    "pipeline_corpus_curation",
+    # -- multimodal (mapInPandas decode + pandas-udf resize) --
+    "mm_decode_features",
+    "mm_resize",
+    # -- events (window-agg, sessionize, as-of join) --
+    "events_tumbling_counts",
+    "events_sessionize",
+    "events_asof_purchase_click",
+    # -- structured streaming (batch-oracle-checked) --
+    "stream_tumbling_counts",
+    "stream_dedup_keys",
+    # -- UDF / pandas / UDTF surface --
+    "pandas_scalar_token_count",
+    "pandas_cogroup_asof",
+    "udtf_char_ngrams",
+    # -- sources --
+    "source_csv_roundtrip",
+    "source_corrupt_records",
+    "source_python_datasource",
+    # -- sinks (partitioned, versioned time-travel, MERGE) --
+    "sink_versioned_time_travel",
+    "sink_merge_upsert",
+    "sink_partitioned_pruning",
+    # -- modern SQL surface --
+    "sql_recursive_date_spine",
+    "sql_variant_extraction",
+    # -- scalar function packs --
+    "string_functions",
+    "date_functions",
+    "array_functions",
+    "json_functions",
+    "try_functions",
+    # -- generators / unnest --
+    "explode_tokens",
+    # -- relational representatives (filter/join-skew/agg/window/topk/setop) --
+    "filter_predicates",
+    "join_salted_skew",
+    "agg_grouping_sets",
+    "window_range_frame",
+    "topk_per_group",
+    "set_union_all_parties",
+)
+
 
 @dataclass(frozen=True)
 class QuerySpec:
@@ -70,9 +146,20 @@ def query(
 
 
 def all_specs() -> dict[str, QuerySpec]:
+    """All registered queries, driver-window names first.
+
+    Dict order is the driver's sampling order: the curated
+    :data:`_DRIVER_WINDOW` occupies slots 1-50 so the correctness gate
+    spans every §2 family; the remaining queries follow in module
+    registration order (still locally oracle-checked)."""
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"_DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in _DRIVER_WINDOW}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def queries_map() -> dict[str, QueryFn]:
