@@ -25,7 +25,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup i
     simhash_near_dups,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
-    cosine_threshold_pairs,
+    cosine_threshold_pairs_bucketed,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
 from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
@@ -170,14 +170,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space near-dup dedup: cosine >= 0.6 pairs (exact,
-    bit-reproducible vector fold — functions/vectors.py), neighbor lists
+    """Embedding-space near-dup dedup: cosine >= 0.6 pairs from banded
+    sign-LSH candidate generation + EXACT cosine verification
+    (bit-reproducible vector fold — functions/vectors.py), neighbor lists
     symmetrized, canonical = min neighbor id (one-hop; full transitive
-    closure is the iterative extension).  The vec_id bound caps the O(n²)
-    exact scoring for the oracle; at scale the same reduction runs behind
-    LSH/IVF candidate generation instead of all-pairs."""
+    closure is the iterative extension).
+
+    Scale shape: the candidate join is an equi-join on (band, band-bits)
+    — the plan contains no theta/cartesian node (asserted in
+    tests/test_plan_shapes.py), so the pipeline survives an unbounded
+    corpus.  Exact verification makes false positives impossible; the
+    one-sided miss probability at the 0.6 threshold is ~1% per pair and
+    ~4e-8 for true near-dups (cos >= 0.95), and
+    tests/test_similarity_ops.py asserts parity with the exact all-pairs
+    baseline on this corpus and on planted near-dups."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    pairs = cosine_threshold_pairs(e, threshold=0.6).select("id_a", "id_b")
+    pairs = cosine_threshold_pairs_bucketed(e, threshold=0.6).select("id_a", "id_b")
     neighbors = (
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("nid"))
         .unionAll(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("nid")))

@@ -69,10 +69,71 @@ def test_ivf_partial_probe_is_consistent(spark, emb):
 
 
 def test_deterministic_centroids_are_stable(spark, emb):
+    """Seeds are the n_cells lowest-id vectors, labeled by their own id
+    (cells need distinct join keys, not dense 0..n-1), and stable across
+    invocations.  Fixture ids are 0..99, so the seed ids are 0..7."""
     df, _ = emb
     c1 = deterministic_centroids(df, 8).collect()
     c2 = deterministic_centroids(df, 8).collect()
-    assert [r.cell_id for r in c1] == [r.cell_id for r in c2] == list(range(8))
+    assert sorted(r.cell_id for r in c1) == sorted(r.cell_id for r in c2) == list(range(8))
+
+
+def test_centroid_seeding_has_no_global_window(spark, emb):
+    """The seeding plan must be TakeOrderedAndProject (distributed partial
+    top-k), never a row_number over an unpartitioned window (which funnels
+    the whole corpus through one reducer)."""
+    df, _ = emb
+    plan = deterministic_centroids(df, 8)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_bucketed_threshold_pairs_match_exact_on_near_dups(spark, emb):
+    """Planted near-dups (tiny perturbations, cos >= ~0.99): the banded
+    sign-LSH candidate path must return EXACTLY the pairs the O(n²)
+    baseline returns — false positives are impossible by construction
+    (exact verify), and the planted pairs' miss probability (~4e-8 at
+    cos 0.95 with 16x4 banding, deterministic seeded planes) makes
+    parity a stable assertion, not a flaky one."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        cosine_threshold_pairs,
+        cosine_threshold_pairs_bucketed,
+    )
+
+    df, vecs = emb
+    rng = np.random.default_rng(7)
+    planted = vecs[:20] + 0.02 * rng.standard_normal((20, 16))
+    rows = [(100 + i, [float(x) for x in planted[i]]) for i in range(20)]
+    full = df.unionByName(
+        df.sparkSession.createDataFrame(rows, "vec_id long, embedding array<float>")
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_threshold_pairs(full, threshold=0.9).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in cosine_threshold_pairs_bucketed(full, threshold=0.9).collect()
+    }
+    assert len(exact) >= 20  # every planted copy pairs with its original
+    assert bucketed == exact
+
+
+def test_bucketed_threshold_pairs_plan_has_no_cartesian(spark, emb):
+    """The scale path's candidate join must be an equi-join on the band
+    key — never a cartesian/nested-loop node (that is the whole point
+    vs the exact baseline)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        cosine_threshold_pairs_bucketed,
+    )
+
+    df, _ = emb
+    plan = (
+        cosine_threshold_pairs_bucketed(df, threshold=0.6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_rp_lsh_equals_bruteforce_on_probed_buckets(spark, sf_dir):
