@@ -21,8 +21,22 @@ arithmetic, engineered for BOTH bit-equality and codegen speed:
 Overflow headroom is the reason for the split: a single long sum of
 ``x`` caps at a value-sum of ~9.2e12, which a global money sum at 100 TB
 exceeds.  After the split, ``sum(lo)`` <= n * 2^20 and ``sum(hi)`` <=
-n * |value|/2^20, so with values up to ~1e6 the pipeline is exact to
-~6e15 rows per group — four orders of magnitude past a 100 TB lineitem.
+n * |value| * 1e6 / 2^20, so the per-group row headroom of :func:`dsum`
+SCALES WITH THE VALUE MAGNITUDE:
+
+    rows/group before sum(hi) overflows ~= 2^63 / (|value| * 1e6 / 2^20)
+
+    |value| <= 1e6  (money, quantity)   ~6e15 rows/group  -> dsum
+    |value| <= 1e10 (squared money)     ~1e9  rows/group  -> dsum_wide
+    |value| <= 9.2e12                   per-row quantize cap (long x)
+
+A 100 TB lineitem is ~6e11 rows, so plain :func:`dsum` is four orders
+of magnitude clear for raw measures but would overflow ``sum(hi)`` for
+SQUARED terms in a global group — squared/product aggregates (corr,
+regression sxx/syy/sxy) must use :func:`dsum_wide`, which sums ``hi``
+directly in DECIMAL(38,0): exact at any magnitude, at the cost of a
+decimal accumulator for the hi half only (``lo`` keeps the long fast
+path; sum(lo) <= n * 2^20 overflows only past ~8.8e12 rows/group).
 The recombination is exact integer math at any scale.
 
 Mirrored SQL-text builders keep the oracle strings in lockstep (DuckDB
@@ -71,6 +85,20 @@ def dsum(col: Column | str) -> Column:
     return (total.cast("double") / F.lit(SCALE))
 
 
+def dsum_wide(col: Column | str) -> Column:
+    """Exact sum for LARGE-magnitude doubles (squared/product terms):
+    ``hi`` accumulates in DECIMAL(38,0) (exact for any value magnitude
+    the per-row long quantize can represent, |value| <= ~9.2e12), ``lo``
+    keeps the long codegen path.  Use for corr/regression moment sums
+    where |value| can reach ~1e10 and :func:`dsum`'s long ``sum(hi)``
+    would overflow past ~1e9 rows/group (module docstring table)."""
+    x = _scaled(col)
+    hi = F.shiftright(x, _SHIFT)
+    lo = x - hi * F.lit(_L)
+    total = F.sum(hi.cast("decimal(38,0)")) * F.lit(_L) + F.sum(lo)
+    return (total.cast("double") / F.lit(SCALE))
+
+
 def dsum_partial_hi(col: Column | str) -> Column:
     """Stage-1 (salted/partial) sum of the hi split — a plain long sum,
     mergeable by further summing.  Pair with :func:`dsum_partial_lo` and
@@ -103,6 +131,9 @@ def davg(col: Column | str) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
+    """DuckDB mirror for BOTH :func:`dsum` and :func:`dsum_wide`: DuckDB
+    sums BIGINT into HUGEINT (int128), which is exact at any magnitude —
+    the wide/narrow split only exists on the Spark side."""
     x = f"CAST(ROUND(({expr}) * {SCALE}, 0) AS BIGINT)"
     hi = f"(({x}) // {_L})"
     lo = f"(({x}) - {hi} * {_L})"

@@ -72,38 +72,48 @@ def minhash_signatures(
     h_i(shingle)``, where ``h_i(s) = xxhash64(i, xxhash64(s))``.
 
     Fully narrow — no explode, no shuffle: each shingle string is hashed
-    ONCE (the only variable-length hash), and the ``num_hashes`` families
-    re-hash that fixed-width long, which is ~an order of magnitude
-    cheaper per family than hashing the string again.  The min per
-    family is ``array_min`` over a per-row array, so signature
-    computation is a map the scheduler can place anywhere — at 100 TB
-    this stage pipelines with the corpus scan and the first (and only)
-    shuffle of the dedup pipeline is the LSH band join.
+    ONCE (the only variable-length hash) into a pre-materialized hash
+    array, and each of the ``num_hashes`` families is an independent
+    ``array_min(transform(hashes, h -> xxhash64(i, h)))`` — re-hashing
+    the fixed-width long is ~an order of magnitude cheaper per family
+    than hashing the string again.  At 100 TB this stage pipelines with
+    the corpus scan and the first (and only) shuffle of the dedup
+    pipeline is the LSH band join.
+
+    Memory shape: the earlier formulation folded with an
+    array-accumulator (``zip_with`` + a num_hashes-element array literal
+    PER SHINGLE), allocating two 64-wide arrays per shingle per row in
+    the interpreted higher-order-function path — the same pattern whose
+    SimHash twin OOM-killed executors on a default 1 GiB heap.  Per-family
+    scalar reductions allocate one |shingles|-long array per family,
+    transient per expression, so memory stays bounded regardless of
+    session sizing.  The shingle-hash array lives in its own projection
+    (``_sh``): it is referenced num_hashes times, and the projection
+    barrier stops CollapseProject from inlining — and recomputing — the
+    tokenize+shingle+hash per family (measured 3x slower when inlined).
+    Signatures are bit-identical to the fold formulation (same per-family
+    ``xxhash64(i, shingle_hash)`` values, same min).
     Returns (id, sig: array<bigint>); documents with no shingles are
     dropped (they can't be near-dups of anything).
     """
     # millions of hash evals from a few MB of text: widen tiny scans so
     # the compute doesn't serialize on one split (no-op at scale)
-    max_long = F.lit(2**63 - 1).cast("long")
-    # single-expression fold so the shingle string-hash runs exactly once
-    # per shingle (separate array_min projections would let Catalyst's
-    # CollapseProject inline — and recompute — the base transform per
-    # family, measured 3x slower)
-    sig = F.aggregate(
-        F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s)),
-        F.array_repeat(max_long, num_hashes),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(F.lit(i), h) for i in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return (
+    hashed = (
         scale_out(df)
         .filter(F.size(tokens(text_col)) >= shingle_k)
-        .select(F.col(id_col).alias("_id_"), sig.alias("sig"))
-        .select(F.col("_id_").alias(id_col), "sig")
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
+                "_sh"
+            ),
+        )
     )
+
+    def _family_min(i: int) -> Column:
+        return F.array_min(F.transform(F.col("_sh"), lambda h: F.xxhash64(F.lit(i), h)))
+
+    sig = F.array(*[_family_min(i) for i in range(num_hashes)])
+    return hashed.select(F.col("_id_").alias(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -189,24 +199,31 @@ def minhash_lsh_dedup(
     S-curve crosses ~0.5 at J ≈ (1/16)^(1/4) ≈ 0.5, so J >= 0.7 pairs are
     found with ≈ 99% probability.
 
-    The candidate set is persisted (the deliberate materialization point
-    of the pipeline — it is referenced three times below) and the corpus
-    is semi-filtered to candidate documents before verification, so the
-    expensive shingle recomputation touches only docs that appear in some
-    pair, not the whole corpus twice.  At 100 TB candidates are a
-    vanishing fraction of the corpus; without this filter verification
-    would re-scan and re-shingle everything."""
+    The candidate set is materialized once with ``localCheckpoint`` (the
+    deliberate materialization point of the pipeline — it is referenced
+    three times below; unlike ``persist`` without a matching
+    ``unpersist``, checkpoint blocks are released by the context cleaner
+    as soon as the DataFrame is unreferenced, so repeated pipeline runs
+    in one session don't accumulate cached candidate sets) and the
+    corpus is semi-filtered to candidate documents before verification,
+    so the expensive shingle recomputation touches only docs that appear
+    in some pair, not the whole corpus twice.  At 100 TB candidates are
+    a vanishing fraction of the corpus; without this filter verification
+    would re-scan and re-shingle everything.  The semi-join is left to
+    Catalyst/AQE: a broadcast hint here would force the candidate-id set
+    driver-side, which at 100 TB can exceed broadcast limits — AQE
+    already broadcasts it when it is actually small."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
     ids = (
         cands.select(F.col("id_a").alias("_cid"))
         .union(cands.select("id_b"))
         .distinct()
     )
-    cand_docs = df.join(
-        F.broadcast(ids), F.col(id_col) == F.col("_cid"), "left_semi"
-    )
+    cand_docs = df.join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
 
 

@@ -26,6 +26,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric
     DEC,
     davg,
     dsum,
+    dsum_wide,
     spark_sql_dsum,
     sql_davg,
     sql_dsum,
@@ -810,16 +811,21 @@ def agg_exact_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     of an otherwise approximation-fuzzy aggregate family.
 
     Scale: one map-side-combinable shuffle of six accumulators per
-    group — the same cost as any grouped sum."""
+    group — the same cost as any grouped sum.  The product/squared
+    moments use ``dsum_wide`` (decimal hi-accumulator): with
+    |price²| ~ 1e10 the plain-long ``dsum`` hi-sum would overflow past
+    ~1e9 rows/group, well inside a 100 TB group (functions/numeric.py
+    headroom table); DuckDB's mirrored SQL already sums into HUGEINT so
+    the oracle text is unchanged and results stay bit-equal."""
     li = load_table(spark, sf_dir, "lineitem")
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
         dsum(qty).alias("sx"),
         dsum(price).alias("sy"),
-        dsum(qty * price).alias("sxy"),
-        dsum(qty * qty).alias("sxx"),
-        dsum(price * price).alias("syy"),
+        dsum_wide(qty * price).alias("sxy"),
+        dsum_wide(qty * qty).alias("sxx"),
+        dsum_wide(price * price).alias("syy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")

@@ -118,3 +118,46 @@ def test_exact_moment_correlation_is_bounded_and_close_to_numpy(spark, pairs):
     assert -1.0 - 1e-6 <= corr <= 1.0 + 1e-6
     expected = float(np.corrcoef(xs, ys)[0, 1])
     assert abs(corr - expected) < 1e-4
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=_value_lists(), parts=st.integers(min_value=1, max_value=9))
+def test_dsum_wide_matches_dsum_and_duckdb(spark, values, parts):
+    """dsum_wide must equal dsum wherever dsum's headroom holds, and both
+    must stay bit-equal with the (always-HUGEINT-exact) DuckDB mirror."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        dsum_wide,
+    )
+
+    sdf = (
+        spark.createDataFrame([(v,) for v in values], "x double")
+        .repartition(parts)
+        .agg(dsum("x").alias("s"), dsum_wide("x").alias("w"))
+    )
+    srow = sdf.collect()[0]
+    assert srow.w == srow.s
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": values}))
+    orow = con.execute(f"SELECT {sql_dsum('x')} AS s FROM t").fetchone()
+    con.close()
+    assert srow.w == orow[0]
+
+
+def test_dsum_wide_exact_on_squared_magnitudes(spark):
+    """Squared-money magnitudes (~1e10 per value): dsum_wide recombines
+    exactly; the closed-form expected sum is computed in Python ints."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        dsum_wide,
+    )
+
+    # money-scale inputs (~1e5) whose squares (~1e10) stay inside the
+    # per-row long-quantize cap (|value| <= ~9.2e12, module docstring)
+    vals = [98_765.43, 87_654.32, 76_543.21, 65_432.1] * 50
+    sq = [round(v * v, 4) for v in vals]
+    sdf = spark.createDataFrame([(v,) for v in sq], "x double").agg(
+        dsum_wide("x").alias("w")
+    )
+    got = sdf.collect()[0].w
+    expected = float(sum(int(round(v * 1e6)) for v in sq)) / 1e6
+    assert got == expected

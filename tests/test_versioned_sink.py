@@ -237,3 +237,22 @@ def test_stats_based_data_skipping(spark, root):
     V.compact(spark, root)
     rows = sorted(r.id for r in V.read(spark, root, where=("id", 205, 209)).collect())
     assert rows == [205, 206, 207, 208, 209]
+
+
+def test_merge_and_delete_work_with_relative_root(spark, tmp_path, monkeypatch):
+    """Regression: with a RELATIVE root, manifest file paths (derived from
+    root) and _metadata.file_path (always absolute) never compared equal,
+    so MERGE/DELETE kept the rewritten files in the new manifest and
+    silently duplicated rows.  All entrypoints now abspath the root."""
+    monkeypatch.chdir(tmp_path)
+    rel = "rel_vt"
+    V.append(_df(spark, [("a", 1), ("b", 2)]), rel)
+    V.merge_upsert(_df(spark, [("a", 10), ("c", 3)]), rel, key="k")
+    got = {r.k: r.n for r in V.read(spark, rel).collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}  # no duplicated 'a'
+    V.delete_where(spark, rel, "k = 'b'")
+    got = {r.k: r.n for r in V.read(spark, rel).collect()}
+    assert got == {"a": 10, "c": 3}
+    # manifest must reference only absolute, live files
+    head = V._read_manifest(os.path.abspath(rel), V.list_versions(rel)[-1])
+    assert all(os.path.isabs(f) for f in head["files"])
