@@ -82,6 +82,27 @@ def has_cartesian(df: DataFrame) -> bool:
     )
 
 
+def window_partition_spec_sizes(df: DataFrame) -> list[int]:
+    """Partition-spec arity of every Window operator in the physical
+    plan.  A size of 0 is the scale red flag: an unpartitioned window
+    (``Window.orderBy`` with no ``partitionBy``) funnels every row
+    through a single reducer regardless of cluster size."""
+    sizes: list[int] = []
+
+    def walk(node) -> None:
+        if node.nodeName() == "Window":
+            sizes.append(node.partitionSpec().size())
+        if node.nodeName() == "AdaptiveSparkPlan":
+            # AQE wrapper exposes no children; the plan hangs off initialPlan
+            walk(node.initialPlan())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return sizes
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of hash-partition exchanges (the operations that cost at
     scale); broadcast exchanges are counted separately by plan review."""

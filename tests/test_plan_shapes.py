@@ -70,16 +70,76 @@ def test_partitioned_sink_scan_prunes_partitions(spark, sf_dir):
     assert any("o_orderstatus" in f for s in pruned for f in s.partition_filters)
 
 
+#: dedup/similarity queries that are EXPLICITLY exact baselines — their
+#: honest plan is a nested-loop/broadcast-NL join over a bounded input,
+#: and they double as the recall oracles for the bucketed paths.
+_EXACT_BASELINES = {"sim_threshold_pairs", "sim_topk_bruteforce"}
+
+
 @pytest.mark.parametrize(
     "name",
-    # sim_threshold_pairs is deliberately absent: it's the documented
-    # O(n^2) exact baseline whose honest plan IS a nested-loop join
-    ["dedup_minhash_lsh", "dedup_simhash"],
+    [
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_exact_documents",
+        "dedup_fingerprint_md5",
+        "dedup_embedding_cosine",
+        "dedup_connected_components",
+        "sim_rp_lsh_topk",
+        "sim_threshold_pairs_lsh",
+    ],
 )
 def test_candidate_joins_are_equi_not_cross(spark, sf_dir, name):
+    """Every dedup/similarity query EXCEPT the explicit exact baselines
+    must candidate-generate via equi-joins — a cartesian or nested-loop
+    node means the operator silently degraded to all-pairs."""
+    assert name not in _EXACT_BASELINES
     assert not has_cartesian(_df(spark, sf_dir, name)), (
         f"{name} degraded to a cross/NL join"
     )
+
+
+def test_ivf_candidate_join_is_equi_centroid_scoring_is_bounded(spark, sf_dir):
+    """IVF's corpus-meets-queries join must be a hash equi-join on
+    cell_id.  The plan's nested-loop joins are the centroid-scoring
+    passes — bounded O(n x n_cells) against a 16-row broadcast table,
+    which IS the IVF assignment algorithm, not a degraded candidate
+    join."""
+    kinds = join_kinds(_df(spark, sf_dir, "sim_ivf_topk"))
+    assert kinds.count("BroadcastHashJoin") + kinds.count("SortMergeJoin") + kinds.count(
+        "ShuffledHashJoin"
+    ) >= 1, kinds
+    assert "CartesianProduct" not in kinds
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["sim_ivf_topk", "sim_rp_lsh_topk", "sim_topk_bruteforce", "dedup_embedding_cosine"],
+)
+def test_similarity_windows_are_all_partitioned(spark, sf_dir, name):
+    """Every Window in the similarity plans must carry a partition spec
+    (per-query / per-vector): an unpartitioned window (the old IVF
+    centroid seeding) funnels the whole corpus through one reducer."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        window_partition_spec_sizes,
+    )
+
+    sizes = window_partition_spec_sizes(_df(spark, sf_dir, name))
+    assert all(s >= 1 for s in sizes), (name, sizes)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_shipping_priority", "q5_revenue_by_nation", "q10_returned_items"],
+)
+def test_tpch_dimension_joins_stay_broadcast(spark, sf_dir, name):
+    """TPC-H headliners must broadcast their dimension sides — a lost
+    broadcast silently becomes a full shuffle join of the fact table."""
+    df = _df(spark, sf_dir, name)
+    kinds = join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 1, (name, kinds)
+    assert not has_cartesian(df)
 
 
 def test_q9_broadcasts_dims_and_shuffles_only_the_fact_join(spark, sf_dir):
