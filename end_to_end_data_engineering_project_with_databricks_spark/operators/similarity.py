@@ -104,26 +104,62 @@ def cosine_threshold_pairs(
     )
 
 
-def rp_band_structs(vec_col, planes: list[list[float]], bands: int, rows_per_band: int):
-    """Banded sign-LSH codes: one (band, packed-bits) struct per band.
+def _planes_matrix_expr(n_planes: int, dim: int):
+    """The ±1 plane matrix as ONE array<array<double>> literal, built
+    from SQL text.  Building it element-wise (``F.array(*[F.lit(w) ...])``
+    per plane) costs one py4j round trip per literal — ~4 s of pure
+    driver latency at 64x64, billed on every query construction; a single
+    ``F.expr`` ships one string and parses JVM-side in ~0.1 s.  Memoized:
+    the matrix depends only on (n_planes, dim) and the fixed seed."""
+    key = (n_planes, dim)
+    if key not in _PLANES_EXPR_SQL:
+        planes = _rp_planes(n_planes, dim)
+        _PLANES_EXPR_SQL[key] = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{w}D" for w in p) + ")" for p in planes
+            )
+            + ")"
+        )
+    return F.expr(_PLANES_EXPR_SQL[key])
 
-    Bit j of band b is set iff dot(vec, plane[b*r+j]) > 0 — all JVM-side
-    folds over literal ±1 arrays, no UDF.  Two vectors become candidates
-    iff they agree on EVERY bit of at least one band (equi-join on the
-    (band, bits) struct), the same banding scheme as the MinHash LSH text
-    path (operators/dedup.py)."""
+
+_PLANES_EXPR_SQL: dict[tuple[int, int], str] = {}
+
+
+def rp_dots(vec_col, n_planes: int, dim: int):
+    """All n_planes signed-projection dot products as one array<double>:
+    a nested JVM-side fold (transform over the plane matrix, zip_with +
+    aggregate per plane) — no UDF, no per-plane unrolled expression, so
+    both the Python build cost and the Catalyst tree size stay O(1) in
+    n_planes."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.transform(
+        _planes_matrix_expr(n_planes, dim),
+        lambda p: F.aggregate(
+            F.zip_with(v, p, lambda x, w: x * w), F.lit(0.0), lambda acc, x: acc + x
+        ),
+    )
+
+
+def rp_band_structs_from_dots(dots_col, bands: int, rows_per_band: int):
+    """Banded sign-LSH codes from a pre-materialized dots array: one
+    (band, packed-bits) struct per band; bit j of band b is set iff
+    dots[b*r+j] > 0.  Two vectors become candidates iff they agree on
+    EVERY bit of at least one band (equi-join on the (band, bits)
+    struct), the same banding scheme as the MinHash LSH text path
+    (operators/dedup.py).  Takes the DOTS column, not the vector: the
+    dots array is referenced bands*rows times, so the caller materializes
+    it in its own projection (the ``_sh`` pattern from
+    operators/dedup.py) to stop CollapseProject from inlining the
+    n_planes-fold per reference."""
+    d = F.col(dots_col) if isinstance(dots_col, str) else dots_col
     structs = []
     for b in range(bands):
         bits = F.lit(0)
         for j in range(rows_per_band):
-            plane = planes[b * rows_per_band + j]
-            dot = F.aggregate(
-                F.zip_with(v, F.array(*[F.lit(w) for w in plane]), lambda x, w: x * w),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits = bits + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bit = F.element_at(d, b * rows_per_band + j + 1) > 0
+            bits = bits + F.when(bit, F.lit(1 << j)).otherwise(F.lit(0))
         structs.append(F.struct(F.lit(b).alias("band"), bits.alias("bv")))
     return F.array(*structs)
 
@@ -135,6 +171,7 @@ def cosine_threshold_pairs_bucketed(
     threshold: float = 0.6,
     n_planes: int = 64,
     bands: int = 16,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine-threshold pairs at scale: banded sign-LSH candidate
     generation + exact cosine verification.
@@ -156,12 +193,18 @@ def cosine_threshold_pairs_bucketed(
     exactly.
     """
     rows_per_band = n_planes // bands
-    planes = _rp_planes(n_planes, _vector_dim(corpus, vec_col))
+    if dim is None:  # one-row probe job; pass dim to skip it
+        dim = _vector_dim(corpus, vec_col)
     # band join carries (id, band, bits) only — the wide shuffle stays
-    # narrow; vectors re-join on the (vanishingly small) candidate set
-    coded = corpus.select(
-        F.col(id_col).alias("_id"),
-        F.explode(rp_band_structs(vec_col, planes, bands, rows_per_band)).alias("b"),
+    # narrow; vectors re-join on the (vanishingly small) candidate set.
+    # The dots array gets its own projection (barrier) so the plane fold
+    # runs once per row, not once per band reference.
+    dotted = corpus.select(
+        F.col(id_col).alias("_id"), rp_dots(vec_col, n_planes, dim).alias("_dots")
+    )
+    coded = dotted.select(
+        "_id",
+        F.explode(rp_band_structs_from_dots("_dots", bands, rows_per_band)).alias("b"),
     ).select("_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
     left = coded.select(F.col("_id").alias("id_a"), "band", "bv")
     right = coded.select(F.col("_id").alias("id_b"), "band", "bv")
@@ -300,7 +343,8 @@ __all__ = [
     "brute_force_topk",
     "cosine_threshold_pairs",
     "cosine_threshold_pairs_bucketed",
-    "rp_band_structs",
+    "rp_dots",
+    "rp_band_structs_from_dots",
     "ivf_assign",
     "deterministic_centroids",
     "ivf_topk",

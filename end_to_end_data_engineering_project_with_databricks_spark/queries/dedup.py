@@ -168,6 +168,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM neighbors GROUP BY vec_id
     """,
     tags=("dedup", "similarity"),
+    bench=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup dedup: cosine >= 0.6 pairs from banded
@@ -185,7 +186,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_ops.py asserts parity with the exact all-pairs
     baseline on this corpus and on planted near-dups."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
-    pairs = cosine_threshold_pairs_bucketed(e, threshold=0.6).select("id_a", "id_b")
+    pairs = cosine_threshold_pairs_bucketed(e, threshold=0.6, dim=64).select(
+        "id_a", "id_b"
+    )
     neighbors = (
         pairs.select(F.col("id_a").alias("vec_id"), F.col("id_b").alias("nid"))
         .unionAll(pairs.select(F.col("id_b").alias("vec_id"), F.col("id_a").alias("nid")))
@@ -201,6 +204,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # xxhash64-based fingerprint is engine-specific
     tags=("dedup", "approx"),
+    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs at Hamming distance <= 3, banded
