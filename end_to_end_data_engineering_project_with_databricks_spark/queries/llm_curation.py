@@ -1,0 +1,293 @@
+"""Corpus-curation query surface (operators/curation.py) plus embedding
+hygiene stats — the round-2 extension tier of the LLM-data-pipeline
+family: decontamination, boilerplate pruning, repetition filtering, PII
+redaction, deterministic domain remixing, and embedding-space QA.
+
+Every query here is fully DuckDB-oracle-checked (no rows-only entries):
+counts, md5 fingerprints, and exact fixed-point sums only, with single
+IEEE divisions — the same bit-equality discipline as the rest of the
+registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    davg,
+    sql_davg,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+    l2_norm,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.operators.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    boilerplate_ngram_stats,
+    decontaminate,
+    pii_counts,
+    pii_redact,
+    repetition_stats,
+    stratified_hash_sample,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
+from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+#: DuckDB CTE producing DISTINCT (doc_id, gram) word-k-gram rows —
+#: the SQL mirror of operators/dedup.shingles + explode.
+_SQL_GRAMS = """
+    toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             {concat} AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t) - {km1}, 0))) AS u(i)
+    )
+"""
+
+
+def _sql_gram_concat(k: int) -> str:
+    return " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(k))
+
+
+def sql_grams_cte(k: int) -> str:
+    return _SQL_GRAMS.format(concat=_sql_gram_concat(k), km1=k - 1)
+
+
+@query(
+    "text_decontaminate_ngram",
+    oracle=f"""
+    WITH {sql_grams_cte(5)},
+    eval_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, COUNT(*) AS n_shared_grams
+    FROM grams g JOIN eval_grams e ON g.gram = e.gram
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "decontamination", "join"),
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the held-out eval slice (doc_id % 97 == 0 stands in for a
+    benchmark set).  The eval gram set is tiny, so AQE broadcasts it and
+    the training side never shuffles — see operators/curation.py."""
+    d = load_table(spark, sf_dir, "documents")
+    evalset = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, evalset, "doc_id", "text", n=5)
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH {sql_grams_cte(3)},
+    df_per_gram AS (
+      SELECT gram, COUNT(*) AS df FROM grams GROUP BY gram
+    ),
+    boiler AS (SELECT gram FROM df_per_gram WHERE df >= 5)
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(b.gram) AS n_boiler,
+           CAST(COUNT(b.gram) AS DOUBLE) / COUNT(*) AS boiler_ratio
+    FROM grams g LEFT JOIN boiler b ON g.gram = b.gram
+    GROUP BY g.doc_id
+    """,
+    tags=("text", "dedup", "boilerplate", "agg"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate exposure: per-document share of 3-grams that
+    occur in >= 5 distinct documents corpus-wide."""
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(d, "doc_id", "text", n=3, min_docs=5)
+
+
+@query(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+    ),
+    per_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    )
+    SELECT doc_id,
+           SUM(c) AS n_grams,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
+           CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share
+    FROM per_gram
+    GROUP BY doc_id
+    """,
+    tags=("text", "quality", "agg"),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style degenerate-text features: duplicate-bigram fraction
+    and top-bigram share per document (drop docs above a threshold
+    downstream)."""
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text", n=2)
+
+
+def _augmented_text() -> F.Column:
+    """The fixtures are deliberately PII-free, so the PII query PLANTS
+    deterministic synthetic PII on a third of the documents before
+    scrubbing — the augmentation is part of the query (and mirrored in
+    the oracle), keeping the fixture clean while the operator does real
+    pattern work."""
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return F.when(F.col("doc_id") % 3 == 0, planted).otherwise(F.col("text"))
+
+
+_SQL_AUGMENT = """
+    CASE WHEN doc_id % 3 = 0 THEN
+      text || ' contact user' || CAST(doc_id AS VARCHAR)
+           || '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.7 call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END
+"""
+
+
+@query(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_SQL_AUGMENT} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IPV4_RE}', '<IP>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM aug
+    WHERE len(regexp_extract_all(t, '{EMAIL_RE}'))
+        + len(regexp_extract_all(t, '{IPV4_RE}'))
+        + len(regexp_extract_all(t, '{PHONE_RE}')) > 0
+    """,
+    tags=("text", "pii", "quality"),
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + scrub: per-class match counts and the md5 fingerprint
+    of the redacted text, for documents with any hit.  All JVM regex —
+    patterns written to be Java- and RE2-compatible (operators/curation.py)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _augmented_text().alias("t")
+    )
+    counts = pii_counts("t")
+    total = counts["n_emails"] + counts["n_ips"] + counts["n_phones"]
+    return (
+        d.select(
+            "doc_id",
+            counts["n_emails"].alias("n_emails"),
+            counts["n_ips"].alias("n_ips"),
+            counts["n_phones"].alias("n_phones"),
+            F.md5(pii_redact("t")).alias("redacted_fp"),
+            total.alias("_total"),
+        )
+        .filter(F.col("_total") > 0)
+        .drop("_total")
+    )
+
+
+#: Domain-remix ceilings in 1/256 units: keep ~25% of the two
+#: over-represented demo sources, ~75% of src2, everything else intact.
+_REMIX = {"src0": 64, "src1": 64, "src2": 192}
+
+
+@query(
+    "sample_stratified_sources",
+    oracle="""
+    SELECT source, doc_id
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) <
+          CASE source WHEN 'src0' THEN '40' WHEN 'src1' THEN '40'
+                      WHEN 'src2' THEN 'c0' ELSE 'zz' END
+    """,
+    tags=("sample", "filter", "curation"),
+)
+def sample_stratified_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain remixing: per-source hash-threshold
+    subsample (no shuffle — a pure scan predicate; see
+    operators/curation.stratified_hash_sample).  Ceilings: src0/src1
+    -> 64/256 (~25%), src2 -> 192/256 (~75%), rest kept whole."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    return stratified_hash_sample(d, "source", key, _REMIX).select(
+        "source", "doc_id"
+    )
+
+
+@query(
+    "emb_norm_stats",
+    oracle=f"""
+    WITH norms AS (
+      SELECT label,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           {sql_davg('nrm')} AS avg_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    tags=("similarity", "agg", "quality"),
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene per label: vector count and L2-norm
+    average/min/max — the cheap full-corpus QA pass run before any ANN
+    indexing (catches zero/denormal vectors and scale drift).  Norms are
+    an in-row JVM fold; the aggregate uses the exact fixed-point sum so
+    doubles hash-match the oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norms = e.select("label", l2_norm("embedding").alias("nrm"))
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        davg("nrm").alias("avg_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle=f"""
+    SELECT label, i - 1 AS pos,
+           {sql_davg('CAST(embedding[i] AS DOUBLE)')} AS centroid
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS u(i)
+    GROUP BY label, i - 1
+    """,
+    tags=("similarity", "agg"),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode +
+    hash aggregate with map-side partials — the shuffle carries at most
+    n_labels * dim partial rows per task regardless of corpus size.
+    This is the codebook-training primitive (one k-means M-step with
+    labels as assignments); emitting (label, pos, value) rows instead of
+    reassembled arrays keeps the result hash-checkable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("label", F.col("pos"), F.col("col").alias("val"))
+    return exploded.groupBy("label", "pos").agg(davg("val").alias("centroid"))

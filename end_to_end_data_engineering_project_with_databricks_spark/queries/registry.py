@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "end_to_end_data_engineering_project_with_databricks_spark.queries.pandas_queries",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks",
     "end_to_end_data_engineering_project_with_databricks_spark.queries.modern_sql",
+    "end_to_end_data_engineering_project_with_databricks_spark.queries.llm_curation",
 )
 
 REGISTRY: dict[str, "QuerySpec"] = {}
