@@ -153,15 +153,26 @@ def rp_band_structs_from_dots(dots_col, bands: int, rows_per_band: int):
     it in its own projection (the ``_sh`` pattern from
     operators/dedup.py) to stop CollapseProject from inlining the
     n_planes-fold per reference."""
-    d = F.col(dots_col) if isinstance(dots_col, str) else dots_col
-    structs = []
-    for b in range(bands):
-        bits = F.lit(0)
-        for j in range(rows_per_band):
-            bit = F.element_at(d, b * rows_per_band + j + 1) > 0
-            bits = bits + F.when(bit, F.lit(1 << j)).otherwise(F.lit(0))
-        structs.append(F.struct(F.lit(b).alias("band"), bits.alias("bv")))
-    return F.array(*structs)
+    if not isinstance(dots_col, str):
+        raise TypeError("rp_band_structs_from_dots takes the dots COLUMN NAME")
+    # One JVM-parsed string, not bands*rows_per_band unrolled py4j ops
+    # (same build-latency fix as the plane-matrix literal above).  Band
+    # and bit indices stay LITERALS so the dots column is referenced
+    # bands*rows times textually — multi-reference keeps CollapseProject
+    # from inlining the n_planes-fold projection into each band (see
+    # operators/dedup.minhash_signatures for the measured regression).
+    structs = ",".join(
+        "named_struct('band', {b}, 'bv', {bits})".format(
+            b=b,
+            bits=" + ".join(
+                f"(CASE WHEN element_at({dots_col}, {b * rows_per_band + j + 1}) > 0D"
+                f" THEN {1 << j} ELSE 0 END)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return F.expr(f"array({structs})")
 
 
 def cosine_threshold_pairs_bucketed(
