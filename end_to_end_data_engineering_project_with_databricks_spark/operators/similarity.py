@@ -300,6 +300,44 @@ def deterministic_centroids(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_rows: int = 20_000,
+) -> DataFrame:
+    """Trained IVF codebook: k-means|| via ``pyspark.ml.clustering.KMeans``
+    on a bounded deterministic sample of the corpus.
+
+    The fit runs on at most ``sample_rows`` vectors (TakeOrderedAndProject
+    on a per-row hash — a distributed partial top-k, no global sort or
+    single-reducer window), which is how production IVF codebooks are
+    trained at 100 TB: centroid quality converges long before the sample
+    does, so the O(iters x k x n) fit cost stays bounded while assignment
+    (`ivf_assign`) streams the full corpus exactly once.  Seeded k-means||
+    keeps the codebook reproducible for the rows-only driver gate.
+    Returns (cell_id, centroid: array<double>) — drop-in for
+    :func:`deterministic_centroids` via ``ivf_topk(centroids=...)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)).asc(), F.col(id_col).asc())
+        .limit(sample_rows)
+        .select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(sample)
+    spark = corpus.sparkSession
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(centers, "cell_id INT, centroid ARRAY<DOUBLE>")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -308,14 +346,21 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest cells per query and
     rank only vectors assigned to those cells.
 
     The candidate join is an equi-join on cell_id (shuffle/broadcast by
     Catalyst) — the only place corpus rows meet query rows, and it carries
-    |corpus| * (nprobe/n_cells) rows instead of |corpus| x |queries|."""
-    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    |corpus| * (nprobe/n_cells) rows instead of |corpus| x |queries|.
+    ``centroids`` swaps in a trained codebook (:func:`kmeans_centroids`);
+    the default is the deterministic seed."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
@@ -358,6 +403,7 @@ __all__ = [
     "rp_band_structs_from_dots",
     "ivf_assign",
     "deterministic_centroids",
+    "kmeans_centroids",
     "ivf_topk",
 ]
 

@@ -141,3 +141,29 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return rp_lsh_topk(e, queries, n_planes=8, dim=64, k=5)
+
+
+@query(
+    "sim_ivf_kmeans_topk",
+    oracle=None,  # trained codebook -> cell contents are model-dependent
+    tags=("similarity", "topk", "approx", "ml"),
+)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 over a TRAINED codebook: seeded k-means|| centroids
+    (pyspark.ml, fit on a bounded deterministic sample —
+    operators/similarity.kmeans_centroids) instead of the deterministic
+    id-seed.  The probe/assign/rank plan is identical to ``sim_ivf_topk``
+    (equi-join on cell_id, no theta node); training only changes which
+    vectors share a cell — on real clustered embeddings that is what
+    raises recall at a fixed nprobe (the fixture's embeddings are random
+    noise, so neither seeding has a structural recall edge there).
+    Companion test checks mechanism correctness: the result equals brute
+    force restricted to the probed cells."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    cents = kmeans_centroids(e, n_cells=16)
+    return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5, centroids=cents)

@@ -527,3 +527,61 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value").alias("value_sum"),
         )
     )
+
+
+@query(
+    "sink_versioned_changes",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey, 2 * o_totalprice AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (2, 3)
+    ),
+    pre AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 2)
+    SELECT 'insert' AS change_type, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM src
+    UNION ALL
+    SELECT 'delete' AS change_type, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM pre
+    """,
+    tags=("sink", "versioned", "cdc"),
+)
+def sink_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed on the versioned table
+    (sources/versioned.table_changes — the Delta CDF twin): commit a base
+    snapshot of orders, MERGE a batch that updates a quarter of keys
+    (doubled price, status 'U') and inserts a new quarter, then read the
+    row-level changes between the two versions and aggregate per change
+    type.  Updates surface as delete(pre-image) + insert(post-image).
+
+    The oracle pins the full CDF contract: inserts = the whole merge
+    source, deletes = exactly the pre-images of matched keys — which
+    holds ONLY if the copy-on-write rewrite rows (unmatched keys
+    co-located in touched files) cancel out of the manifest-diff
+    EXCEPT ALL, i.e. the feed is computed from churned files without
+    phantom changes, at a cost independent of table size."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_cdc")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders.filter(F.col("o_orderkey") % 4 < 3), root)
+    src = orders.filter(F.col("o_orderkey") % 4 >= 2).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (2 * F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    V.merge_upsert(src, root, key="o_orderkey")
+    return (
+        V.table_changes(spark, root, from_version=1, to_version=2)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+    )

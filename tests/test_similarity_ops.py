@@ -168,3 +168,28 @@ def test_rp_lsh_equals_bruteforce_on_probed_buckets(spark, sf_dir):
         ]
         for i, r in enumerate(eligible[:3], start=1):
             assert got.get((qid, i)) == r.neighbor_id, (qid, i)
+
+
+def test_kmeans_ivf_mechanism_and_codebook_shape(spark, emb):
+    """Trained-codebook IVF: centroids are reproducible (seeded fit on a
+    deterministic sample), every cell id is a codebook id, and a full
+    probe over the trained cells equals brute force (mechanism is
+    seeding-independent)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    df, _ = emb
+    cents = kmeans_centroids(df, n_cells=8)
+    rows = cents.collect()
+    assert sorted(r.cell_id for r in rows) == list(range(8))
+    assert all(len(r.centroid) == len(rows[0].centroid) for r in rows)
+    again = {r.cell_id: r.centroid for r in kmeans_centroids(df, n_cells=8).collect()}
+    assert {r.cell_id: r.centroid for r in rows} == again  # seeded -> stable
+
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(df, queries, k=4)
+    approx = ivf_topk(df, queries, n_cells=8, nprobe=8, k=4, centroids=cents)
+    e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
+    a = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
+    assert e == a

@@ -256,3 +256,42 @@ def test_merge_and_delete_work_with_relative_root(spark, tmp_path, monkeypatch):
     # manifest must reference only absolute, live files
     head = V._read_manifest(os.path.abspath(rel), V.list_versions(rel)[-1])
     assert all(os.path.isabs(f) for f in head["files"])
+
+
+def test_table_changes_append_merge_delete(spark, root):
+    """CDF contract: appends -> inserts; MERGE -> delete(pre) + insert(post)
+    with CoW-rewritten co-located rows cancelling; DELETE -> deletes."""
+    V.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1), root)          # v1
+    V.append(_df(spark, [("c", 3)]).coalesce(1), root)                    # v2
+    ch = V.table_changes(spark, root, 1, 2).collect()
+    assert {(r.k, r.n, r._change_type) for r in ch} == {("c", 3, "insert")}
+
+    # MERGE updates 'a' (same file as untouched 'b' -> CoW rewrite of both)
+    V.merge_upsert(_df(spark, [("a", 10), ("d", 4)]), root, key="k")      # v3
+    ch = {(r.k, r.n, r._change_type) for r in V.table_changes(spark, root, 2, 3).collect()}
+    assert ch == {("a", 1, "delete"), ("a", 10, "insert"), ("d", 4, "insert")}
+    # 'b' was rewritten but unchanged -> must NOT appear in the feed
+
+    V.delete_where(spark, root, "n = 3")                                  # v4
+    ch = {(r.k, r.n, r._change_type) for r in V.table_changes(spark, root, 3, 4).collect()}
+    assert ch == {("c", 3, "delete")}
+
+    # cumulative feed across versions composes (v1 -> latest)
+    ch = {(r.k, r.n, r._change_type) for r in V.table_changes(spark, root, 1).collect()}
+    assert ("a", 1, "delete") in ch and ("a", 10, "insert") in ch
+
+
+def test_table_changes_compact_is_silent(spark, root):
+    """OPTIMIZE-style rewrites are dataChange=false: zero feed rows."""
+    for i in range(4):
+        V.append(_df(spark, [(f"k{i}", i)]).coalesce(1), root)
+    v = V.compact(spark, root)
+    assert V.table_changes(spark, root, v - 1, v).count() == 0
+
+
+def test_table_changes_bad_version(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        V.table_changes(spark, root, 1, 9)
