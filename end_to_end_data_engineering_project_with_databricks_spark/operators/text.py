@@ -95,6 +95,91 @@ def quality_score(text: Column | str) -> Column:
     return (len_term + stop_term) / 2
 
 
+#: Gopher rule stopwords (Rae et al. 2021, "Scaling Language Models",
+#: appendix A1.1): a document must contain at least 2 of these.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: Gopher rule thresholds: (min_words, max_words, min/max mean word len,
+#: max symbol-to-word ratio, max bullet-start line fraction, max
+#: ellipsis-end line fraction, min alphabetic-word fraction, min distinct
+#: required stopwords).
+GOPHER_BOUNDS = {
+    "n_words": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_ratio_max": 0.1,
+    "bullet_line_frac_max": 0.9,
+    "ellipsis_line_frac_max": 0.3,
+    "alpha_word_frac_min": 0.8,
+    "n_required_stopwords_min": 2,
+}
+
+#: Portable regexes (valid and identical in Java and RE2, no SQL-escape
+#: differences — the PII-pattern convention from operators/curation.py).
+_SYMBOL_RE = "[#…]|[.][.][.]"
+_BULLET_RE = "^[ ]*[-*•]"
+_ELLIPSIS_END_RE = "([.][.][.]|…)[ ]*$"
+_ALPHA_RE = "[A-Za-z]"
+
+
+def gopher_features(text: Column | str) -> dict[str, Column]:
+    """Per-document Gopher quality-rule features (Rae et al. 2021 §A1.1,
+    the rule set C4/RefinedWeb-style curation pipelines apply): word
+    count, mean word length, symbol-to-word ratio (# and ellipses),
+    bullet-start and ellipsis-end line fractions, alphabetic-word
+    fraction, distinct required-stopword count.
+
+    All JVM-side array/regex expressions (whole-stage codegen, no UDF);
+    every ratio is one IEEE division of exact integer counts, so values
+    are bit-equal to the DuckDB oracle mirror
+    (queries/text_analysis.text_quality_gopher).  Completes the quality
+    ladder next to :func:`quality_features` (generic fluency features)
+    and operators/curation.repetition_stats (the Gopher repetition
+    rules)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    lines = F.split(c, "\n")
+    n_words_d = F.size(toks).cast("double")
+    n_lines_d = F.size(lines).cast("double")
+    n_chars = F.length(c).cast("double")
+    return {
+        "n_words": F.size(toks),
+        "mean_word_len": (n_chars - (n_words_d - 1)) / n_words_d,
+        "symbol_ratio": (
+            F.size(F.regexp_extract_all(c, F.lit(_SYMBOL_RE), 0)).cast("double")
+            / n_words_d
+        ),
+        "bullet_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(_BULLET_RE))).cast("double")
+            / n_lines_d
+        ),
+        "ellipsis_line_frac": (
+            F.size(F.filter(lines, lambda l: l.rlike(_ELLIPSIS_END_RE))).cast("double")
+            / n_lines_d
+        ),
+        "alpha_word_frac": (
+            F.size(F.filter(toks, lambda w: w.rlike(_ALPHA_RE))).cast("double")
+            / n_words_d
+        ),
+        "n_required_stopwords": F.size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+        ),
+    }
+
+
+def gopher_pass(feats: dict[str, Column]) -> Column:
+    """AND of the Gopher rules over :func:`gopher_features` output."""
+    b = GOPHER_BOUNDS
+    return (
+        feats["n_words"].between(*b["n_words"])
+        & feats["mean_word_len"].between(*b["mean_word_len"])
+        & (feats["symbol_ratio"] <= b["symbol_ratio_max"])
+        & (feats["bullet_line_frac"] <= b["bullet_line_frac_max"])
+        & (feats["ellipsis_line_frac"] <= b["ellipsis_line_frac_max"])
+        & (feats["alpha_word_frac"] >= b["alpha_word_frac_min"])
+        & (feats["n_required_stopwords"] >= b["n_required_stopwords_min"])
+    )
+
+
 def rolling_fingerprint(text: Column | str) -> Column:
     """Order-sensitive document fingerprint: xxhash64 chained over tokens
     (h = xxhash64(h, token)) — a rolling hash that distinguishes

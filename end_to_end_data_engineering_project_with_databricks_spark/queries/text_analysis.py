@@ -327,3 +327,90 @@ def text_tfidf_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+
+
+def _gopher_oracle() -> str:
+    """DuckDB mirror of operators/text.gopher_features + gopher_pass —
+    same counts, same single IEEE divisions, same inclusive bounds."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.text import (
+        _ALPHA_RE,
+        _BULLET_RE,
+        _ELLIPSIS_END_RE,
+        _SYMBOL_RE,
+        GOPHER_BOUNDS,
+        GOPHER_STOPWORDS,
+    )
+
+    b = GOPHER_BOUNDS
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+        CAST(len(string_split(text, chr(10))) AS DOUBLE) AS nl,
+        CAST(length(text) AS DOUBLE) AS nc,
+        CAST(len(regexp_extract_all(text, '{_SYMBOL_RE}')) AS DOUBLE) AS nsym,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '{_BULLET_RE}'))) AS DOUBLE) AS nbul,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '{_ELLIPSIS_END_RE}'))) AS DOUBLE) AS nell,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> regexp_matches(w, '{_ALPHA_RE}'))) AS DOUBLE) AS nalpha,
+        CAST(len(list_intersect(string_split(text, ' '), [{stop}])) AS INT)
+          AS n_required_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+      (nc - (nw - 1)) / nw AS mean_word_len,
+      nsym / nw AS symbol_ratio,
+      nbul / nl AS bullet_line_frac,
+      nell / nl AS ellipsis_line_frac,
+      nalpha / nw AS alpha_word_frac,
+      n_required_stopwords,
+      (n_words BETWEEN {b["n_words"][0]} AND {b["n_words"][1]})
+        AND ((nc - (nw - 1)) / nw BETWEEN {b["mean_word_len"][0]} AND {b["mean_word_len"][1]})
+        AND nsym / nw <= {b["symbol_ratio_max"]}
+        AND nbul / nl <= {b["bullet_line_frac_max"]}
+        AND nell / nl <= {b["ellipsis_line_frac_max"]}
+        AND nalpha / nw >= {b["alpha_word_frac_min"]}
+        AND n_required_stopwords >= {b["n_required_stopwords_min"]} AS passes
+    FROM f
+    """
+
+
+@query(
+    "text_quality_gopher",
+    oracle=_gopher_oracle(),
+    tags=("text", "quality", "curation"),
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher quality-rule pack (Rae et al. 2021 §A1.1) per
+    document: word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, bullet-start / ellipsis-end line fractions, alphabetic-word
+    fraction, required-stopword presence — plus the AND-of-all-rules
+    ``passes`` verdict used as a pre-dedup corpus filter.
+
+    One narrow projection over the corpus scan (no shuffle, no UDF, all
+    whole-stage codegen) — at 100 TB this pipelines with the read and is
+    I/O-bound, which is exactly what a first-pass quality gate must be.
+    Line-based rules are exercised on constructed multi-line docs in
+    tests/test_curation_ops.py (the fixture corpus is single-line)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.text import (
+        gopher_features,
+        gopher_pass,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    feats = gopher_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_words"].alias("n_words"),
+        feats["mean_word_len"].alias("mean_word_len"),
+        feats["symbol_ratio"].alias("symbol_ratio"),
+        feats["bullet_line_frac"].alias("bullet_line_frac"),
+        feats["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        feats["alpha_word_frac"].alias("alpha_word_frac"),
+        feats["n_required_stopwords"].alias("n_required_stopwords"),
+        gopher_pass(feats).alias("passes"),
+    )

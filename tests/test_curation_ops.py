@@ -108,3 +108,36 @@ def test_stratified_hash_sample_deterministic_and_proportional(spark):
     a = sorted(r.doc_id for r in out.collect())
     b = sorted(r.doc_id for r in out.collect())
     assert a == b
+
+
+def test_gopher_rules_on_constructed_docs(spark):
+    """Line-based and symbol rules on multi-line docs (the fixture corpus
+    is single-line, so these paths are exercised here)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.text import (
+        gopher_features,
+        gopher_pass,
+    )
+
+    good = " ".join(["the quick brown fox jumps over the lazy dog and"] * 6)
+    bullets = "\n".join(["- item one", "* item two", "• item three", "prose line"])
+    ellipses = "\n".join(["to be continued...", "more to come…", "and with that the end"])
+    symbolic = "## ## ## the of ..."
+    df = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, ellipses), (4, symbolic)], "id long, text string"
+    )
+    feats = gopher_features("text")
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            *[v.alias(k) for k, v in feats.items()],
+            gopher_pass(feats).alias("passes"),
+        ).collect()
+    }
+    assert out[1].n_words == 60 and out[1].n_required_stopwords >= 2
+    assert out[1].passes  # fluent English prose above the length floor
+    assert out[2].bullet_line_frac == 0.75  # 3 of 4 lines bullet-start
+    assert abs(out[3].ellipsis_line_frac - 2 / 3) < 1e-15  # 2 of 3 lines
+    assert out[4].symbol_ratio > 0.1 and not out[4].passes
+    # word-count floor alone fails the short docs regardless of style
+    assert not out[2].passes and not out[3].passes
