@@ -69,10 +69,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sim_topk_bruteforce",
     "sim_threshold_pairs",
     "sim_ivf_topk",
-    # -- text analysis + curation pipeline --
+    # -- text analysis + quality + curation tier --
     "text_tfidf_distinctive_terms",
-    "text_token_stats",
+    "text_quality_gopher",
     "pipeline_corpus_curation",
+    "text_pii_redaction",
+    "text_decontaminate_ngram",
+    # -- embedding hygiene --
+    "emb_norm_stats",
     # -- multimodal (mapInPandas decode + pandas-udf resize) --
     "mm_decode_features",
     "mm_resize",
@@ -91,19 +95,17 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "source_csv_roundtrip",
     "source_corrupt_records",
     "source_python_datasource",
-    # -- sinks (partitioned, versioned time-travel, MERGE) --
+    # -- sinks (partitioned, versioned time-travel, MERGE+CDC) --
     "sink_versioned_time_travel",
-    "sink_merge_upsert",
+    "sink_versioned_changes",  # exercises merge_upsert AND table_changes
     "sink_partitioned_pruning",
     # -- modern SQL surface --
     "sql_recursive_date_spine",
     "sql_variant_extraction",
-    # -- scalar function packs --
+    # -- scalar function packs (2 reps; all 10 packs oracle-checked
+    # locally by tests/test_queries_vs_oracle.py) --
     "string_functions",
     "date_functions",
-    "array_functions",
-    "json_functions",
-    "try_functions",
     # -- generators / unnest --
     "explode_tokens",
     # -- relational representatives (filter/join-skew/agg/window/topk/setop) --

@@ -39,6 +39,13 @@ def test_window_samples_every_family() -> None:
     assert len(with_prefix("sim_")) >= 3
     assert len(with_prefix("text_")) >= 2
     assert "pipeline_corpus_curation" in window
+    # curation tier (decontamination / PII) + quality gate + emb hygiene
+    assert "text_pii_redaction" in window
+    assert "text_decontaminate_ngram" in window
+    assert "text_quality_gopher" in window
+    assert "emb_norm_stats" in window
+    # CDC slot covers merge_upsert (called inside) plus table_changes
+    assert "sink_versioned_changes" in window
     assert len(with_prefix("mm_")) >= 2
     # events / streaming / pandas-UDF surfaces
     assert len(with_prefix("events_")) >= 2
@@ -48,7 +55,7 @@ def test_window_samples_every_family() -> None:
     assert len(with_prefix("source_")) >= 2
     assert len(with_prefix("sink_")) >= 2
     assert len(with_prefix("sql_")) >= 2
-    assert len([n for n in window if "functions" in n]) >= 4
+    assert len([n for n in window if "functions" in n]) >= 2
     assert len(with_prefix("explode_")) >= 1
     # relational representatives
     tags = {t for s in window.values() for t in s.tags}
