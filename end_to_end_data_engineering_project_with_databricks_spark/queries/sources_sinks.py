@@ -585,3 +585,54 @@ def sink_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("_change_type").alias("change_type"))
         .agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
     )
+
+
+@query(
+    "source_versioned_stream",
+    oracle=f"""
+    SELECT 1 AS commit_version, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 2 AS commit_version, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT 3 AS commit_version, COUNT(*) AS n_rows,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 4 = 2
+    """,
+    tags=("source", "streaming", "versioned", "datasource"),
+)
+def source_versioned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion FROM the versioned table — the Delta streaming
+    source twin (sources/versioned_stream.py, Spark 4 Python Data
+    Source): three commits of disjoint orders slices, then one
+    availableNow run that consumes every commit as offset-tracked
+    micro-batch input, one partition per (version, file).  Per-version
+    aggregates pin both the row routing and the offset bookkeeping:
+    every row must surface exactly once under its own commit version."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.versioned_stream import (
+        VersionedStreamDataSource,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
+        run_to_memory,
+    )
+
+    root = _tmp("orders_stream_src")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        V.append(orders.filter(F.col("o_orderkey") % 4 == m), root)
+
+    spark.dataSource.register(VersionedStreamDataSource)
+    stream = spark.readStream.format("versioned_stream").option("root", root).load()
+    agg = stream.groupBy(
+        F.col("_commit_version").cast("int").alias("commit_version")
+    ).agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
+    return run_to_memory(agg, output_mode="complete")
