@@ -56,8 +56,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q10_returned_items",
     # -- dedup ladder (exact -> fingerprint -> n-gram -> LSH -> graph) --
     "dedup_exact_documents",
     "dedup_fingerprint_md5",
@@ -77,16 +75,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_decontaminate_ngram",
     # -- embedding hygiene --
     "emb_norm_stats",
-    # -- multimodal (mapInPandas decode + pandas-udf resize) --
+    # -- multimodal (mapInPandas decode + pandas-udf resize + metadata) --
     "mm_decode_features",
     "mm_resize",
-    # -- events (window-agg, sessionize, as-of join) --
+    "mm_binary_metadata",
+    # -- events (window-agg, sessionize, as-of join, rollup, gap-fill) --
     "events_tumbling_counts",
     "events_sessionize",
     "events_asof_purchase_click",
+    "events_sliding_windows",
+    "events_hierarchical_rollup",
+    "events_forward_fill",
     # -- structured streaming (batch-oracle-checked) --
     "stream_tumbling_counts",
     "stream_dedup_keys",
+    "stream_session_windows",
     # -- UDF / pandas / UDTF surface --
     "pandas_scalar_token_count",
     "pandas_cogroup_asof",
@@ -95,26 +98,24 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "source_csv_roundtrip",
     "source_corrupt_records",
     "source_python_datasource",
+    "source_orc_roundtrip",
     # -- sinks (partitioned, versioned time-travel, MERGE+CDC) --
     "sink_versioned_time_travel",
     "sink_versioned_changes",  # exercises merge_upsert AND table_changes
     "sink_partitioned_pruning",
+    "sink_merge_upsert",
     # -- modern SQL surface --
     "sql_recursive_date_spine",
     "sql_variant_extraction",
+    "sql_lateral_topk_per_group",
     # -- scalar function packs (2 reps; all 10 packs oracle-checked
     # locally by tests/test_queries_vs_oracle.py) --
-    "string_functions",
-    "date_functions",
-    # -- generators / unnest --
-    "explode_tokens",
-    # -- relational representatives (filter/join-skew/agg/window/topk/setop) --
-    "filter_predicates",
+    "json_functions",
+    "map_functions",
+    # -- relational representative (skew-join flagship; the other
+    # relational reps earned green driver rows in r1/r2 and rotated out
+    # so never-driver-checked families get rows — VERDICT r2 item 4) --
     "join_salted_skew",
-    "agg_grouping_sets",
-    "window_range_frame",
-    "topk_per_group",
-    "set_union_all_parties",
 )
 
 

@@ -49,18 +49,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pin_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts is physically timestamp[ns]; with nanosAsLong it surfaces as
-        # int64 nanos.  Normalize to TIMESTAMP_NTZ (matching the other
-        # fixture tables and the DuckDB oracle's naive timestamps).
-        from pyspark.sql import functions as F
-
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
-                "timestamp_ntz"
-            ),
-        )
+        df = df.withColumn("ts", _normalize_event_time(df.schema["ts"].dataType))
     return df
+
+
+def _normalize_event_time(loaded_type: "DataType") -> "Column":
+    """Normalize the events ``ts`` column to TIMESTAMP_NTZ regardless of the
+    fixture's physical Parquet layout.
+
+    The fixture has shipped both ``timestamp[ns]`` (surfaced as int64 nanos
+    under ``nanosAsLong``) and ``timestamp[us]`` (surfaced directly as a
+    timestamp).  Branch on the *loaded* Spark dtype — never assume the
+    physical type (the round-2 regression: a hard-coded nanos conversion
+    errored on the us layout in batch and silently corrupted it in
+    streaming).  TIMESTAMP_NTZ matches the other fixture tables and the
+    DuckDB oracle's naive timestamps.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if isinstance(loaded_type, LongType):
+        # int64 epoch-nanos (timestamp[ns] under nanosAsLong)
+        return F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")).cast(
+            "timestamp_ntz"
+        )
+    # already a timestamp (timestamp[us/ms] -> TIMESTAMP or TIMESTAMP_NTZ)
+    return F.col("ts").cast("timestamp_ntz")
 
 
 def load_tables(

@@ -31,8 +31,9 @@ from pyspark.sql.streaming import DataStreamWriter
 from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import dsum
 from end_to_end_data_engineering_project_with_databricks_spark.session import pin_session_conf
 
-#: Explicit source schema for the events stream (ts = int64 nanos, the
-#: physical Parquet type under nanosAsLong; streaming sources cannot infer).
+#: int64-nanos events layout (``timestamp[ns]`` under ``nanosAsLong``).
+#: NOT assumed for the fixture — :func:`events_stream` introspects the real
+#: footer; tests use this to synthesize nanos-layout files deliberately.
 EVENTS_STREAM_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -41,18 +42,35 @@ EVENTS_STREAM_SCHEMA = (
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events Parquet with event-time normalized
-    to TimestampType (UTC session) — the streaming twin of
-    sources/readers.load_table("events")."""
+    to TIMESTAMP_NTZ — the streaming twin of
+    sources/readers.load_table("events").
+
+    Streaming file sources cannot infer schemas, so the stream schema is
+    derived from the *batch* footer of the same file (a driver-side
+    metadata read).  This keeps the stream layout-adaptive: a
+    ``timestamp[ns]`` fixture surfaces ``ts`` as int64 nanos under
+    ``nanosAsLong``, a ``timestamp[us]`` fixture as TIMESTAMP_NTZ — a
+    hard-coded ``ts long`` schema silently reinterprets raw micros as
+    nanos (the round-2 stream_tumbling_counts 25-vs-8016-row corruption).
+    """
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        _normalize_event_time,
+        table_path,
+    )
+
     pin_session_conf(spark)
+    raw_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
     # the fixture is a single file, but the file stream source needs a
     # directory: stream the sf_dir with a glob pinned to the events file
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    # Watermarks reject TIMESTAMP_NTZ; with the session pinned to UTC the
+    # cast to TIMESTAMP preserves wall time (naive-UTC fixture semantics).
     return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        "ts", _normalize_event_time(raw_schema["ts"].dataType).cast("timestamp")
     )
 
 
