@@ -181,6 +181,16 @@ def load_into_table(
     - ``dedup_scope``: anti-join against this slice of the sink instead of
       the full table — partition-pruned dedup, the 100 TB fix for the
       reference's O(full-sink) scan per batch.
+
+    **Single-writer assumption** (same as the reference's scheduled
+    notebook, which runs one job at a time): the dedup is check-then-act
+    against a non-transactional parquet sink — two concurrent callers can
+    both anti-join against the same snapshot and both append the same
+    key.  For concurrent writers, sink through the versioned table
+    instead (``streaming.windows.run_foreach_batch_versioned`` /
+    ``sources.versioned.merge_upsert``), whose optimistic commit
+    recomputes the touched-file set on every retry, keeping keys unique
+    under races (tests/test_versioned_sink.py concurrency tests).
     """
     ensure_sink(spark, table)
     existing = spark.table(table)

@@ -453,6 +453,50 @@ def sink_versioned_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "sink_versioned_vacuum_travel",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "versioned", "vacuum", "time-travel"),
+)
+def sink_versioned_vacuum_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM + timestampAsOf on the versioned table: three commits
+    (append 'F', append 'O', CoW-delete 'F'), a wall-clock time-travel
+    read of the head, then ``vacuum(retain_last=1)`` which drops the two
+    old manifests and the now-unreferenced 'F' data files.  The result
+    is the DISTINCT union of the timestamp-travel aggregate and the
+    post-vacuum aggregate — identical rows iff timestamp resolution hit
+    the right snapshot AND vacuum deleted nothing live, so either
+    failure breaks the row-count/hash against the oracle."""
+    import shutil
+    import time
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_vacuum_travel")
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders.filter(F.col("o_orderstatus") == "F"), root)
+    V.append(orders.filter(F.col("o_orderstatus") == "O"), root)
+    V.delete_where(spark, root, "o_orderstatus = 'F'")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price")
+        )
+
+    ts_head = agg(V.read(spark, root, timestamp=time.time()))
+    V.vacuum(root, retain_last=1, min_age_seconds=0)
+    return ts_head.unionByName(agg(V.read(spark, root))).distinct()
+
+
+@query(
     "sink_partitioned_pruning",
     oracle=f"""
     SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -60,6 +60,8 @@ on a Databricks/delta-spark environment:
     delete_where()                   DELETE FROM t WHERE p (CoW)
     compact()                        OPTIMIZE t (bin-packing)
     idempotent_append()              MERGE ... WHEN NOT MATCHED THEN INSERT
+    read(timestamp=...)              .option("timestampAsOf", ...)
+    vacuum()                         VACUUM t RETAIN n HOURS + log retention
 
 To target real Delta: replace the manifest read/commit with
 ``format("delta")`` reads/writes and drop this module's log handling —
@@ -72,6 +74,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +108,43 @@ def list_versions(root: str) -> list[int]:
 def _read_manifest(root: str, version: int) -> dict:
     with open(_manifest_file(root, version)) as fh:
         return json.load(fh)
+
+
+def _try_commit(root: str, version: int, manifest: dict) -> bool:
+    """Atomically create the next manifest (O_EXCL); False = lost the
+    race.  Stamps ``committed_at`` (unix epoch) — the wall-clock index
+    for timestamp time travel (Delta ``timestampAsOf``)."""
+    manifest["committed_at"] = time.time()
+    try:
+        with open(_manifest_file(root, version), "x") as fh:
+            json.dump(manifest, fh)
+        return True
+    except FileExistsError:
+        return False
+
+
+def _commit_time(root: str, version: int) -> float:
+    """Commit wall-clock; manifests predating the ``committed_at`` field
+    fall back to the manifest file's mtime (same clock, set at create)."""
+    m = _read_manifest(root, version)
+    ts = m.get("committed_at")
+    return float(ts) if ts is not None else os.path.getmtime(_manifest_file(root, version))
+
+
+def version_at_timestamp(root: str, ts: float) -> int:
+    """Latest version committed at or before unix-epoch ``ts`` (Delta
+    ``timestampAsOf`` resolution: the snapshot a reader at that instant
+    would have seen)."""
+    root = os.path.abspath(root)
+    versions = list_versions(root)
+    eligible = [v for v in versions if _commit_time(root, v) <= ts]
+    if not eligible:
+        raise ValueError(
+            f"no version at {root} committed at or before {ts} "
+            f"(earliest retained commit: "
+            f"{_commit_time(root, versions[0]) if versions else 'none'})"
+        )
+    return eligible[-1]
 
 
 def _schema_key(schema_json: str) -> list[tuple[str, str]]:
@@ -232,12 +273,9 @@ def append(
             "files": files,
             "stats": stats,
         }
-        try:
-            with open(_manifest_file(root, next_version), "x") as fh:
-                json.dump(manifest, fh)
+        if _try_commit(root, next_version, manifest):
             return next_version
-        except FileExistsError:
-            continue  # lost the race; retry against the new head
+        # lost the race; retry against the new head
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
 
 
@@ -269,18 +307,27 @@ def read(
     root: str,
     version: int | None = None,
     where: tuple | None = None,
+    timestamp: float | None = None,
 ) -> DataFrame:
     """Snapshot read; ``version=None`` reads the latest commit.  Empty
     tables (no commits) are an error — create one with ``append``.
+
+    ``timestamp`` (unix epoch) resolves to the latest version committed
+    at or before that instant — Delta's ``timestampAsOf``; mutually
+    exclusive with ``version``.
 
     ``where=(col, lo, hi)`` applies manifest-stats data skipping (files
     recorded via ``append(stats_cols=...)`` whose min/max range cannot
     intersect [lo, hi] are never opened) AND the corresponding row
     filter, so results are exact regardless of file layout."""
     root = os.path.abspath(root)
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
     versions = list_versions(root)
     if not versions:
         raise FileNotFoundError(f"no committed versions at {root}")
+    if timestamp is not None:
+        version = version_at_timestamp(root, timestamp)
     v = versions[-1] if version is None else version
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
@@ -435,12 +482,9 @@ def merge_upsert(df: DataFrame, root: str, key: str, max_commit_retries: int = 1
                 f: s for f, s in head.get("stats", {}).items() if f in set(survivors)
             },
         }
-        try:
-            with open(_manifest_file(root, head_v + 1), "x") as fh:
-                json.dump(manifest, fh)
+        if _try_commit(root, head_v + 1, manifest):
             return head_v + 1
-        except FileExistsError:
-            continue  # lost the race; recompute touched files on the new head
+        # lost the race; recompute touched files on the new head
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
 
 
@@ -505,12 +549,8 @@ def delete_where(
                 f: s for f, s in head.get("stats", {}).items() if f in set(survivors)
             },
         }
-        try:
-            with open(_manifest_file(root, head_v + 1), "x") as fh:
-                json.dump(manifest, fh)
+        if _try_commit(root, head_v + 1, manifest):
             return head_v + 1
-        except FileExistsError:
-            continue
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
 
 
@@ -570,13 +610,72 @@ def compact(
                 f: s for f, s in head.get("stats", {}).items() if f in set(keep)
             },
         }
-        try:
-            with open(_manifest_file(root, head_v + 1), "x") as fh:
-                json.dump(manifest, fh)
+        if _try_commit(root, head_v + 1, manifest):
             return head_v + 1
-        except FileExistsError:
-            continue
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
+def vacuum(
+    root: str, retain_last: int = 1, min_age_seconds: float = 3600.0
+) -> dict[str, int]:
+    """Reclaim storage (Delta ``VACUUM`` + log retention): drop manifests
+    older than the last ``retain_last`` commits, then delete every data
+    file referenced by NO retained manifest.  Returns
+    ``{"manifests_deleted": m, "data_files_deleted": n}``.
+
+    Unreferenced files come from three places — CoW rewrites
+    (MERGE/DELETE/OPTIMIZE pre-images), lost commit races, and crashed
+    writers — and none are reachable by any retained snapshot, so
+    deletion never changes a query result; it only truncates time travel
+    to the vacuumed versions (exactly Delta's trade-off).
+
+    ``min_age_seconds`` is the safety window (Delta's retention check):
+    a concurrent writer stages data files BEFORE its manifest commit, so
+    a too-eager vacuum could delete an in-flight append's files.  Files
+    younger than the window are kept regardless of reference state; the
+    default 1 h exceeds any realistic stage-to-commit gap.  Tests pass 0.
+
+    Scale shape: pure driver-side filesystem metadata — O(retained
+    manifest entries) set lookups and one listing of ``data/``; no Spark
+    job, no data reads."""
+    root = os.path.abspath(root)
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1 (the head is never vacuumed)")
+    retained = versions[-retain_last:]
+    referenced: set[str] = set()
+    for v in retained:
+        referenced.update(_read_manifest(root, v)["files"])
+
+    manifests_deleted = 0
+    for v in versions[:-retain_last]:
+        os.remove(_manifest_file(root, v))
+        manifests_deleted += 1
+
+    cutoff = time.time() - min_age_seconds
+    data_root = os.path.join(root, _DATA_DIR)
+    files_deleted = 0
+    for batch in os.listdir(data_root) if os.path.isdir(data_root) else []:
+        batch_dir = os.path.join(data_root, batch)
+        if not os.path.isdir(batch_dir):
+            continue
+        live = False
+        for f in os.listdir(batch_dir):
+            p = os.path.join(batch_dir, f)
+            if not f.endswith(".parquet"):
+                continue  # _SUCCESS/.crc markers go with their batch dir
+            if p in referenced or os.path.getmtime(p) > cutoff:
+                live = True
+            else:
+                os.remove(p)
+                files_deleted += 1
+        if not live:
+            # no referenced or too-young parquet left: drop the dir and
+            # its write markers
+            shutil.rmtree(batch_dir, ignore_errors=True)
+    return {"manifests_deleted": manifests_deleted, "data_files_deleted": files_deleted}
 
 
 def idempotent_append(

@@ -227,6 +227,34 @@ def foreach_batch_idempotent(
     )
 
 
+def run_foreach_batch_versioned(
+    stream: DataFrame, root: str, key: str, checkpoint_dir: str
+) -> DataFrame:
+    """Stream -> versioned-table sink via copy-on-write MERGE per
+    micro-batch: insert-or-replace on ``key``, safe under BOTH retries
+    (a re-delivered batch merges to the same state) and concurrent
+    writers (merge's optimistic commit recomputes its touched-file set
+    against the new head on every lost race — unlike the parquet
+    ``insertInto`` path, whose check-then-act dedup assumes a single
+    writer; see pipeline/video_etl.load_into_table).  Returns the table
+    head after the stream drains."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        V.merge_upsert(batch_df, root, key=key)
+
+    query = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return V.read(stream.sparkSession, root)
+
+
 def run_foreach_batch_idempotent(
     stream: DataFrame, table: str, checkpoint_dir: str
 ) -> DataFrame:

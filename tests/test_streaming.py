@@ -194,3 +194,37 @@ def test_file_stream_checkpoint_restart_is_exactly_once(spark, tmp_path):
     # new files land; restart from the same checkpoint picks up ONLY them
     spark.range(10, 25).write.mode("append").parquet(src)
     assert drain() == list(range(25))  # no duplicates of 0-9
+
+
+def test_foreach_batch_versioned_merge_sink(spark, tmp_path):
+    """Streaming micro-batches with overlapping keys through the
+    versioned-table MERGE sink: re-delivered keys replace (not
+    duplicate), and the sink stays consistent batch over batch —
+    the concurrent-writer-safe alternative to the insertInto path."""
+    from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
+        run_foreach_batch_versioned,
+    )
+
+    src = str(tmp_path / "vm_src")
+    ckpt = str(tmp_path / "vm_ckpt")
+    root = str(tmp_path / "vm_table")
+    schema = "k long, v string"
+
+    spark.createDataFrame([(i, f"a{i}") for i in range(10)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    out = run_foreach_batch_versioned(
+        spark.readStream.schema(schema).parquet(src), root, key="k",
+        checkpoint_dir=ckpt,
+    )
+    assert out.count() == 10
+
+    # second delivery: 5 overlapping keys (new values) + 5 new keys
+    spark.createDataFrame([(i, f"b{i}") for i in range(5, 20)], schema) \
+        .coalesce(1).write.mode("append").parquet(src)
+    out = run_foreach_batch_versioned(
+        spark.readStream.schema(schema).parquet(src), root, key="k",
+        checkpoint_dir=ckpt,
+    )
+    rows = {r.k: r.v for r in out.collect()}
+    assert len(rows) == 20                       # no duplicate keys
+    assert rows[3] == "a3" and rows[7] == "b7"   # overlap replaced, old kept

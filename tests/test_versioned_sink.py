@@ -295,3 +295,59 @@ def test_table_changes_bad_version(spark, root):
 
     with _pt.raises(ValueError):
         V.table_changes(spark, root, 1, 9)
+
+
+def test_timestamp_time_travel(spark, root):
+    import time as _time
+
+    V.append(_df(spark, [("a", 1)]), root)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    V.append(_df(spark, [("b", 2)]), root)
+
+    assert V.version_at_timestamp(root, t_between) == 1
+    assert V.read(spark, root, timestamp=t_between).count() == 1
+    assert V.read(spark, root, timestamp=_time.time()).count() == 2
+    # before the first commit: no snapshot existed
+    with pytest.raises(ValueError):
+        V.version_at_timestamp(root, t_between - 3600)
+    # version and timestamp are mutually exclusive
+    with pytest.raises(ValueError):
+        V.read(spark, root, version=1, timestamp=t_between)
+
+
+def test_vacuum_reclaims_unreferenced_files_and_truncates_log(spark, root):
+    V.append(_df(spark, [("a", 1), ("b", 2)]), root)
+    V.merge_upsert(_df(spark, [("a", 10)]), root, key="k")  # CoW rewrite -> v1 file orphaned at v2
+    head_rows = sorted(tuple(r) for r in V.read(spark, root).collect())
+
+    n_files_before = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "data")))
+    stats = V.vacuum(root, retain_last=1, min_age_seconds=0)
+    assert stats["manifests_deleted"] == 1
+    assert stats["data_files_deleted"] >= 1
+    n_files_after = sum(len(fs) for _, _, fs in os.walk(os.path.join(root, "data")))
+    assert n_files_after < n_files_before
+
+    # the head snapshot is untouched; time travel to the vacuumed version errors
+    assert sorted(tuple(r) for r in V.read(spark, root).collect()) == head_rows
+    assert V.list_versions(root) == [2]
+    with pytest.raises(ValueError):
+        V.read(spark, root, version=1)
+
+
+def test_vacuum_age_window_protects_fresh_files(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)
+    V.delete_where(spark, root, "k = 'a'")  # v1's file becomes unreferenced
+    # an hour-long window: everything here is seconds old -> nothing deleted
+    stats = V.vacuum(root, retain_last=1, min_age_seconds=3600)
+    assert stats["data_files_deleted"] == 0
+    assert V.read(spark, root).count() == 0
+
+
+def test_vacuum_keeps_files_shared_across_retained_versions(spark, root):
+    V.append(_df(spark, [("a", 1)]), root)   # v1
+    V.append(_df(spark, [("b", 2)]), root)   # v2 references v1's file too
+    stats = V.vacuum(root, retain_last=2, min_age_seconds=0)
+    assert stats == {"manifests_deleted": 0, "data_files_deleted": 0}
+    assert V.read(spark, root, version=1).count() == 1
+    assert V.read(spark, root, version=2).count() == 2
