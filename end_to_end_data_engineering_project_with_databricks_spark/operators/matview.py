@@ -1,0 +1,226 @@
+"""Incrementally-maintained materialized aggregate views over the
+versioned table.
+
+The reference's analysts re-run full SELECTs over the gold Delta table on
+every dashboard refresh (README.md:250-258, the SQL-warehouse surface).
+At 100 TB a full re-aggregation per refresh is the dominant cost; the
+standing fix is a **materialized view maintained from the change feed**:
+
+    refresh cost ~ O(churned rows + touched groups), independent of
+    both source-table size and view size.
+
+This module builds that on the engine's own primitives:
+
+- source deltas come from :func:`sources.versioned.table_changes`
+  (the Delta-CDF twin — manifest diff, opens only churned files);
+- view updates go through :func:`sources.versioned.merge_upsert`
+  (copy-on-write — rewrites only view files containing touched groups);
+- aggregate state is **mergeable fixed-point partials**
+  (:func:`functions.numeric.dsum_partial_hi` / ``_lo``): per-group
+  ``(hi, lo)`` long pairs whose sum is associative and EXACT, so an
+  incremental refresh is bit-identical to a from-scratch rebuild —
+  float sums would drift (order-dependent) and break the equivalence
+  the whole design promises.  COUNT state is a plain long.
+
+Supported aggregates are the self-maintainable ones (COUNT + SUM, and
+AVG = SUM/COUNT at read time): they admit insert AND delete deltas with
+O(1) per-group state.  MIN/MAX are deliberately out of scope — a delete
+of the current extreme requires rescanning the group, i.e. they are not
+self-maintainable under deletes (the standard incremental-view-
+maintenance result); run a scoped recompute for those.
+
+Groups whose count reaches zero are physically deleted from the view so
+it stays exactly equal to the recompute (a full outer of signed counts
+would leave ghost rows).  The dead-key set is bounded by the batch's
+churn, never by view size.
+
+Delta Lake mapping: CREATE MATERIALIZED VIEW on Databricks SQL /
+DLT maintains aggregates from the Delta change feed the same way;
+``create()``/``refresh()`` are the portable twins (docs/DELTA_MAPPING.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+    SCALE,
+    _L,
+    _SHIFT,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+    versioned as V,
+)
+
+#: sidecar recording the view definition + the source version the view
+#: state reflects (the refresh high-watermark)
+_STATE_FILE = "_matview.json"
+
+#: single-column merge key derived from the group columns (merge_upsert
+#: keys on one column); unit separator keeps composite keys unambiguous
+_VKEY = "_vkey"
+
+
+def _state_path(view_root: str) -> str:
+    return os.path.join(os.path.abspath(view_root), _STATE_FILE)
+
+
+def _load_state(view_root: str) -> dict:
+    with open(_state_path(view_root)) as fh:
+        return json.load(fh)
+
+
+def _save_state(view_root: str, state: dict) -> None:
+    with open(_state_path(view_root), "w") as fh:
+        json.dump(state, fh)
+
+
+def _vkey_col(group_cols: list[str]):
+    # NULL group values would collapse in concat_ws; encode them explicitly
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in group_cols]
+    return F.concat_ws("\x1f", *parts).alias(_VKEY)
+
+
+def _signed_partials(
+    changes: DataFrame, group_cols: list[str], sum_cols: list[str]
+) -> DataFrame:
+    """Per-group signed (count, hi, lo) deltas from a CDF batch: inserts
+    count +1, deletes -1.  The hi/lo split identity ``x = hi*2^20 + lo``
+    is linear, so signed sums of the per-row splits recombine to the
+    exact signed fixed-point total."""
+    sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    aggs = [F.sum(sign).alias("n_rows")]
+    for c in sum_cols:
+        x = F.round(F.col(c) * F.lit(SCALE), 0).cast("long")
+        hi = F.shiftright(x, _SHIFT)
+        lo = x - hi * F.lit(_L)
+        aggs.append(F.sum(sign * hi).alias(f"{c}_hi"))
+        aggs.append(F.sum(sign * lo).alias(f"{c}_lo"))
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+def _full_state(df: DataFrame, group_cols: list[str], sum_cols: list[str]) -> DataFrame:
+    """From-scratch view state: per-group count + fixed-point (hi, lo)
+    partial sums, one hash aggregate (map-side partials, no extra
+    shuffle beyond the group-key exchange)."""
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in sum_cols:
+        x = F.round(F.col(c) * F.lit(SCALE), 0).cast("long")
+        hi = F.shiftright(x, _SHIFT)
+        lo = x - hi * F.lit(_L)
+        aggs.append(F.sum(hi).alias(f"{c}_hi"))
+        aggs.append(F.sum(lo).alias(f"{c}_lo"))
+    state = df.groupBy(*group_cols).agg(*aggs)
+    return state.select(_vkey_col(group_cols), *group_cols, *_state_cols(sum_cols))
+
+
+def _state_cols(sum_cols: list[str]) -> list[str]:
+    cols = ["n_rows"]
+    for c in sum_cols:
+        cols.extend([f"{c}_hi", f"{c}_lo"])
+    return cols
+
+
+def create(
+    spark: SparkSession,
+    source_root: str,
+    view_root: str,
+    group_cols: list[str],
+    sum_cols: list[str],
+) -> int:
+    """Materialize the view from the source head snapshot; records the
+    head version as the refresh high-watermark.  Returns the view's
+    committed version."""
+    source_root = os.path.abspath(source_root)
+    head = V.list_versions(source_root)[-1]
+    state = _full_state(V.read(spark, source_root), group_cols, sum_cols)
+    v = V.append(state, view_root)
+    _save_state(
+        view_root,
+        {
+            "source_root": source_root,
+            "source_version": head,
+            "group_cols": group_cols,
+            "sum_cols": sum_cols,
+        },
+    )
+    return v
+
+
+def refresh(spark: SparkSession, view_root: str) -> int:
+    """Incrementally advance the view to the source head.
+
+    Shape: CDF manifest diff (O(churned files)) -> signed per-group
+    deltas (one hash agg over churned rows) -> semi-join fetch of the
+    affected groups' current state from the view (merge_upsert's CoW
+    touches only view files containing those groups) -> exact integer
+    merge -> upsert survivors, delete emptied groups.  No step scans
+    the full source or the full view.
+
+    The delta group keys are broadcast (refresh batches are churn-sized
+    by design); emptied-group keys are collected to the driver for the
+    delete predicate — both bounded by the batch's distinct touched
+    groups, never by table size.  Returns the view's committed version
+    (current head if the source hasn't advanced)."""
+    st = _load_state(view_root)
+    source_root, group_cols, sum_cols = (
+        st["source_root"],
+        st["group_cols"],
+        st["sum_cols"],
+    )
+    head = V.list_versions(source_root)[-1]
+    if head == st["source_version"]:
+        return V.list_versions(view_root)[-1]
+
+    changes = V.table_changes(
+        spark, source_root, from_version=st["source_version"], to_version=head
+    )
+    delta = _signed_partials(changes, group_cols, sum_cols).select(
+        _vkey_col(group_cols), *group_cols, *_state_cols(sum_cols)
+    )
+    # CoW rewrite rows cancel in table_changes, but a group can still net
+    # to all-zero deltas (e.g. offsetting insert+delete) — dropping those
+    # early keeps the merge's touched-file set minimal
+    nonzero = F.col("n_rows") != 0
+    for c in sum_cols:
+        nonzero = nonzero | (F.col(f"{c}_hi") != 0) | (F.col(f"{c}_lo") != 0)
+    delta = delta.filter(nonzero)
+
+    current = V.read(spark, view_root)
+    affected = current.join(
+        F.broadcast(delta.select(_VKEY)), _VKEY, "left_semi"
+    )
+    merged = (
+        affected.unionByName(delta)
+        .groupBy(_VKEY, *group_cols)
+        .agg(*[F.sum(c).alias(c) for c in _state_cols(sum_cols)])
+    )
+    survivors = merged.filter(F.col("n_rows") > 0).select(
+        _VKEY, *group_cols, *_state_cols(sum_cols)
+    )
+    dead_keys = [r[_VKEY] for r in merged.filter(F.col("n_rows") <= 0).select(_VKEY).collect()]
+
+    v = V.merge_upsert(survivors, view_root, key=_VKEY)
+    if dead_keys:
+        v = V.delete_where(spark, view_root, F.col(_VKEY).isin(dead_keys))
+    st["source_version"] = head
+    _save_state(view_root, st)
+    return v
+
+
+def read_view(spark: SparkSession, view_root: str) -> DataFrame:
+    """The view as the user-facing relation: group columns, ``n_rows``,
+    and ``sum_<c>`` doubles recombined from the exact (hi, lo) state —
+    the same two IEEE ops as :func:`functions.numeric.dsum`, so values
+    are bit-equal to a direct aggregate over the source (and to the
+    DuckDB oracle's mirrored arithmetic)."""
+    st = _load_state(view_root)
+    cols = [*st["group_cols"], F.col("n_rows")]
+    for c in st["sum_cols"]:
+        total = F.col(f"{c}_hi").cast("decimal(38,0)") * F.lit(_L) + F.col(f"{c}_lo")
+        cols.append((total.cast("double") / F.lit(SCALE)).alias(f"sum_{c}"))
+    return V.read(spark, view_root).select(*cols)

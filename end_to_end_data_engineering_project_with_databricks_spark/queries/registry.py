@@ -55,28 +55,28 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- TPC-H bench flagships (projection/filter/join/agg/topk core) --
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    # -- dedup ladder (exact -> fingerprint -> n-gram -> LSH -> graph) --
+    "agg_exact_corr_regression",  # r3: exercises dsum_wide (VERDICT r2 item 5)
+    # -- dedup ladder (exact -> simhash -> LSH -> graph -> embedding) --
     "dedup_exact_documents",
-    "dedup_fingerprint_md5",
-    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_language_id",
     "dedup_connected_components",
     "dedup_embedding_cosine",
     "dedup_minhash_lsh",
-    # -- similarity search (exact baseline + threshold + ANN) --
+    # -- similarity search (exact baseline + scale-path LSH + ANN) --
     "sim_topk_bruteforce",
-    "sim_threshold_pairs",
+    "sim_threshold_pairs_lsh",
     "sim_ivf_topk",
     # -- text analysis + quality + curation tier --
-    "text_tfidf_distinctive_terms",
+    "text_token_stats",
     "text_quality_gopher",
     "pipeline_corpus_curation",
-    "text_pii_redaction",
+    "text_repetition_filter",
     "text_decontaminate_ngram",
     # -- embedding hygiene --
-    "emb_norm_stats",
+    "emb_label_centroids",
     # -- multimodal (mapInPandas decode + pandas-udf resize + metadata) --
-    "mm_decode_features",
+    "mm_frame_sample",
     "mm_resize",
     "mm_binary_metadata",
     # -- events (window-agg, sessionize, as-of join, rollup, gap-fill) --
@@ -88,34 +88,35 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_forward_fill",
     # -- structured streaming (batch-oracle-checked) --
     "stream_tumbling_counts",
-    "stream_dedup_keys",
+    "stream_stateful_user_counts",
     "stream_session_windows",
     # -- UDF / pandas / UDTF surface --
-    "pandas_scalar_token_count",
+    "pandas_grouped_agg_range",
     "pandas_cogroup_asof",
     "udtf_char_ngrams",
     # -- sources --
-    "source_csv_roundtrip",
+    "source_text_wordcount",
     "source_corrupt_records",
-    "source_python_datasource",
+    "source_versioned_stream",
     "source_orc_roundtrip",
-    # -- sinks (partitioned, versioned time-travel, MERGE+CDC) --
-    "sink_versioned_time_travel",
-    "sink_versioned_changes",  # exercises merge_upsert AND table_changes
-    "sink_partitioned_pruning",
+    # -- sinks (versioned: vacuum+travel, ZORDER skipping, MERGE, matview) --
+    "sink_versioned_vacuum_travel",
+    "matview_incremental_refresh",  # CDF + merge + delete + exact partials
+    "sink_versioned_zorder_skipping",
     "sink_merge_upsert",
     # -- modern SQL surface --
-    "sql_recursive_date_spine",
+    "sql_listagg_nations",
     "sql_variant_extraction",
     "sql_lateral_topk_per_group",
     # -- scalar function packs (2 reps; all 10 packs oracle-checked
     # locally by tests/test_queries_vs_oracle.py) --
     "json_functions",
     "map_functions",
-    # -- relational representative (skew-join flagship; the other
+    # -- bucketed co-located join (shuffle-free join flagship; other
     # relational reps earned green driver rows in r1/r2 and rotated out
-    # so never-driver-checked families get rows — VERDICT r2 item 4) --
-    "join_salted_skew",
+    # so never-driver-checked families get rows — VERDICT r2 item 4;
+    # r3 rotation: 17 double-green slots swapped for never-checked) --
+    "sink_bucketed_join",
 )
 
 

@@ -680,3 +680,112 @@ def source_versioned_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").cast("int").alias("commit_version")
     ).agg(F.count("*").alias("n_rows"), dsum("o_totalprice").alias("total_price"))
     return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "sink_versioned_zorder_skipping",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 500
+      AND o_totalprice BETWEEN 50000 AND 200000
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "versioned", "zorder", "data-skipping"),
+)
+def sink_versioned_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + stats-based data skipping on the versioned
+    table (sources/versioned.cluster — the OPTIMIZE ZORDER twin): commit
+    orders, re-cluster the layout by (o_custkey, o_totalprice) into
+    small files, then answer a two-column range query through
+    ``read(where=...)`` — the custkey range prunes files from the
+    manifest stats (never opened), the totalprice range rides the
+    ordinary parquet row-group min/max that clustering made selective.
+    Correct values regardless of layout; the layout decides how few
+    bytes the scan touches (tests/test_versioned_sink.py asserts the
+    file-count drop)."""
+    import shutil
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_zorder")
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders, root)
+    V.cluster(spark, root, ["o_custkey", "o_totalprice"], target_file_bytes=16 * 1024)
+    return (
+        V.read(spark, root, where=("o_custkey", 100, 500))
+        .filter(F.col("o_totalprice").between(50000, 200000))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price"))
+    )
+
+
+@query(
+    "matview_incremental_refresh",
+    oracle=f"""
+    WITH final AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 8 = 1 THEN 2 * o_totalprice
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 16 <> 2
+    )
+    SELECT o_orderpriority, n_rows, sum_o_totalprice FROM (
+      SELECT o_orderpriority, COUNT(*) AS n_rows,
+             {sql_dsum('o_totalprice')} AS sum_o_totalprice
+      FROM final GROUP BY o_orderpriority
+    )
+    """,
+    tags=("matview", "cdc", "versioned", "incremental"),
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view
+    (operators/matview — the Databricks materialized-view twin): create
+    a per-priority COUNT/SUM view over a versioned orders table, then
+    push three kinds of source commits — an append (new quarter of
+    keys), a MERGE update (doubled price on o_orderkey % 8 = 1), and a
+    CoW DELETE (o_orderkey % 16 = 2) — and advance the view with ONE
+    incremental refresh driven by the change feed.  The oracle is the
+    from-scratch aggregate over the final source state: they hash-match
+    only because the view's state is exact fixed-point partials
+    (integer-associative), so incremental == full recompute bit-for-bit
+    while the refresh touches O(churn) rows, not the table."""
+    import shutil
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators import (
+        matview as MV,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    src_root = _tmp("mv_orders_src")
+    view_root = _tmp("mv_orders_view")
+    shutil.rmtree(src_root, ignore_errors=True)  # fresh tables per run
+    shutil.rmtree(view_root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders.filter(F.col("o_orderkey") % 4 != 3), src_root)
+    MV.create(
+        spark,
+        src_root,
+        view_root,
+        group_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+    )
+    V.append(orders.filter(F.col("o_orderkey") % 4 == 3), src_root)
+    updates = orders.filter(F.col("o_orderkey") % 8 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        (2 * F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    V.merge_upsert(updates, src_root, key="o_orderkey")
+    V.delete_where(spark, src_root, "o_orderkey % 16 = 2")
+    MV.refresh(spark, view_root)
+    return MV.read_view(spark, view_root)

@@ -59,6 +59,7 @@ on a Databricks/delta-spark environment:
                                      (copy-on-write, touched-files only)
     delete_where()                   DELETE FROM t WHERE p (CoW)
     compact()                        OPTIMIZE t (bin-packing)
+    cluster()                        OPTIMIZE t ZORDER BY (cols)
     idempotent_append()              MERGE ... WHEN NOT MATCHED THEN INSERT
     read(timestamp=...)              .option("timestampAsOf", ...)
     vacuum()                         VACUUM t RETAIN n HOURS + log retention
@@ -609,6 +610,110 @@ def compact(
             "stats": {
                 f: s for f, s in head.get("stats", {}).items() if f in set(keep)
             },
+        }
+        if _try_commit(root, head_v + 1, manifest):
+            return head_v + 1
+    raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
+def cluster(
+    spark: SparkSession,
+    root: str,
+    cols: list[str],
+    bits: int = 6,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    rel_err: float = 0.001,
+    max_commit_retries: int = 10,
+) -> int:
+    """Z-order clustering (Delta ``OPTIMIZE ... ZORDER BY (cols)``):
+    rewrite the live snapshot ordered by the interleaved-bit Z-value of
+    ``cols``, recording per-file min/max stats for those columns.  Data
+    is unchanged; the file LAYOUT changes so that a range predicate on
+    ANY clustered column maps to few files — single-column sorting
+    helps only the leading column, Z-order localizes all of them.
+    Returns the committed version.
+
+    How the Z-value is built (all JVM-side expressions):
+
+    1. per column, ``2^bits - 1`` equi-depth boundaries from one
+       ``approxQuantile`` pass (sampling sketch, driver gets a small
+       array) — equi-depth, not (max-min)/n linear scaling, so skewed
+       distributions still spread across all buckets;
+    2. per row, bucket = #boundaries < value via ``size(filter(...))``
+       over the literal boundary array (O(2^bits) comparisons per row —
+       the reason ``bits`` defaults to 6: 64 buckets per dimension is
+       plenty for FILE-level skipping while keeping the map cheap);
+    3. buckets bit-interleave into one long (``bits * len(cols)`` shifts)
+       and the snapshot is ``repartitionByRange + sortWithinPartitions``
+       on it — the same sample-based range shuffle any global sort uses.
+
+    Cost shape at 100 TB: one quantile-sketch pass + one full
+    shuffle-sort — the inherent cost of re-clustering (identical to
+    Delta's OPTIMIZE ZORDER); run it as periodic maintenance, amortized
+    over every subsequent pruned scan.  NULLs bucket to 0 (always kept
+    by the conservative stats pruning since their file min/max ignores
+    nulls)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    if not 1 <= bits <= 12:
+        raise ValueError("bits must be in [1, 12]")
+    root = os.path.abspath(root)
+    for _ in range(max_commit_retries):
+        versions = list_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {root}")
+        head_v = versions[-1]
+        head = _read_manifest(root, head_v)
+        st = StructType.fromJson(json.loads(head["schema"]))
+        out_cols = [f.name for f in st.fields]
+        snap = spark.read.schema(st).parquet(*head["files"])
+
+        n_buckets = 1 << bits
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        num = {c: F.col(c).cast("double").alias(c) for c in cols}
+        bnds = snap.select(*num.values()).stat.approxQuantile(cols, probs, rel_err)
+
+        z = F.lit(0).cast("long")
+        for j, c in enumerate(cols):
+            # strictly-increasing boundary subset: duplicates (heavy
+            # hitters) would otherwise map one value to many buckets
+            uniq = sorted(set(b for b in bnds[j] if b is not None))
+            bucket = F.size(
+                F.filter(
+                    F.array(*[F.lit(b) for b in uniq]),
+                    lambda b: F.col(c).cast("double") > b,
+                )
+            )
+            bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+            for k in range(bits):
+                z = z + F.shiftleft(
+                    F.shiftright(bucket, k).bitwiseAND(F.lit(1)),
+                    k * len(cols) + j,
+                )
+
+        total = sum(os.path.getsize(f) for f in head["files"])
+        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
+        (
+            snap.withColumn("_z", z)
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .select(*out_cols)
+            .write.mode("errorifexists")
+            .parquet(batch_dir)
+        )
+        new_files = sorted(
+            os.path.join(batch_dir, f)
+            for f in os.listdir(batch_dir)
+            if f.endswith(".parquet")
+        )
+        manifest = {
+            "version": head_v + 1,
+            "schema": head["schema"],
+            "files": new_files,
+            "stats": _file_stats(spark, new_files, head["schema"], cols),
+            "clustered_by": cols,
         }
         if _try_commit(root, head_v + 1, manifest):
             return head_v + 1

@@ -25,11 +25,22 @@ work Delta's source schedules.  Rows are decoded with pyarrow and handed
 to Spark via the Python Data Source row path; on a Databricks/delta-spark
 deployment the one-line switch is ``readStream.format("delta")``
 (sources/versioned.py module header documents the full mapping).
+
+**This module is deliberately self-contained (stdlib + pyspark only).**
+Spark 4 runs EVERY Python-data-source method — including the driver-side
+``schema``/``partitions``/offset hooks — in dedicated Python worker
+processes that do not share the driver's ``sys.path``, and the external
+driver launches from an arbitrary cwd.  The manifest helpers below are
+therefore small stdlib re-implementations of sources/versioned.py's
+read path (kept in lockstep by tests/test_versioned_stream.py), and the
+whole module registers for cloudpickle pickle-by-value (tail of file) so
+workers never need an importable copy of the package.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -39,12 +50,24 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import LongType, StructField, StructType
 
-from end_to_end_data_engineering_project_with_databricks_spark.sources import (
-    versioned as V,
-)
-
 #: name of the commit-version column appended to every streamed row
 VERSION_COL = "_commit_version"
+
+
+def _list_versions(root: str) -> list[int]:
+    """Stdlib twin of sources/versioned.list_versions (same layout:
+    ``<root>/_log/v%08d.json``)."""
+    log = os.path.join(root, "_log")
+    if not os.path.isdir(log):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(log) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    with open(os.path.join(root, "_log", f"v{version:08d}.json")) as fh:
+        return json.load(fh)
 
 
 class VersionedStreamDataSource(DataSource):
@@ -63,10 +86,10 @@ class VersionedStreamDataSource(DataSource):
         root = self.options.get("root")
         if not root:
             raise ValueError("versioned_stream requires a 'root' option")
-        versions = V.list_versions(root)
+        versions = _list_versions(root)
         if not versions:
             raise FileNotFoundError(f"no committed versions at {root}")
-        manifest = V._read_manifest(root, versions[-1])
+        manifest = _read_manifest(root, versions[-1])
         st = StructType.fromJson(json.loads(manifest["schema"]))
         return StructType(st.fields + [StructField(VERSION_COL, LongType())])
 
@@ -88,7 +111,7 @@ class VersionedStreamReader(DataSourceStreamReader):
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        versions = V.list_versions(self.root)
+        versions = _list_versions(self.root)
         head = versions[-1] if versions else 0
         return {"version": max(head, self.starting_version - 1)}
 
@@ -96,9 +119,9 @@ class VersionedStreamReader(DataSourceStreamReader):
         parts: list[InputPartition] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             prev_files: set[str] = (
-                set(V._read_manifest(self.root, v - 1)["files"]) if v > 1 else set()
+                set(_read_manifest(self.root, v - 1)["files"]) if v > 1 else set()
             )
-            mf = V._read_manifest(self.root, v)
+            mf = _read_manifest(self.root, v)
             files = set(mf["files"])
             removed = prev_files - files
             if removed and not self.ignore_changes:
@@ -128,3 +151,16 @@ class VersionedStreamReader(DataSourceStreamReader):
 
 
 __all__ = ["VersionedStreamDataSource", "VERSION_COL"]
+
+# Spark serializes Python data sources with its vendored cloudpickle;
+# register this module for pickle-by-value so the data-source worker
+# processes need no importable copy of the package (same pattern as
+# video_datasource.py — the external driver runs from an arbitrary cwd).
+import sys  # noqa: E402
+
+from pyspark import cloudpickle as _cloudpickle  # noqa: E402
+
+try:
+    _cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover - best-effort on exotic import paths
+    pass

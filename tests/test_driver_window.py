@@ -2,11 +2,18 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()``
 (CORRECTNESS_r01.json proved: tested set == first 50 registration-order
-names).  These tests pin the curated window so a refactor cannot silently
-push a query family out of driver visibility again.
+names).  The window ROTATES each round (VERDICT r2 item 4): slots that
+earned green driver rows swap out for never-driver-checked queries until
+all of them have a driver row.  These tests pin the invariants the
+rotation must preserve — family coverage, oracle coverage, and actual
+rotation progress — without pinning individual rotating names.
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
 
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
     _DRIVER_WINDOW,
@@ -14,6 +21,16 @@ from end_to_end_data_engineering_project_with_databricks_spark.queries.registry 
 )
 
 WINDOW = 50
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _driver_checked_names() -> set[str]:
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            seen.update(json.load(fh))
+    return seen
 
 
 def test_window_is_exactly_the_first_fifty() -> None:
@@ -24,49 +41,64 @@ def test_window_is_exactly_the_first_fifty() -> None:
 
 
 def test_window_samples_every_family() -> None:
-    """Every §2 family has at least one slot in the driver window."""
+    """Every §2 family keeps at least one slot in the driver window,
+    whichever representatives the current rotation picked."""
     specs = all_specs()
     window = {n: specs[n] for n in _DRIVER_WINDOW}
 
-    def with_prefix(p: str) -> list[str]:
-        return [n for n in window if n.startswith(p)]
+    def with_prefix(*ps: str) -> list[str]:
+        return [n for n in window if n.startswith(ps)]
 
-    # §2.1 reference parity + TPC-H core
+    # §2.1 reference-parity anchors never rotate out
     assert len(with_prefix("ref_")) == 3
-    assert len(with_prefix("q")) >= 5
+    # relational/TPC-H core: flagship + at least one agg-family rep
+    assert "q1_pricing_summary" in window
+    assert len(with_prefix("q", "agg_", "join_", "window_", "set_", "topk")) >= 3
     # LLM-pipeline operator families
     assert len(with_prefix("dedup_")) >= 5
     assert len(with_prefix("sim_")) >= 3
-    assert len(with_prefix("text_")) >= 2
+    assert len(with_prefix("text_")) >= 4
     assert "pipeline_corpus_curation" in window
-    # curation tier (decontamination / PII) + quality gate + emb hygiene
-    assert "text_pii_redaction" in window
-    assert "text_decontaminate_ngram" in window
-    assert "text_quality_gopher" in window
-    assert "emb_norm_stats" in window
-    # CDC slot covers merge_upsert (called inside) plus table_changes
-    assert "sink_versioned_changes" in window
+    assert len(with_prefix("emb_")) >= 1
     assert len(with_prefix("mm_")) >= 2
     # events / streaming / pandas-UDF surfaces
     assert len(with_prefix("events_")) >= 2
     assert len(with_prefix("stream_")) >= 2
-    assert len(with_prefix("pandas_")) + len(with_prefix("udtf_")) >= 3
-    # sources / sinks / modern SQL / scalar packs / generators
+    assert len(with_prefix("pandas_", "udtf_")) >= 3
+    # sources / sinks / modern SQL / scalar packs
     assert len(with_prefix("source_")) >= 2
     assert len(with_prefix("sink_")) >= 2
     assert len(with_prefix("sql_")) >= 2
     assert len([n for n in window if "functions" in n]) >= 2
-    assert len(with_prefix("explode_")) >= 1
-    # relational representatives
-    tags = {t for s in window.values() for t in s.tags}
-    for t in ("filter", "skew", "agg", "window", "topk", "setop"):
-        assert t in tags, f"missing relational family tag: {t}"
+    # versioned-table capability tier (time travel / CDC / maintenance)
+    assert len([n for n in window if "versioned" in n or "matview" in n]) >= 2
+
+
+def test_window_rotates_in_never_checked_queries() -> None:
+    """Each round's window must give driver rows to queries that never
+    had one (VERDICT r2 item 4) — at least 10 new names whenever 10+
+    unchecked queries remain."""
+    seen = _driver_checked_names()
+    if not seen:  # no driver artifacts (fresh checkout) — nothing to rotate
+        return
+    unchecked = set(all_specs()) - seen
+    fresh_slots = [n for n in _DRIVER_WINDOW if n not in seen]
+    assert len(fresh_slots) >= min(10, len(unchecked))
 
 
 def test_window_minimizes_rows_only_checks() -> None:
-    """Rows-only (no-oracle) slots are reserved for the two genuinely
-    approximate families (MinHash-LSH, IVF); every other slot must carry
-    a full DuckDB value-hash oracle."""
+    """Rows-only (no-oracle) slots are reserved for genuinely
+    approximate families (MinHash/SimHash signatures, LSH candidate
+    generation, IVF probing); every other slot must carry a full DuckDB
+    value-hash oracle."""
     specs = all_specs()
-    rows_only = [n for n in _DRIVER_WINDOW if specs[n].oracle is None]
-    assert sorted(rows_only) == ["dedup_minhash_lsh", "sim_ivf_topk"]
+    rows_only = {n for n in _DRIVER_WINDOW if specs[n].oracle is None}
+    allowed = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_threshold_pairs_lsh",
+        "sim_ivf_topk",
+        "sim_ivf_kmeans_topk",
+        "sim_rp_lsh_topk",
+    }
+    assert rows_only <= allowed, f"unexpected rows-only slots: {rows_only - allowed}"

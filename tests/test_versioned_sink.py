@@ -351,3 +351,46 @@ def test_vacuum_keeps_files_shared_across_retained_versions(spark, root):
     assert stats == {"manifests_deleted": 0, "data_files_deleted": 0}
     assert V.read(spark, root, version=1).count() == 1
     assert V.read(spark, root, version=2).count() == 2
+
+
+def test_cluster_zorder_prunes_and_preserves_data(spark, root):
+    import random
+
+    rng = random.Random(7)
+    rows = [(f"k{i}", rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k string, n int").repartition(8)
+    V.append(df, root)
+    v = V.cluster(spark, root, ["n"], bits=4, target_file_bytes=8 * 1024)
+    manifest = V._read_manifest(root, v)
+    assert manifest["clustered_by"] == ["n"]
+    n_files = len(manifest["files"])
+    assert n_files > 2  # the tiny target forced a multi-file layout
+    # data skipping: a narrow range must open a strict subset of files
+    kept = V.prune_files(manifest, ("n", 100, 150))
+    assert 0 < len(kept) < n_files
+    # and results are exact regardless of layout
+    got = sorted(
+        (r.k, r.n) for r in V.read(spark, root, where=("n", 100, 150)).collect()
+    )
+    want = sorted((k, n) for k, n in rows if 100 <= n <= 150)
+    assert got == want
+    # clustering is layout-only: the full snapshot is unchanged
+    assert V.read(spark, root).count() == len(rows)
+
+
+def test_cluster_two_columns_localizes_both(spark, root):
+    import random
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(1000), float(rng.randrange(10000))) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "a int, b double").repartition(8)
+    V.append(df, root)
+    v = V.cluster(spark, root, ["a", "b"], bits=4, target_file_bytes=8 * 1024)
+    manifest = V._read_manifest(root, v)
+    n_files = len(manifest["files"])
+    assert n_files > 3
+    # BOTH columns must prune: that is the point of z-order vs a sort
+    kept_a = V.prune_files(manifest, ("a", 0, 120))
+    kept_b = V.prune_files(manifest, ("b", 0.0, 1200.0))
+    assert len(kept_a) < n_files
+    assert len(kept_b) < n_files

@@ -93,3 +93,23 @@ def test_stream_rejects_file_removing_commits_unless_opted_in(spark, root):
     # Delta's ignoreChanges analog: rewritten files stream through
     out = _drain(spark, root, "vs_ic", ignoreChanges="true")
     assert ("a", 10, 2) in out and ("b", 2, 2) in out  # rewritten file rows
+
+
+def test_stdlib_manifest_helpers_in_lockstep_with_versioned(spark, root):
+    """versioned_stream re-implements the manifest read path with stdlib
+    only (its methods run in Python workers without the package on
+    sys.path); this pins the two implementations to the same layout."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned_stream as VS,
+    )
+
+    V.append(_df(spark, [("a", 1)]), root)
+    V.append(_df(spark, [("b", 2)]), root)
+    import os
+
+    aroot = os.path.abspath(root)
+    assert VS._list_versions(aroot) == V.list_versions(aroot) == [1, 2]
+    assert VS._read_manifest(aroot, 2) == V._read_manifest(aroot, 2)
