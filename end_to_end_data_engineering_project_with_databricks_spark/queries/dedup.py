@@ -296,3 +296,109 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         F.count("*").over(Window.partitionBy("component")).cast("long"),
     )
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 1000
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    p0 AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT p.id_a, p.id_b FROM p0 p
+      JOIN counts ca ON p.id_a = ca.doc_id
+      JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.02
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+      FROM reach GROUP BY node
+    ),
+    member AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, m.n_chars
+      FROM docs d
+      LEFT JOIN comp c ON d.doc_id = c.doc_id
+      JOIN (SELECT doc_id, n_chars FROM documents) m ON d.doc_id = m.doc_id
+    )
+    SELECT doc_id, component,
+           CAST(doc_id = FIRST_VALUE(doc_id) OVER (
+             PARTITION BY component ORDER BY n_chars DESC, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BOOLEAN) AS is_canonical
+    FROM member
+    """,
+    tags=("dedup", "graph", "curation", "window"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster canonical selection — the step AFTER
+    near-dup clustering that decides which member survives into the
+    training corpus: longest document wins (n_chars as the quality
+    proxy; swap in the Gopher score in production), ties to the lowest
+    doc_id; docs in no cluster are their own singleton component.
+
+    Shape: the exact-Jaccard edge pipeline + min-label closure of
+    dedup_connected_components, then one left join back to the corpus
+    and a per-component FIRST_VALUE window.  At 100 TB the edge set
+    comes from MinHash-LSH instead (operators/dedup.minhash_lsh_dedup)
+    and everything downstream — closure, membership join, canonical
+    window — is unchanged; the window shuffles on component, whose
+    cardinality is the number of clusters, not documents."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(counts.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+        .join(counts.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+        .filter(
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")) >= 0.02
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    member = (
+        d.select("doc_id", "n_chars")
+        .join(comp.select("doc_id", "component"), "doc_id", "left")
+        .withColumn("component", F.coalesce(F.col("component"), F.col("doc_id")))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return member.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_canonical"),
+    )

@@ -291,3 +291,64 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(F.col("embedding").cast("array<double>"))
     ).select("label", F.col("pos"), F.col("col").alias("val"))
     return exploded.groupBy("label", "pos").agg(davg("val").alias("centroid"))
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // 2048 AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT shard, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY shard, seq_id
+    """,
+    tags=("curation", "packing", "window", "training-data"),
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the pretraining-shard step that
+    concatenates documents into ~fixed-token training sequences: docs
+    hash to shards (embarrassingly parallel), each shard packs greedily
+    in stable doc order, and a doc starts a new sequence once the
+    running token count crosses the 2048-token budget.
+
+    Shape: token counts are one JVM ``size(split(...))`` projection (no
+    tokenizer UDF in the hot path); packing is a per-shard running-sum
+    window, so the only shuffle partitions by shard — parallelism =
+    shard count, each shard's window is a linear scan.  At 100 TB you
+    raise the shard count to the cluster's task budget; nothing else
+    changes.  Integer token arithmetic end-to-end, so the driver hash
+    check is exact."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    packed = toks.select(
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )

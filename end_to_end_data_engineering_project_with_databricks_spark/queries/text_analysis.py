@@ -414,3 +414,70 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["n_required_stopwords"].alias("n_required_stopwords"),
         gopher_pass(feats).alias("passes"),
     )
+
+
+@query(
+    "text_zipf_token_share",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (
+      SELECT token, COUNT(*) AS freq FROM tok WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+             SUM(freq) OVER (ORDER BY freq DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_freq,
+             SUM(freq) OVER () AS total
+      FROM tf
+    )
+    SELECT token, freq, rank,
+           CAST(cum_freq AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+    FROM ranked
+    WHERE rank <= 100
+    """,
+    tags=("text", "window", "agg", "tokenizer"),
+)
+def text_zipf_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf head analysis for tokenizer/vocabulary design: corpus term
+    frequencies ranked, with each rank's CUMULATIVE share of all token
+    occurrences — the "how much of the corpus do the top-k tokens
+    cover" curve that sizes a vocabulary.
+
+    Shape: explode -> one hash agg on token -> a single global-ordered
+    window over the AGGREGATED term table.  The window's input is the
+    vocabulary (~1e6 rows at any corpus size), not the corpus, so the
+    single-partition global sort is bounded no matter how many tokens
+    the corpus has; integer cum/total with one final IEEE division keeps
+    the doubles bit-equal to the oracle."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    ranked = tf.select(
+        "token",
+        "freq",
+        F.row_number().over(w).cast("long").alias("rank"),
+        F.sum("freq").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_freq"),
+        F.sum("freq").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return ranked.filter(F.col("rank") <= 100).select(
+        "token",
+        "freq",
+        "rank",
+        (F.col("cum_freq").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )

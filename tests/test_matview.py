@@ -4,6 +4,8 @@ deletes, including group birth and group death."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -96,3 +98,41 @@ def test_null_group_keys_survive_roundtrip(spark, roots, tmp_path):
     MV.refresh(spark, view)
     rows = {r.grp: (r.n_rows, r.sum_price) for r in MV.read_view(spark, view).collect()}
     assert rows == {None: (1, 5.0), "x": (1, 1.0)}
+
+
+def test_streaming_pipeline_maintains_view(spark, roots, tmp_path):
+    """End-to-end incremental pipeline: files stream in via foreachBatch
+    MERGE commits on the versioned table; one CDF-driven refresh then
+    brings the materialized view to the exact full-recompute state."""
+    src, view = roots
+    V.append(_orders(spark, [(1, "a", 1.0), (2, "b", 2.0)]), src)
+    MV.create(spark, src, view, group_cols=["grp"], sum_cols=["price"])
+
+    indir = str(tmp_path / "incoming")
+    _orders(spark, [(2, "b", 20.0), (3, "c", 3.0)]).coalesce(1).write.parquet(
+        os.path.join(indir, "batch1")
+    )
+    _orders(spark, [(4, "a", 4.0)]).coalesce(1).write.parquet(
+        os.path.join(indir, "batch2")
+    )
+    stream = (
+        spark.readStream.schema("k long, grp string, price double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(indir, "*"))
+    )
+
+    def sink(batch_df, batch_id):
+        V.merge_upsert(batch_df, src, key="k")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    MV.refresh(spark, view)
+    got = _as_sorted_rows(MV.read_view(spark, view))
+    want = _as_sorted_rows(_rebuild(spark, src, tmp_path, "rebuild_stream"))
+    assert got == want
+    assert got == [("a", 2, 5.0), ("b", 1, 20.0), ("c", 1, 3.0)]
