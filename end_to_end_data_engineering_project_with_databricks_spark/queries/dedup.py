@@ -168,7 +168,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM neighbors GROUP BY vec_id
     """,
     tags=("dedup", "similarity"),
-    bench=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup dedup: cosine >= 0.6 pairs from banded
@@ -204,7 +203,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash",
     oracle=None,  # xxhash64-based fingerprint is engine-specific
     tags=("dedup", "approx"),
-    bench=True,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs at Hamming distance <= 3, banded
@@ -402,3 +400,68 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("doc_id") == F.first("doc_id").over(w)).alias("is_canonical"),
     )
+
+
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 600
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_small, b.doc_id AS id_big, COUNT(*) AS novl
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_small, i.id_big,
+           CAST(i.novl AS DOUBLE) / CAST(c.n AS DOUBLE) AS containment
+    FROM inter i JOIN counts c ON i.id_small = c.doc_id
+    WHERE CAST(i.novl AS DOUBLE) / CAST(c.n AS DOUBLE) >= 0.8
+    """,
+    tags=("dedup", "containment", "curation"),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT detection — the quote/subset case
+    Jaccard misses: containment(A in B) = |sh(A) ∩ sh(B)| / |sh(A)| is
+    high when document A is substantially quoted inside a much larger B,
+    even though their symmetric Jaccard is tiny.  Standard curation step
+    for boilerplate chains and wholesale quoting.
+
+    Shape: identical equi-join-on-shingle candidate generation as the
+    Jaccard path (no cross join; the shingle join IS the candidate
+    generator), one hash agg for overlaps, one broadcast-sized join for
+    the denominators.  At 100 TB the shingle join is replaced by the
+    MinHash band join exactly as in minhash_lsh_dedup; containment
+    re-verifies on candidates only.  Single IEEE division keeps the
+    score bit-equal to the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    sh = d.select("doc_id", F.explode(shingles("text", 3)).alias("shingle"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_small"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_big"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count("*").alias("novl"))
+    )
+    scored = inter.join(
+        counts.withColumnsRenamed({"doc_id": "id_small"}), "id_small"
+    ).select(
+        "id_small",
+        "id_big",
+        (F.col("novl").cast("double") / F.col("n").cast("double")).alias("containment"),
+    )
+    return scored.filter(F.col("containment") >= 0.8)

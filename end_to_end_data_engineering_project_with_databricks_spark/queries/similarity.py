@@ -65,7 +65,6 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND {_COS} >= 0.35
     """,
     tags=("similarity", "join"),
-    bench=True,
 )
 def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine >= 0.35 on a bounded slice — the exact
@@ -109,7 +108,6 @@ def sim_threshold_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_ivf_topk",
     oracle=None,  # approximate (cell probing) -> rows-only gate
     tags=("similarity", "topk", "approx"),
-    bench=True,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 16 deterministic cells, probe 4 — scores
@@ -125,7 +123,6 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_rp_lsh_topk",
     oracle=None,  # approximate (bucket probing) -> rows-only gate
     tags=("similarity", "topk", "approx", "lsh"),
-    bench=True,
 )
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (sign) LSH approximate top-5 — the second ANN

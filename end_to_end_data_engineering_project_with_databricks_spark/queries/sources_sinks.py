@@ -789,3 +789,56 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     V.delete_where(spark, src_root, "o_orderkey % 16 = 2")
     MV.refresh(spark, view_root)
     return MV.read_view(spark, view_root)
+
+
+@query(
+    "sink_versioned_schema_evolution",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price,
+           CAST(COUNT(o_flag) AS BIGINT) AS n_flagged
+    FROM (
+      SELECT o_orderstatus, o_totalprice, NULL AS o_flag
+      FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, 1 AS o_flag
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "versioned", "schema-evolution"),
+)
+def sink_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the versioned table (Delta mergeSchema twin):
+    commit a base snapshot, then append a batch carrying a NEW column
+    with ``evolve_schema=True`` — the table schema widens, and readers
+    see NULL for the new column on pre-evolution files (the explicit
+    read schema projects missing parquet columns as null).  The
+    aggregate counts the evolved column per status, so both the widened
+    write path and the null-backfill read path are value-hash-checked."""
+    import shutil
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_schema_evo")
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    V.append(orders.filter(F.col("o_orderstatus") == "F"), root)
+    evolved = orders.filter(F.col("o_orderstatus") == "O").withColumn(
+        "o_flag", F.lit(1).cast("int")
+    )
+    V.append(evolved, root, evolve_schema=True)
+    return (
+        V.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+            F.count("o_flag").cast("long").alias("n_flagged"),
+        )
+    )

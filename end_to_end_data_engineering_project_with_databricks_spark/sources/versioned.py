@@ -63,6 +63,7 @@ on a Databricks/delta-spark environment:
     idempotent_append()              MERGE ... WHEN NOT MATCHED THEN INSERT
     read(timestamp=...)              .option("timestampAsOf", ...)
     vacuum()                         VACUUM t RETAIN n HOURS + log retention
+    history()                        DESCRIBE HISTORY t
 
 To target real Delta: replace the manifest read/commit with
 ``format("delta")`` reads/writes and drop this module's log handling —
@@ -270,6 +271,7 @@ def append(
             stats = new_stats
         manifest = {
             "version": next_version,
+            "operation": "APPEND",
             "schema": schema,
             "files": files,
             "stats": stats,
@@ -475,6 +477,7 @@ def merge_upsert(df: DataFrame, root: str, key: str, max_commit_retries: int = 1
         )
         manifest = {
             "version": head_v + 1,
+            "operation": "MERGE",
             "schema": head["schema"],
             "files": survivors + new_files,
             # rewritten files carry no stats (conservatively unprunable);
@@ -544,6 +547,7 @@ def delete_where(
                 )
         manifest = {
             "version": head_v + 1,
+            "operation": "DELETE",
             "schema": head["schema"],
             "files": survivors + new_files,
             "stats": {
@@ -605,6 +609,7 @@ def compact(
         keep = [f for f in head["files"] if f not in set(small)]
         manifest = {
             "version": head_v + 1,
+            "operation": "OPTIMIZE",
             "schema": head["schema"],
             "files": keep + new_files,
             "stats": {
@@ -710,6 +715,7 @@ def cluster(
         )
         manifest = {
             "version": head_v + 1,
+            "operation": "ZORDER",
             "schema": head["schema"],
             "files": new_files,
             "stats": _file_stats(spark, new_files, head["schema"], cols),
@@ -781,6 +787,63 @@ def vacuum(
             # its write markers
             shutil.rmtree(batch_dir, ignore_errors=True)
     return {"manifests_deleted": manifests_deleted, "data_files_deleted": files_deleted}
+
+
+def history(spark: SparkSession, root: str) -> DataFrame:
+    """Commit history of the table (Delta ``DESCRIBE HISTORY`` twin):
+    one row per retained commit — version, commit timestamp, operation
+    (APPEND/MERGE/DELETE/OPTIMIZE/ZORDER), live-file count, and the
+    files added/removed vs the previous retained commit.
+
+    Pure driver-side manifest metadata (no data files opened); the
+    result is a small DataFrame so it composes with the SQL surface
+    like any other relation.  Commits written before operation stamping
+    report operation NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    root = os.path.abspath(root)
+    versions = list_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions at {root}")
+    rows = []
+    prev_files: set[str] | None = None
+    for v in versions:
+        m = _read_manifest(root, v)
+        files = set(m["files"])
+        added = len(files - prev_files) if prev_files is not None else len(files)
+        removed = len(prev_files - files) if prev_files is not None else 0
+        rows.append(
+            (
+                v,
+                float(m.get("committed_at") or _commit_time(root, v)),
+                m.get("operation"),
+                len(files),
+                added,
+                removed,
+            )
+        )
+        prev_files = files
+    st = StructType(
+        [
+            StructField("version", IntegerType()),
+            StructField("committed_at_epoch", DoubleType()),
+            StructField("operation", StringType()),
+            StructField("n_files", LongType()),
+            StructField("n_added", LongType()),
+            StructField("n_removed", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, st).withColumn(
+        "committed_at", F.timestamp_seconds(F.col("committed_at_epoch"))
+    )
 
 
 def idempotent_append(

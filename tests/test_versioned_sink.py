@@ -394,3 +394,15 @@ def test_cluster_two_columns_localizes_both(spark, root):
     kept_b = V.prune_files(manifest, ("b", 0.0, 1200.0))
     assert len(kept_a) < n_files
     assert len(kept_b) < n_files
+
+
+def test_history_records_operations(spark, root):
+    V.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1), root)
+    V.merge_upsert(_df(spark, [("b", 20), ("c", 3)]), root, key="k")
+    V.delete_where(spark, root, "k = 'a'")
+    h = {r.version: r for r in V.history(spark, root).collect()}
+    assert [h[v].operation for v in sorted(h)] == ["APPEND", "MERGE", "DELETE"]
+    assert h[1].n_added == h[1].n_files and h[1].n_removed == 0
+    # CoW commits both add and remove files
+    assert h[2].n_added >= 1 and h[2].n_removed >= 1
+    assert all(r.committed_at is not None for r in h.values())
