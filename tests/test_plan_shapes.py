@@ -217,3 +217,34 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         for a, e in ((a25, e25), (a50, e50), (a90, e90)):
             # 1e4 accuracy on fixture group sizes -> near-exact; 1% slack
             assert abs(a - e) <= 0.01 * max(1.0, abs(e)), (status, a, e)
+
+
+def test_containment_candidates_are_equi_not_cross(spark, sf_dir):
+    df = _df(spark, sf_dir, "dedup_containment")
+    assert not has_cartesian(df)
+    # the shingle join is the candidate generator: an equi SMJ/SHJ on the
+    # shingle key, plus a (broadcastable) denominator join
+    kinds = join_kinds(df)
+    assert any(k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin") for k in kinds)
+
+
+def test_pack_sequences_single_exchange_on_shard(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "pipeline_pack_sequences"))
+    # the per-shard window and the final per-(shard, seq) agg must share
+    # the shard-hash partitioning: one shuffle total, not one per step
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_zipf_window_runs_on_vocabulary_not_corpus(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "text_zipf_token_share"))
+    # the token aggregate must be partial (map-side combine on the corpus)
+    # BEFORE the global-order window sees only the vocabulary
+    assert "partial_count" in plan
+    assert "Window" in plan
+
+
+def test_cluster_canonical_no_cartesian(spark, sf_dir):
+    df = _df(spark, sf_dir, "dedup_cluster_canonical")
+    assert not has_cartesian(df)
