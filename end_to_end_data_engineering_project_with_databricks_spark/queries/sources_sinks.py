@@ -842,3 +842,82 @@ def sink_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFra
             F.count("o_flag").cast("long").alias("n_flagged"),
         )
     )
+
+
+@query(
+    "stream_matview_pipeline",
+    oracle=f"""
+    SELECT o_orderstatus, n_rows, sum_o_totalprice FROM (
+      SELECT o_orderstatus, COUNT(*) AS n_rows,
+             {sql_dsum('o_totalprice')} AS sum_o_totalprice
+      FROM orders WHERE o_orderkey % 4 < 3
+      GROUP BY o_orderstatus
+    )
+    """,
+    tags=("streaming", "matview", "versioned", "cdc", "pipeline"),
+)
+def stream_matview_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-analytics pipeline in one query: a versioned
+    source table streams commit-by-commit (versioned_stream — the Delta
+    streaming-source twin) through a foreachBatch MERGE into a silver
+    versioned table, whose change feed then advances a materialized
+    aggregate view — ingest, upsert, CDC, and view maintenance chained
+    end-to-end, each step O(churn).
+
+    The view is created after the first micro-batch lands and refreshed
+    once after the stream drains, so the refresh walks a multi-commit
+    CDF window.  The oracle is the from-scratch aggregate over
+    everything streamed; it hash-matches only if every stage —
+    streaming offsets, merge CoW, manifest-diff change feed, fixed-point
+    view state — is exact."""
+    import shutil
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators import (
+        matview as MV,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.versioned_stream import (
+        VersionedStreamDataSource,
+    )
+
+    bronze = _tmp("smv_bronze")
+    silver = _tmp("smv_silver")
+    view = _tmp("smv_view")
+    ckpt = _tmp("smv_ckpt")
+    for p in (bronze, silver, view, ckpt):
+        shutil.rmtree(p, ignore_errors=True)  # fresh pipeline per run
+
+    orders = load_table(spark, sf_dir, "orders")
+    for m in (0, 1, 2):
+        V.append(orders.filter(F.col("o_orderkey") % 4 == m), bronze)
+
+    spark.dataSource.register(VersionedStreamDataSource)
+    stream = (
+        spark.readStream.format("versioned_stream")
+        .option("root", bronze)
+        .load()
+        .drop("_commit_version")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        V.merge_upsert(batch_df, silver, key="o_orderkey")
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    MV.create(
+        spark, silver, view, group_cols=["o_orderstatus"], sum_cols=["o_totalprice"]
+    )
+    # a late commit after view creation: the refresh must pick it up
+    # through the change feed, not a rebuild
+    V.merge_upsert(
+        orders.filter(F.col("o_orderkey") % 4 == 2), silver, key="o_orderkey"
+    )
+    MV.refresh(spark, view)
+    return MV.read_view(spark, view)
