@@ -159,3 +159,73 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         F.col("meta"),
         F.explode(idx).alias("frame_idx"),
     )
+
+
+#: output schema of :func:`wav_features`
+WAV_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, sum_abs long, max_abs long"
+)
+
+
+def synthesize_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 800,
+                   sample_rate: int = 8000) -> DataFrame:
+    """Deterministic REAL WAV payloads (RIFF header + PCM16 frames via the
+    stdlib ``wave`` module): sample ``i`` of doc ``d`` is the int16
+    ``((d*31 + i*7) mod 65536) - 32768`` — integer arithmetic a SQL
+    oracle can reproduce exactly, unlike a sine (cross-engine float
+    transcendentals are not bit-stable).  Unlike the image decode stub
+    (no image libs in this environment), the audio path is exercised
+    END-TO-END: real container bytes out, real parser back in."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                i = np.arange(n_samples, dtype=np.int64)
+                samples = ((int(d) * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode: parse each payload with the stdlib
+    ``wave`` reader (the real RIFF/fmt/data chunk walk, not a length
+    heuristic), vectorize the PCM16 frames with numpy, and emit integer
+    features (count / sum of |s| / max |s|) that stay bit-exact across
+    engines.  The per-batch loop is over ROWS, not samples — numpy does
+    the per-sample work, the mapInPandas contract every real media
+    decoder (PIL, ffmpeg, soundfile) plugs into unchanged."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(payload), "rb") as w:
+                    rate = w.getframerate()
+                    raw = w.readframes(w.getnframes())
+                s = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+                rows.append((int(d), len(s), rate, int(s.sum()), int(s.max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "sample_rate", "sum_abs", "max_abs"],
+            )
+
+    return df.mapInPandas(batches, schema=WAV_SCHEMA)

@@ -146,3 +146,40 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_payloads(mm, target_width=64).select(
         "doc_id", "orig_width", "orig_height", "width", "height", "n_bytes"
     )
+
+
+@query(
+    "mm_wav_decode",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    samp AS (
+      SELECT d.doc_id, ABS(((d.doc_id * 31 + t.i * 7) % 65536) - 32768) AS a
+      FROM docs d, generate_series(0, 799) t(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(SUM(a) AS BIGINT) AS sum_abs,
+           CAST(MAX(a) AS BIGINT) AS max_abs
+    FROM samp GROUP BY doc_id
+    """,
+    tags=("multimodal", "audio", "pandas"),
+)
+def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio round-trip (no stub): synthesize deterministic PCM16
+    WAV containers into a binary column (stdlib ``wave`` writer inside
+    Arrow-batched mapInPandas), then decode them back with the real
+    RIFF parser and reduce the frames to integer features with numpy.
+    The oracle regenerates the same int16 samples arithmetically, so a
+    single byte wrong anywhere in the container write, chunk walk, or
+    PCM vectorization breaks the value hash.  This is the exact
+    plumbing a PIL/ffmpeg decoder drops into (operators/multimodal.py
+    docstrings); audio needs no external libs, so it runs end-to-end."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wavs = synthesize_wav(d, "doc_id", n_samples=800, sample_rate=8000)
+    return wav_features(wavs)

@@ -71,3 +71,28 @@ def test_resize_payload_bytes_are_strided_slices(spark, sf_dir):
         assert bytes(got.payload) == payload[::stride]
         assert (got.orig_width, got.orig_height) == (ow, oh)
         assert got.n_bytes == len(payload[::stride])
+
+
+def test_wav_payloads_are_real_riff_containers(spark, sf_dir):
+    """The synthesized payloads must be genuine WAV files: RIFF magic,
+    parseable by the stdlib reader, with the declared frame layout."""
+    import io
+    import wave
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        synthesize_wav,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 3)
+    rows = synthesize_wav(d, "doc_id", n_samples=100, sample_rate=4000).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert bytes(r.payload[:4]) == b"RIFF" and bytes(r.payload[8:12]) == b"WAVE"
+        with wave.open(io.BytesIO(bytes(r.payload)), "rb") as w:
+            assert w.getnframes() == 100
+            assert w.getframerate() == 4000
+            assert w.getsampwidth() == 2 and w.getnchannels() == 1
