@@ -157,9 +157,11 @@ def refresh(spark: SparkSession, view_root: str) -> int:
     Shape: CDF manifest diff (O(churned files)) -> signed per-group
     deltas (one hash agg over churned rows) -> semi-join fetch of the
     affected groups' current state from the view (merge_upsert's CoW
-    touches only view files containing those groups) -> exact integer
-    merge -> upsert survivors, delete emptied groups.  No step scans
-    the full source or the full view.
+    REWRITES only view files containing those groups) -> exact integer
+    merge -> upsert survivors, delete emptied groups.  Nothing scans
+    the source table; the view is scanned (cheap — a view is
+    group-cardinality-sized, orders of magnitude below its source) but
+    only churn-touched view files are rewritten.
 
     The delta group keys are broadcast (refresh batches are churn-sized
     by design); emptied-group keys are collected to the driver for the

@@ -336,3 +336,61 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_value",
         F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+@query(
+    "events_asof_next_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT c.user_id, c.es AS click_sec, c.click_id,
+           p.es AS purchase_sec, p.purchase_id,
+           p.es - c.es AS gap_sec
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND p.es >= c.es
+    """,
+    tags=("events", "join", "asof", "forward"),
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every click matched to the user's earliest
+    purchase at or after it — next-event conversion attribution, the
+    mirror of the backward point-in-time join.  Same union + one-window
+    plan (operators/asof.py direction='forward'): the only change from
+    backward is the tie order and a first() frame, so the cost stays one
+    key shuffle with zero row amplification.  DuckDB's ASOF JOIN with a
+    >= condition is the oracle.  Purchases are pre-deduped to one per
+    (user, second) so the match is deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", _epoch().alias("es"), F.col("event_id").alias("click_id")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _epoch().alias("es"))
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="es",
+        right_payload=["purchase_id"],
+        direction="forward",
+    )
+    return joined.select(
+        "user_id",
+        F.col("es").alias("click_sec"),
+        "click_id",
+        F.col("matched_es").alias("purchase_sec"),
+        "purchase_id",
+        (F.col("matched_es") - F.col("es")).alias("gap_sec"),
+    )
