@@ -191,3 +191,39 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"min_bal": 5000.0, "excluded": "MACHINERY"},
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+             AS price_micros
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    HAVING COUNT(*) > 10
+    """,
+    tags=("sql", "modern", "pipe-syntax"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4.0's ``|>`` operator chaining — the
+    linear-dataflow spelling of SELECT): scan -> join -> filter ->
+    aggregate -> having, each stage reading top-to-bottom like the
+    DataFrame API.  Catalyst compiles it to the identical plan as the
+    nested form, so every optimization (pushdown, broadcast, partial
+    agg) applies unchanged; the DuckDB oracle is the classic spelling
+    of the same query.  Exact integer micros keep the hash bit-stable."""
+    _register(spark, sf_dir, "orders", "customer")
+    return spark.sql("""
+        FROM orders AS o
+        |> JOIN customer AS c ON o.o_custkey = c.c_custkey
+        |> WHERE o.o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                       AS price_micros
+           GROUP BY c.c_mktsegment
+        |> WHERE n_orders > 10
+        |> SELECT c_mktsegment, n_orders, price_micros
+    """)
