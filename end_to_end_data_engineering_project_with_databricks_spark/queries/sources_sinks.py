@@ -559,6 +559,12 @@ def source_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
+        # cache the PARSED relation: Spark rejects any plan that prunes
+        # down to _corrupt_record alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN
+        # — e.g. a bare count() on this aggregate); caching is the
+        # documented escape hatch, and the quarantine batch is small by
+        # construction (it exists to be inspected)
+        .cache()
     )
     return (
         df.groupBy(
