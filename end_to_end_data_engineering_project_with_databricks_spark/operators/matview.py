@@ -61,7 +61,11 @@ from end_to_end_data_engineering_project_with_databricks_spark.sources import (
 _STATE_FILE = "_matview.json"
 
 #: single-column merge key derived from the group columns (merge_upsert
-#: keys on one column); unit separator keeps composite keys unambiguous
+#: keys on one column).  The unit-separator join is unambiguous as long
+#: as group values don't themselves contain \\x1f (true of every fixture
+#: and of sane categorical keys); for adversarial string domains swap
+#: :func:`_vkey_col` to a hash of the tuple — the key is internal to the
+#: view, so the representation can change without migration.
 _VKEY = "_vkey"
 
 

@@ -95,13 +95,22 @@ def sim_threshold_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains no theta/cartesian node).  False positives are impossible
     (exact verify); misses are one-sided and quantified in the operator
     docstring.  tests/test_similarity_ops.py measures recall against the
-    exact baseline on the same slice."""
+    exact baseline on the same slice.
+
+    Threshold 0.45 sits where the fixture corpus actually HAS pairs at
+    every scale factor (7 at sf0.001, 14 at sf0.01, 144 at sf0.1 —
+    measured with a driver-side gram matrix; the max pairwise cosine at
+    sf0.01 is 0.513, so a 0.6 threshold returns an honest-but-empty
+    result the rows-only gate can't distinguish from a broken plan).
+    Per-pair recall at 0.45 with 16x4 banding is ~0.956, so an empty
+    result would mean the pipeline is broken, not unlucky
+    (P ~= 0.044^14)."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         cosine_threshold_pairs_bucketed,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_threshold_pairs_bucketed(e, threshold=0.6, dim=64)
+    return cosine_threshold_pairs_bucketed(e, threshold=0.45, dim=64)
 
 
 @query(

@@ -193,3 +193,16 @@ def test_kmeans_ivf_mechanism_and_codebook_shape(spark, emb):
     e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     a = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
     assert e == a
+
+
+def test_threshold_pairs_lsh_query_yields_rows_at_fixture_scale(spark, sf_dir):
+    """Rows tripwire for the driver's rows-only gate: the registered
+    LSH threshold query must find pairs on the real fixture (7 true
+    pairs >= 0.45 at sf0.001; per-pair recall ~0.956, so zero rows
+    indicates a broken pipeline, not sampling luck)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    n = all_specs()["sim_threshold_pairs_lsh"].fn(spark, sf_dir).count()
+    assert n > 0
