@@ -481,3 +481,40 @@ def text_zipf_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@query(
+    "agg_heavy_hitter_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    t AS (SELECT token FROM tok WHERE token <> ''),
+    tot AS (SELECT COUNT(*) AS total_n FROM t)
+    SELECT t.token, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(tot.total_n) AS BIGINT) AS total_n
+    FROM t, tot
+    GROUP BY t.token
+    HAVING COUNT(*) >= MAX(tot.total_n) * 0.005
+    """,
+    tags=("text", "sketch", "heavy-hitters", "agg"),
+)
+def agg_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens (frequency >= 0.5%) via the two-pass
+    Misra-Gries pipeline (operators/heavy_hitters.py): a bounded-memory
+    per-partition sketch prunes the candidate set WITHOUT the
+    full-cardinality shuffle a plain GROUP BY needs, then an exact
+    recount of candidates makes the result precise — which is why this
+    sketch query carries a full value-hash oracle (the naive exact SQL)
+    rather than a rows-only gate.  At 100 TB the avoided shuffle is the
+    whole token vocabulary; the candidate recount shuffles only rows
+    whose token is among <= partitions * k candidates."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    return heavy_hitters_exact(toks, "token", support=0.005)

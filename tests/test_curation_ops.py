@@ -141,3 +141,41 @@ def test_gopher_rules_on_constructed_docs(spark):
     assert out[4].symbol_ratio > 0.1 and not out[4].passes
     # word-count floor alone fails the short docs regardless of style
     assert not out[2].passes and not out[3].passes
+
+
+def test_misra_gries_superset_guarantee_under_adversarial_partitioning(spark):
+    """A planted heavy hitter spread thin across many partitions (its
+    worst case) must survive candidate generation, and the two-pass
+    result must equal the exact aggregate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+
+    rng = random.Random(3)
+    # 20k noise tokens (high cardinality) + 300 copies of the hitter
+    rows = [(f"noise_{rng.randrange(10000)}",) for _ in range(20000)]
+    rows += [("hot",)] * 300  # 300/20300 ~ 1.48% >= 1% support
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "token string").repartition(16)
+
+    cands = {r.token for r in misra_gries_candidates(df, "token", k=101).collect()}
+    assert "hot" in cands  # superset guarantee
+
+    got = {
+        (r.token, r.n)
+        for r in heavy_hitters_exact(df, "token", support=0.01).collect()
+    }
+    want = {
+        (r.token, r.n)
+        for r in df.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 0.01 * len(rows))
+        .collect()
+    }
+    assert got == want
+    assert ("hot", 300) in got
