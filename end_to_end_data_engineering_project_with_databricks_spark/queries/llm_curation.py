@@ -352,3 +352,33 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "sample_bottom_k_uniform",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+    LIMIT 100
+    """,
+    tags=("curation", "sampling", "topk"),
+)
+def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k uniform sample — bottom-k by key hash: rank
+    every row by md5(doc_id) and keep the k smallest.  A cryptographic
+    hash of the key is uniform on [0, 2^128), so bottom-k is a uniform
+    sample without replacement that is (a) reproducible run-to-run and
+    engine-to-engine (no RNG state — the reason this query can carry an
+    exact value-hash oracle, unlike rand()-based sampling), (b)
+    CONSISTENT: growing the corpus only swaps members whose hashes
+    cross the k-th order statistic, and the same trick per key joins
+    consistently across tables.  Plan shape: per-partition top-k
+    pre-reduction then a single reduce (TakeOrderedAndProject) — no
+    full sort, no full shuffle, the same 100 TB shape as any top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", "lang", "source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(100)
+    )
