@@ -44,3 +44,37 @@ class CharNgrams:
 def register_udtfs(spark) -> None:
     """Register all UDTFs for SQL/lateral use on this session."""
     spark.udtf.register("char_ngrams", CharNgrams)
+    spark.udtf.register("parse_delimited", ParseDelimited)
+
+
+@udtf
+class ParseDelimited:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze`` API): splits a delimited
+    line into ``n_cols`` string columns ``c1..cN`` — the output SCHEMA
+    is derived at plan time from the constant ``n_cols`` argument, the
+    capability static ``returnType`` UDTFs lack.  Rows shorter than
+    ``n_cols`` null-pad; longer rows spill the remainder into the last
+    column (classic fixed-width CSV landing semantics)."""
+
+    @staticmethod
+    def analyze(line, n_cols):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not n_cols.isConstantExpression or not isinstance(n_cols.value, int):
+            raise ValueError("ParseDelimited(n_cols) must be a constant int")
+        if not 1 <= n_cols.value <= 100:
+            raise ValueError("n_cols must be in [1, 100]")
+        st = StructType()
+        for i in range(n_cols.value):
+            st = st.add(f"c{i + 1}", StringType())
+        return AnalyzeResult(schema=st)
+
+    def eval(self, line: str, n_cols: int):  # noqa: D102 - contract method
+        if line is None:
+            return
+        parts = line.split(",")
+        if len(parts) > n_cols:
+            parts = parts[: n_cols - 1] + [",".join(parts[n_cols - 1 :])]
+        parts = parts + [None] * (n_cols - len(parts))
+        yield tuple(parts)

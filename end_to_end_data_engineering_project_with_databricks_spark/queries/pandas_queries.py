@@ -197,3 +197,41 @@ def pandas_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_sec long, click_id long, gap_sec long"
         ),
     )
+
+
+@query(
+    "udtf_parse_delimited_dynamic",
+    oracle="""
+    SELECT n_name AS c1,
+           CAST(n_nationkey AS VARCHAR) AS c2,
+           CAST(n_regionkey AS VARCHAR) || ',extra' AS c3
+    FROM nation
+    """,
+    tags=("udtf", "polymorphic", "analyze"),
+)
+def udtf_parse_delimited_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (the Spark 4 ``analyze`` static method):
+    the output schema — three string columns c1..c3 — is computed at
+    PLAN time from the constant ``n_cols`` argument, something a static
+    ``returnType`` cannot express.  Nation rows are serialized to
+    4-field delimited lines and re-parsed with n_cols=3, so the
+    overflow field spills into the last column (fixed-width landing
+    semantics) and the oracle reproduces the spill with plain string
+    concatenation."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.udtfs import (
+        register_udtfs,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_udtf_src")
+    return spark.sql("""
+        SELECT t.c1, t.c2, t.c3
+        FROM (
+          SELECT concat(n_name, ',', CAST(n_nationkey AS STRING), ',',
+                        CAST(n_regionkey AS STRING), ',extra') AS line
+          FROM nation_udtf_src
+        ) v, LATERAL parse_delimited(v.line, 3) t
+    """)
