@@ -465,3 +465,27 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("novl").cast("double") / F.col("n").cast("double")).alias("containment"),
     )
     return scored.filter(F.col("containment") >= 0.8)
+
+
+@query(
+    "dedup_minhash_oph",
+    oracle=None,  # engine-specific hash family -> rows-only gate
+    tags=("dedup", "approx", "lsh", "oph"),
+)
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs on ONE-PERMUTATION-HASHING signatures
+    (operators/dedup.oph_signatures): one xxhash64 per shingle split
+    across 64 slots with rotation densification, then the identical
+    band join + exact-Jaccard verify as dedup_minhash_lsh — the
+    hash-work-per-shingle goes from 64 evaluations to 1, the scale
+    answer when signature computation (not the band join) dominates.
+    Emits identical pairs to the classic path on the fixtures
+    (tests/test_dedup_ops.py plants near-dups and checks both)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        oph_minhash_lsh_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return oph_minhash_lsh_dedup(
+        d, "doc_id", "text", num_buckets=64, bands=16, shingle_k=3, threshold=0.5
+    )

@@ -89,3 +89,41 @@ def test_exact_dedup_counts(spark):
     )
     out = {r.text: (r.canonical_id, r.n_members) for r in exact_dedup(df, ["text"], "doc_id").collect()}
     assert out == {"a b c": (1, 2), "x y z": (3, 1)}
+
+
+def test_oph_minhash_finds_planted_near_dups_and_stays_precise(spark):
+    """OPH signatures (one hash per shingle + rotation densification)
+    must find the same planted near-dups as the classic per-family
+    MinHash, with the same no-false-positives contract."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        oph_minhash_lsh_dedup,
+    )
+
+    df, planted = _mk_docs(spark)
+    found = oph_minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5)
+    pairs = {(r.id_a, r.id_b) for r in found.collect()}
+    missing = planted - pairs
+    assert not missing, f"OPH-LSH missed planted near-dup pairs: {missing}"
+    assert all(r.jaccard >= 0.5 for r in found.collect())
+
+
+def test_oph_signatures_shape_and_densification(spark):
+    """Signatures are B-long, fully densified (no empty sentinel), and
+    deterministic; a short doc (few shingles) still gets a full
+    signature via rotation borrowing."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _OPH_EMPTY,
+        oph_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.sig for r in oph_signatures(df, "doc_id", "text", 16).collect()}
+    assert set(rows) == {1, 2}
+    for sig in rows.values():
+        assert len(sig) == 16
+        assert _OPH_EMPTY not in sig  # densified
+    again = {r.doc_id: r.sig for r in oph_signatures(df, "doc_id", "text", 16).collect()}
+    assert rows == again  # deterministic

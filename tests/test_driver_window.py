@@ -100,5 +100,6 @@ def test_window_minimizes_rows_only_checks() -> None:
         "sim_ivf_topk",
         "sim_ivf_kmeans_topk",
         "sim_rp_lsh_topk",
+        "dedup_minhash_oph",
     }
     assert rows_only <= allowed, f"unexpected rows-only slots: {rows_only - allowed}"
