@@ -382,3 +382,64 @@ def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "emb_int8_quantization",
+    oracle=f"""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT label, scale,
+             list_max(list_transform(e,
+               x -> abs(x - round(x / scale) * scale))) AS max_err
+      FROM s
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {sql_davg('scale')} AS avg_scale,
+           {sql_davg('max_err')} AS avg_max_err,
+           MAX(max_err) AS worst_err
+    FROM q GROUP BY label
+    """,
+    tags=("similarity", "quantization", "agg"),
+)
+def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization QA — the 4x storage / memory-
+    bandwidth answer for a 100 TB embedding store: per vector, scale =
+    max|x|/127, codes = round(x/scale), and the reconstruction error
+    |x - code*scale| is bounded by scale/2 per component.  The query
+    reports per-label scale and worst-case error so a corpus owner can
+    decide where int8 retrieval is safe before re-encoding anything.
+
+    All JVM-side array folds (abs/max/round — no UDF); the oracle
+    mirrors every IEEE operation in the same order (both engines round
+    ties away from zero), so even the error DOUBLES hash-match
+    bit-for-bit.  Exact fixed-point davg for the aggregated means."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("label", F.col("embedding").cast("array<double>").alias("e"))
+    s = v.select(
+        "label",
+        "e",
+        (F.array_max(F.transform("e", lambda x: F.abs(x))) / 127).alias("scale"),
+    )
+    q = s.select(
+        "label",
+        "scale",
+        F.array_max(
+            F.transform(
+                "e", lambda x: F.abs(x - F.round(x / F.col("scale")) * F.col("scale"))
+            )
+        ).alias("max_err"),
+    )
+    return q.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        davg("scale").alias("avg_scale"),
+        davg("max_err").alias("avg_max_err"),
+        F.max("max_err").alias("worst_err"),
+    )
