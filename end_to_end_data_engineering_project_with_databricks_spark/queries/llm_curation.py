@@ -443,3 +443,75 @@ def emb_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("max_err").alias("avg_max_err"),
         F.max("max_err").alias("worst_err"),
     )
+
+
+@query(
+    "sample_language_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts),
+    powered AS (
+      SELECT c.lang, c.n_docs,
+             pow(CAST(c.n_docs AS DOUBLE) / t.total, 0.7) AS w
+      FROM counts c, tot t
+    ),
+    z AS (
+      -- left-fold in lang order: float sums are order-dependent, and a
+      -- plain SUM() may add in a different order than Spark; the fold
+      -- mirrors F.aggregate over the lang-sorted array bit-for-bit
+      SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS zsum
+      FROM powered
+    )
+    SELECT p.lang, p.n_docs,
+           ROUND(p.w / z.zsum, 12) AS sample_prob,
+           ROUND((p.w / z.zsum) / (CAST(p.n_docs AS DOUBLE)
+             / (SELECT total FROM tot)), 12) AS upsample_factor
+    FROM powered p, z
+    """,
+    tags=("curation", "sampling", "multilingual", "agg"),
+)
+def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the mBERT/XLM-R
+    resampling rule): language l is drawn with probability proportional
+    to (n_l/N)^alpha, alpha=0.7 — flattening the head languages and
+    boosting the tail without equalizing outright.  The query emits
+    each language's sampling probability and its up/down-sampling
+    factor vs natural frequency: the numbers a weighted corpus sampler
+    (e.g. stratified_hash_sample with per-language ceilings) consumes.
+
+    One tiny aggregate (5 language rows) then pure scalar math; the
+    cross joins are single-row broadcasts.  Bit-equality discipline:
+    the normalizer is a LEFT FOLD over lang-sorted weights (plain
+    SUM of doubles is order-dependent), and the final probabilities
+    round to 12 decimals on both sides because ``pow`` is a libm
+    transcendental the JVM and DuckDB legitimately differ on by an
+    ulp — the one operation in the registry where exactness is
+    impossible, so precision is pinned explicitly instead."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    powered = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.pow(F.col("n_docs").cast("double") / F.col("total"), 0.7).alias("w"),
+    )
+    z = powered.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "w"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("zsum")
+    )
+    return powered.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("w") / F.col("zsum"), 12).alias("sample_prob"),
+        F.round(
+            (F.col("w") / F.col("zsum"))
+            / (F.col("n_docs").cast("double") / F.col("total")),
+            12,
+        ).alias("upsample_factor"),
+    )

@@ -518,3 +518,64 @@ def agg_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")
     return heavy_hitters_exact(toks, "token", support=0.005)
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      WHERE doc_id < 300
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(u.i AS BIGINT) AS chunk_no,
+             array_to_string(t[u.i * 24 + 1 : u.i * 24 + 32], ' ') AS chunk,
+             least(len(t) - u.i * 24, 32) AS n_tokens
+      FROM toks,
+           unnest(generate_series(0,
+             greatest(CAST(ceil((len(t) - 32) / 24.0) AS BIGINT), 0))) AS u(i)
+      WHERE len(t) >= 1
+    )
+    SELECT doc_id, chunk_no, chunk, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM chunks WHERE n_tokens > 0
+    """,
+    tags=("text", "chunking", "generator", "training-data"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the RAG / pretraining step
+    that splits long documents into overlapping fixed-size pieces:
+    32-token windows with stride 24 (8-token overlap), the final
+    partial window kept.  Everything is JVM array work — one split,
+    a sequence of window starts, slice + array_join per window — and
+    the only row growth is the chunk fan-out itself (posexplode of a
+    computed sequence; no shuffle at all, so the operator pipelines
+    with the scan at any corpus size).  The oracle mirrors the window
+    arithmetic with list slicing; exact string and integer outputs."""
+    size, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 1
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.ceil((F.size("t") - F.lit(size)) / F.lit(float(stride))).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_no", "_i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.array_join(
+            F.slice(F.col("t"), F.col("chunk_no") * stride + 1, size), " "
+        ).alias("chunk"),
+        F.least(
+            F.size("t") - F.col("chunk_no") * stride, F.lit(size)
+        ).cast("long").alias("n_tokens"),
+    )
+    return chunks.filter(F.col("n_tokens") > 0)
