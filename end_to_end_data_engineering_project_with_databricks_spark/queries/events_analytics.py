@@ -394,3 +394,139 @@ def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("matched_es") - F.col("es")).alias("gap_sec"),
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(es) AS v_ts FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.es) AS c_ts
+      FROM ev e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.es >= v.v_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.es) AS p_ts
+      FROM ev e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.es >= c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users,
+           CAST(NULL AS BIGINT) AS total_gap_sec
+    UNION ALL
+    SELECT 'click', (SELECT COUNT(*) FROM c),
+           (SELECT CAST(SUM(c.c_ts - v.v_ts) AS BIGINT)
+            FROM c JOIN v ON c.user_id = v.user_id)
+    UNION ALL
+    SELECT 'purchase', (SELECT COUNT(*) FROM p),
+           (SELECT CAST(SUM(p.p_ts - c.c_ts) AS BIGINT)
+            FROM p JOIN c ON p.user_id = c.user_id)
+    """,
+    tags=("events", "funnel", "agg", "join"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): a user
+    advances a stage only with an event AT OR AFTER their previous
+    stage's first event — the ordering constraint that separates a
+    funnel from three independent counts.  Three cascaded min-filter
+    aggregates, each joining the (ever-shrinking) qualified-user set
+    back to the events — all equi-joins on user_id; the funnel stages
+    shrink monotonically so each later stage's join is cheaper.  Gap
+    sums are integer seconds, so the driver hash is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", _epoch().alias("es")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("es").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("es") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("c_ts"), F.first("v_ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select("user_id", "c_ts"), "user_id")
+        .filter(F.col("es") >= F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("es").alias("p_ts"), F.first("c_ts").alias("c_ts"))
+    )
+    row_v = v.agg(
+        F.lit("view").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.lit(None).cast("long").alias("total_gap_sec"),
+    )
+    row_c = c.agg(
+        F.lit("click").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.sum(F.col("c_ts") - F.col("v_ts")).cast("long").alias("total_gap_sec"),
+    )
+    row_p = p.agg(
+        F.lit("purchase").alias("stage"),
+        F.count("*").alias("n_users"),
+        F.sum(F.col("p_ts") - F.col("c_ts")).cast("long").alias("total_gap_sec"),
+    )
+    return row_v.unionByName(row_c).unionByName(row_p)
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS week
+      FROM events
+    ),
+    first_week AS (
+      SELECT user_id, MIN(week) AS cohort FROM ev GROUP BY user_id
+    ),
+    active AS (SELECT DISTINCT user_id, week FROM ev),
+    cohort_size AS (
+      SELECT cohort, COUNT(*) AS n_cohort FROM first_week GROUP BY cohort
+    )
+    SELECT f.cohort, a.week - f.cohort AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           CAST(MAX(s.n_cohort) AS BIGINT) AS n_cohort
+    FROM active a
+    JOIN first_week f ON a.user_id = f.user_id
+    JOIN cohort_size s ON f.cohort = s.cohort
+    GROUP BY f.cohort, a.week - f.cohort
+    """,
+    tags=("events", "retention", "cohort", "agg", "join"),
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted distinct in each subsequent week offset — the
+    product-analytics standard for "do users come back".  One distinct
+    per (user, week), a min-aggregate for cohort assignment, and a
+    single grouped count-distinct joined to cohort sizes; every join is
+    an equi-join on user_id or cohort.  Integer week arithmetic
+    end-to-end (epoch // 86400 // 7), so the driver hash is exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(_epoch() / 86400 / 7).cast("long").alias("week")
+    )
+    first_week = ev.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    active = ev.distinct()
+    cohort_size = first_week.groupBy("cohort").agg(F.count("*").alias("n_cohort"))
+    return (
+        active.join(first_week, "user_id")
+        .join(cohort_size, "cohort")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_active"),
+            F.max("n_cohort").cast("long").alias("n_cohort"),
+        )
+    )
