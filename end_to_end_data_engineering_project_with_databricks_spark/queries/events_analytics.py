@@ -530,3 +530,63 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_cohort").cast("long").alias("n_cohort"),
         )
     )
+
+
+@query(
+    "events_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WHERE user_id < 60
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type,
+           ts AS valid_from,
+           LEAD(ts) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("events", "scd2", "window", "warehouse"),
+)
+def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: collapse each user's event
+    stream into ``[valid_from, valid_to)`` state periods of their
+    event_type, with an open-ended ``is_current`` row per user — the
+    standard warehouse dimension-history shape (the reference's
+    append-only table + anti-join covers only Type 1;
+    ETL_pipeline_countries.py:137).
+
+    Two stacked window passes over the SAME partitioning: lag() marks
+    change rows, lead() closes each period.  Because both windows
+    partition by user_id with an identical ordering, Catalyst reuses
+    one shuffle + sort for both Window operators — per-user history
+    never leaves its partition, so the plan is one exchange regardless
+    of corpus size.  Ties (same user, same ts) are broken by event_id
+    so the period chain is deterministic.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

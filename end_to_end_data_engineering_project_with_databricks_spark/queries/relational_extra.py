@@ -422,3 +422,115 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("o_totalprice", F.lit(0.50), F.lit(10000)).alias("p50"),
         F.approx_percentile("o_totalprice", F.lit(0.90), F.lit(10000)).alias("p90"),
     )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@query(
+    "profile_numeric_columns",
+    oracle=f"""
+    WITH long AS (
+      {" UNION ALL ".join(
+          f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS v FROM lineitem"
+          for c in _PROFILE_COLS
+      )}
+    )
+    SELECT col_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(v) AS n_null,
+           COUNT(DISTINCT v) AS n_distinct,
+           MIN(v) AS min_val,
+           MAX(v) AS max_val
+    FROM long
+    GROUP BY col_name
+    """,
+    tags=("profiling", "agg", "unpivot", "data-quality"),
+)
+def profile_numeric_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling summary — the schema-audit pass a pipeline runs
+    before training ingest: per numeric column, row/null/exact-distinct
+    counts and min/max.
+
+    Implemented as one unpivot (an Expand node: row-local, narrow, no
+    shuffle) followed by a single hash aggregate keyed on the column
+    name — the whole table is scanned ONCE for all profiled columns
+    instead of one job per column (the naive profiler shape).  Exact
+    COUNT(DISTINCT v) rewrites to a two-level aggregate (distinct on
+    (col_name, v) then count) — at 100 TB swap it for
+    approx_count_distinct, the documented trade in
+    agg_approx_count_distinct.  min/max/null counts come from the same
+    pass at no extra shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [],
+        [F.col(c).cast("double").alias(c) for c in _PROFILE_COLS],
+        "col_name",
+        "v",
+    )
+    return long.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_null"),
+        F.count_distinct(F.col("v")).alias("n_distinct"),
+        F.min("v").alias("min_val"),
+        F.max("v").alias("max_val"),
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < 500
+    ),
+    edges AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT COUNT(*) FROM tri) AS n_triangles
+    """,
+    tags=("graph", "join", "self-join"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts appearing
+    in the same order are adjacent; subgraph l_partkey < 500) — the
+    graph-analytics companion to dedup_connected_components: CC is the
+    iterative pattern, triangles are the pure self-join pattern.
+
+    Edges are oriented low-id -> high-id so each triangle is counted
+    exactly once as (a<b<c): e1=(a,b) joins e2=(b,c) to enumerate
+    wedges, and e3=(a,c) closes them — two equi-join shuffles on node
+    keys, no iteration.  Wedge fan-out is the scale hazard: it grows
+    with sum(in_deg*out_deg), so production triangle counting orients
+    edges by (degree, id) instead of raw id, which provably bounds
+    every node's out-degree at O(sqrt(|E|)) and with it the wedge
+    count; the id orientation here keeps the oracle SQL exact while
+    the subgraph filter bounds the demo input.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 500)
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = items.select(F.col("o"), F.col("p").alias("v"))
+    edges = (
+        items.join(b, "o")
+        .filter(F.col("p") < F.col("v"))
+        .select(F.col("p").alias("u"), "v")
+        .distinct()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        tri.agg(F.count("*").alias("n_triangles"))
+    )

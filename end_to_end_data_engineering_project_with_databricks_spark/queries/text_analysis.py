@@ -579,3 +579,196 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_tokens"),
     )
     return chunks.filter(F.col("n_tokens") > 0)
+
+
+_BM25_TERMS = ("hash", "merge", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    per_term_cols = ",\n        ".join(
+        f"COALESCE(MAX(CASE WHEN token = '{t}' THEN s END), 0.0) AS s_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(f"s_{t}" for t in _BM25_TERMS)
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    qtf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({terms}) GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM qtf GROUP BY 1),
+    per_term AS (
+      SELECT qtf.doc_id, qtf.token,
+        ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+         (tf + 1.2 * (1.0 - 0.75 +
+            (0.75 * CAST(dl AS DOUBLE)) /
+            (CAST(sum_dl AS DOUBLE) / n_docs)))) AS s
+      FROM qtf JOIN dfreq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc_id,
+        {per_term_cols}
+      FROM per_term GROUP BY 1
+    )
+    SELECT doc_id, {score} AS bm25_score
+    FROM per_doc
+    ORDER BY bm25_score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query(
+    "text_bm25_search",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "topk", "training-data"),
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 full-corpus search for a fixed 3-term query, top-20
+    docs (k1=1.2, b=0.75).
+
+    The IDF is the log-free rational Robertson form
+    ``(N - df + 0.5) / (df + 0.5)`` — monotone in df exactly like
+    ``ln`` of it, so rankings are preserved while every arithmetic op
+    stays +,*,/ (IEEE-exact and bit-equal with the DuckDB oracle;
+    libm ``ln`` differs in the last ulp between engines).
+
+    Per-doc scores sum the (<=3) per-term contributions in FIXED term
+    order via conditional aggregation — a float sum under groupBy would
+    be accumulation-order-dependent and break bit-equality.
+
+    Scale: one token explode feeds both the doc-length agg and the
+    query-term tf agg; df (3 rows) and the corpus stats (1 row) are
+    broadcast, so the only big shuffles are the two doc_id/token hash
+    aggs and the tf-dl join on doc_id.  The final global top-20 is
+    ``orderBy().limit()`` -> TakeOrderedAndProject: per-partition heap
+    + single driver merge of 20-row heads, no global sort at any
+    corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    qtf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = qtf.groupBy("token").agg(F.count("*").alias("df"))
+
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    denom = F.col("tf") + F.lit(_BM25_K1) * (
+        F.lit(1.0)
+        - F.lit(_BM25_B)
+        + (F.lit(_BM25_B) * F.col("dl").cast("double")) / avgdl
+    )
+    s = idf * ((F.col("tf").cast("double") * (F.lit(_BM25_K1) + F.lit(1.0))) / denom)
+
+    per_term = (
+        qtf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", s.alias("s"))
+    )
+    per_doc = per_term.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("token") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    score = F.col(f"s_{_BM25_TERMS[0]}")
+    for t in _BM25_TERMS[1:]:
+        score = score + F.col(f"s_{t}")
+    return (
+        per_doc.select("doc_id", score.alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    cx AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_tokens FROM uni),
+    big AS (
+      SELECT t[CAST(u.i AS BIGINT)] AS x, t[CAST(u.i AS BIGINT) + 1] AS y
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cxy AS (SELECT x, y, COUNT(*) AS c_xy FROM big GROUP BY 1, 2)
+    SELECT x, y, c_xy,
+           (CAST(n_tokens AS DOUBLE) * c_xy) /
+           (CAST(cx1.c AS DOUBLE) * cx2.c) AS pmi_ratio
+    FROM cxy
+    JOIN cx cx1 ON cxy.x = cx1.w
+    JOIN cx cx2 ON cxy.y = cx2.w
+    CROSS JOIN n
+    WHERE c_xy >= 5
+    ORDER BY pmi_ratio DESC, x, y
+    LIMIT 30
+    """,
+    tags=("text", "collocation", "ngram", "training-data"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-30 bigrams by pointwise-mutual-information
+    ratio ``P(x,y) / (P(x)P(y)) = N*c(x,y) / (c(x)*c(y))`` with minimum
+    support 5 — the phrase-detection pass (word2vec-style) a tokenizer
+    pipeline runs to promote frequent collocations to single tokens.
+    The log of the ratio is classic PMI; the ratio itself preserves the
+    exact ranking while staying log-free for cross-engine bit-equality.
+
+    Bigrams come from a row-local array fold (posexplode over the
+    token array — narrow, no shuffle); the three aggregates (unigram
+    counts, bigram counts, corpus total) each map-side combine before
+    one hash shuffle, and the two unigram-count joins shuffle on the
+    word key (never broadcast: vocabulary grows with the corpus).
+    The support filter drops the long tail BEFORE the joins, so the
+    join input is the (tiny) frequent-bigram set, and the global
+    top-30 is TakeOrderedAndProject.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("t")).filter(F.size("t") >= 2)
+    uni = toks.select(F.explode("t").alias("w"))
+    cx = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n = uni.agg(F.count("*").alias("n_tokens"))
+    big = toks.select(
+        F.col("t"),
+        F.posexplode(F.slice(F.col("t"), F.lit(1), F.size("t") - 1)).alias("i", "x"),
+    ).select("x", F.element_at("t", F.col("i") + 2).alias("y"))
+    cxy = (
+        big.groupBy("x", "y")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    scored = (
+        cxy.join(cx.withColumnRenamed("w", "x").withColumnRenamed("c", "c_x"), "x")
+        .join(cx.withColumnRenamed("w", "y").withColumnRenamed("c", "c_y"), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            (
+                (F.col("n_tokens").cast("double") * F.col("c_xy"))
+                / (F.col("c_x").cast("double") * F.col("c_y"))
+            ).alias("pmi_ratio"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi_ratio"), F.asc("x"), F.asc("y")).limit(30)
