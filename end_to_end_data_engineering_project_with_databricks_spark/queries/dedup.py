@@ -489,3 +489,54 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return oph_minhash_lsh_dedup(
         d, "doc_id", "text", num_buckets=64, bands=16, shingle_k=3, threshold=0.5
     )
+
+
+@query(
+    "dedup_entity_resolution_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name,
+             string_split(p_name, ' ')[-1] AS block
+      FROM part
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+    tags=("dedup", "entity-resolution", "fuzzy", "blocking"),
+)
+def dedup_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocking + edit distance: candidate part-name
+    pairs share a blocking key (the head noun — last token), and a pair
+    matches when Levenshtein distance <= 3.  The classic record-linkage
+    shape: blocking turns the O(n^2) all-pairs comparison into an
+    equi-join (same move as every LSH dedup here — MinHash bands, SimHash
+    bands, IVF cells are all learned/hashed blocking keys), and the
+    expensive pairwise metric runs only inside blocks.
+
+    ``levenshtein`` is a built-in JVM expression in Spark and an exact
+    integer in both engines, so the query is fully oracle-checkable —
+    unlike the hash-family dedups.  At 100 TB the block histogram is the
+    thing to watch (a mega-block re-creates the quadratic blowup);
+    production blocks on multiple keys (phonetic + prefix) and caps
+    block sizes, same salting discipline as join_salted_skew.
+    """
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    ).distinct()
+    b = names.select(F.col("name").alias("name_b"), F.col("block"))
+    return (
+        names.withColumnRenamed("name", "name_a")
+        .join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+    )

@@ -515,3 +515,49 @@ def sample_language_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("upsample_factor"),
     )
+
+
+@query(
+    "emb_minmax_scaling",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    stats AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx FROM ex GROUP BY 1)
+    SELECT vec_id, pos, (val - mn) / (mx - mn) AS scaled
+    FROM ex JOIN stats USING (pos)
+    WHERE vec_id < 10
+    """,
+    tags=("similarity", "feature-scaling", "quality"),
+)
+def emb_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling: corpus-wide min/max per
+    embedding dimension, then ``(v - min) / (max - min)`` applied to a
+    sample of vectors — the normalization pass before quantization or
+    distance computations that assume [0, 1] features.
+
+    The stats side aggregates the FULL corpus (posexplode + hash agg —
+    at most ``dim`` partial rows per task shuffle regardless of corpus
+    size) while application is filtered to the target vectors; the
+    per-dimension stats table is ``dim`` rows, always broadcast, so
+    applying the scaling to 100 TB of vectors is a map-only stage.
+    Emits (vec_id, pos, scaled) rows — same hash-checkable long form
+    as emb_label_centroids."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", "pos", F.col("col").alias("val"))
+    stats = ex.groupBy("pos").agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    return (
+        ex.filter(F.col("vec_id") < 10)
+        .join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            ((F.col("val") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(
+                "scaled"
+            ),
+        )
+    )

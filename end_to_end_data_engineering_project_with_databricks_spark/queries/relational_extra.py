@@ -534,3 +534,110 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.agg(F.count("*").alias("n_edges")).crossJoin(
         tri.agg(F.count("*").alias("n_triangles"))
     )
+
+
+_PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point mass; see docstring
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    head = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey < 300
+    ),
+    edges AS (
+      SELECT DISTINCT a.p AS u, b.p AS v
+      FROM items a JOIN items b ON a.o = b.o AND a.p <> b.p
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    it0 AS (
+      SELECT node, outdeg, CAST({_PR_SCALE} AS BIGINT) // n_nodes AS pr
+      FROM deg CROSS JOIN n
+    )"""
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(f"""
+    c{k} AS (
+      SELECT e.v AS node, SUM(pr // outdeg) AS contrib
+      FROM it{k - 1} JOIN edges e ON it{k - 1}.node = e.u GROUP BY 1
+    ),
+    it{k} AS (
+      SELECT d.node, d.outdeg,
+             (15 * (CAST({_PR_SCALE} AS BIGINT) // n_nodes)) // 100
+             + (85 * COALESCE(contrib, 0)) // 100 AS pr
+      FROM deg d LEFT JOIN c{k} USING (node) CROSS JOIN n
+    )""")
+    return head + "," + ",".join(steps) + f"""
+    SELECT node, CAST(pr AS BIGINT) AS pr FROM it{_PR_ITERS}
+    """
+
+
+@query(
+    "graph_pagerank_fixed_point",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative", "pagerank"),
+)
+def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 0.85) on the undirected part
+    co-purchase graph (l_partkey < 300), in INTEGER fixed-point: rank
+    mass is scaled to 1e12 and every step is integer division — so the
+    per-node contribution sum is exact, order-independent long
+    arithmetic and the result is bit-identical across engines.  A
+    float PageRank can never hash-match: the contribution sum's
+    accumulation order differs between engines in the last ulp and the
+    error compounds per iteration.  The quantization bias is <= outdeg
+    ulps of 1e-12 per node per step — noise relative to float64
+    round-off, but deterministic noise.
+
+    Shape per iteration: one equi-join of ranks to edges on the source
+    key, one hash aggregate on the destination key — the canonical
+    distributed PageRank step (what Pregel/GraphX do under the hood),
+    expressed as DataFrame ops so Catalyst handles partitioning; both
+    shuffles key on node ids, so co-partitioning carries across
+    iterations.  The unrolled 3-step plan is oracle-checkable SQL; the
+    open-iteration variant with lineage truncation is
+    dedup_connected_components' localCheckpoint loop.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 300)
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    b = items.select("o", F.col("p").alias("v"))
+    edges = (
+        items.join(b, "o")
+        .filter(F.col("p") != F.col("v"))
+        .select(F.col("p").alias("u"), "v")
+        .distinct()
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    nstats = deg.agg(F.count("*").alias("n_nodes"))
+    base = F.expr(f"(15 * (CAST({_PR_SCALE} AS BIGINT) div n_nodes)) div 100")
+    pr = deg.crossJoin(F.broadcast(nstats)).select(
+        "node",
+        "outdeg",
+        F.expr(f"CAST({_PR_SCALE} AS BIGINT) div n_nodes").alias("pr"),
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            pr.join(edges, pr["node"] == edges["u"])
+            .select(F.col("v").alias("node"), F.expr("pr div outdeg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        pr = (
+            deg.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nstats))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    base
+                    + F.expr("(85 * COALESCE(contrib, CAST(0 AS BIGINT))) div 100")
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", "pr")
