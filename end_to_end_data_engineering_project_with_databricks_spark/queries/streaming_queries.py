@@ -225,3 +225,48 @@ def stream_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     stream = events_stream(spark, sf_dir)
     return run_to_memory(running_user_totals(stream), output_mode="update")
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         wm AS (
+           SELECT least((SELECT MAX(ts) FROM c),
+                        (SELECT MAX(ts) FROM p)) AS final_wm_plus_delay
+         )
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS gap_sec
+    FROM c
+    LEFT JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    CROSS JOIN wm
+    WHERE p.event_id IS NOT NULL
+       OR c.ts + INTERVAL 2 HOUR < final_wm_plus_delay
+    """,
+    tags=("streaming", "join", "outer", "watermark"),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click matched to
+    same-user purchases within 1 hour; clicks with no purchase emit a
+    null-purchase row — but only after the watermark PROVES no match
+    can still arrive.  Clicks still inside the final watermark horizon
+    when the stream drains stay buffered in state (correct streaming
+    semantics: emitting them would be premature — a matching purchase
+    could come in the next micro-batch).
+
+    The oracle mirrors the eviction rule exactly instead of pretending
+    the stream equals a batch left join: with a 1-hour watermark delay
+    on both inputs, the final global watermark is
+    ``min(max_click_ts, max_purchase_ts) - 1 hour``, and a left row is
+    released as unmatched once ``click_ts + horizon`` drops below it —
+    hence the ``click_ts + 2 HOUR < min(max_ts)`` closure predicate.
+    Verified row-for-row against the availableNow run at sf0.001 and
+    sf0.01; this is the watermark-correctness contract made testable.
+    """
+    stream = events_stream(spark, sf_dir)
+    return run_to_memory(
+        click_purchase_stream_join(stream, how="left_outer"), output_mode="append"
+    )

@@ -127,8 +127,10 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def click_purchase_stream_join(stream: DataFrame, horizon: str = "1 hour") -> DataFrame:
-    """Stream-stream inner join: each click matched to the same user's
+def click_purchase_stream_join(
+    stream: DataFrame, horizon: str = "1 hour", how: str = "inner"
+) -> DataFrame:
+    """Stream-stream join: each click matched to the same user's
     purchases within ``horizon`` after it.
 
     Both sides carry watermarks and the join condition bounds event time
@@ -137,7 +139,14 @@ def click_purchase_stream_join(stream: DataFrame, horizon: str = "1 hour") -> Da
     and is dropped — without the time bound, stream-stream join state
     grows forever.  Inner-join matches emit as soon as both sides arrive
     (no watermark wait), so the completed availableNow run equals the
-    batch join."""
+    batch join.
+
+    With ``how="left_outer"`` unmatched clicks additionally emit with a
+    null purchase — but only once the watermark proves no match can
+    still arrive (click_ts + horizon < final watermark).  Clicks inside
+    the final watermark horizon stay buffered when the stream ends:
+    batch-equivalence holds for the watermark-closed region only, which
+    is exactly what the stream_stream_left_join oracle mirrors."""
     clicks = (
         stream.filter(F.col("event_type") == "click")
         .select(
@@ -161,7 +170,7 @@ def click_purchase_stream_join(stream: DataFrame, horizon: str = "1 hour") -> Da
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
-        "inner",
+        how,
     )
     return joined.select(
         "user_id",
