@@ -227,3 +227,43 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> WHERE n_orders > 10
         |> SELECT c_mktsegment, n_orders, price_micros
     """)
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT n.n_name, o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT)) AS BIGINT)
+             AS price_micros
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    tags=("sql", "modern", "group-by-all"),
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` / ``ORDER BY ALL`` (Spark 4 + DuckDB shared
+    modern-SQL sugar): every non-aggregate select item becomes a
+    grouping key, and the result orders by all columns left-to-right —
+    so adding a dimension to the SELECT list can never silently change
+    grouping semantics.  Resolves at analysis time to the explicit
+    form; the physical plan (partial agg -> shuffle -> final agg ->
+    sort) is identical.  The global sort is for presentation
+    determinism on a small grouped result — at scale ORDER BY ALL on a
+    raw fact table would be a full range-partitioned sort, the usual
+    caveat."""
+    _register(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql("""
+        SELECT n.n_name, o.o_orderstatus,
+               COUNT(*) AS n_orders,
+               SUM(CAST(ROUND(o.o_totalprice * 1000000) AS BIGINT))
+                 AS price_micros
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY ALL
+        ORDER BY ALL
+    """)

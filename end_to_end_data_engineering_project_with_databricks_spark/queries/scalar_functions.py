@@ -328,3 +328,57 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_to_number("o_orderpriority", F.lit("9")).cast("int").alias("bad_cast"),
         F.col("o_orderpriority").substr(1, 1).try_cast("int").alias("prio_digit"),
     )
+
+
+@query(
+    "higher_order_functions",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+             AS total_chars,
+           CAST(len(list_filter(toks, x -> length(x) > 4)) AS INT)
+             AS n_long_tokens,
+           CAST(len(list_filter(toks, (x, i) -> i > 1 AND x = toks[i - 1]))
+             AS INT) AS n_adjacent_repeats,
+           len(list_filter(toks, x -> length(x) > 8)) > 0 AS has_very_long
+    FROM t
+    """,
+    tags=("functions", "array", "lambda", "higher-order"),
+)
+def higher_order_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda higher-order array functions: transform -> aggregate
+    (token-length sum), filter (long-token count), indexed-lambda
+    filter (adjacent-repeat count — the (x, i) two-argument lambda
+    form), exists (any very long token).
+
+    All four run as JVM lambda expressions inside the row — no
+    explode, no shuffle, no Python; this is the row-local alternative
+    to posexplode+groupBy when the aggregation never crosses rows
+    (compare explode_tokens, which pays row fan-out for the same
+    data).  Index bases differ across engines (Spark lambdas and
+    subscripts are 0-based, DuckDB's are 1-based) — the oracle
+    mirrors the shifted predicate rather than the literal index.
+    Integer-only arithmetic keeps every column exact.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("total_chars"),
+        F.expr("size(filter(split(text, ' '), x -> length(x) > 4))").alias(
+            "n_long_tokens"
+        ),
+        F.expr(
+            "size(filter(split(text, ' '), "
+            "(x, i) -> i > 0 AND x = split(text, ' ')[i - 1]))"
+        ).alias("n_adjacent_repeats"),
+        F.expr("exists(split(text, ' '), x -> length(x) > 8)").alias(
+            "has_very_long"
+        ),
+    )
