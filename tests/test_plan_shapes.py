@@ -248,3 +248,41 @@ def test_zipf_window_runs_on_vocabulary_not_corpus(spark, sf_dir):
 def test_cluster_canonical_no_cartesian(spark, sf_dir):
     df = _df(spark, sf_dir, "dedup_cluster_canonical")
     assert not has_cartesian(df)
+
+
+def test_bm25_topk_is_take_ordered_and_broadcasts_stats(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_bm25_search")
+    plan = formatted_plan(df)
+    # global top-20 must be a per-partition heap, not a full sort
+    assert "TakeOrderedAndProject" in plan
+    # df (3 rows) and corpus stats (1 row) joins stay broadcast
+    assert join_kinds(df).count("BroadcastHashJoin") >= 2
+
+
+def test_pmi_support_filter_precedes_unigram_joins(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_pmi_collocations")
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the c_xy >= 5 cut must run inside the bigram aggregate's stage,
+    # before the unigram-count joins (support filter on the agg output)
+    assert "(c_xy#" in plan or "c_xy >= 5" in plan.replace("L", "")
+
+
+def test_profile_scans_lineitem_once(spark, sf_dir):
+    df = _df(spark, sf_dir, "profile_numeric_columns")
+    # one unpivot pass == exactly one lineitem scan feeding an Expand
+    assert len(scans(df)) == 1
+    assert "Expand" in formatted_plan(df)
+
+
+def test_entity_resolution_is_equi_not_cross(spark, sf_dir):
+    df = _df(spark, sf_dir, "dedup_entity_resolution_blocked")
+    assert not has_cartesian(df)
+
+
+def test_triangle_and_pagerank_joins_are_equi(spark, sf_dir):
+    for name in ("graph_triangle_count", "graph_pagerank_fixed_point"):
+        df = _df(spark, sf_dir, name)
+        kinds = join_kinds(df)
+        # the 1-row stats crossJoin is the only allowed non-equi join
+        assert kinds.count("CartesianProduct") == 0, (name, kinds)
