@@ -59,3 +59,24 @@ def minmax_normalize(pdf: pd.DataFrame, value_col: str, out_col: str) -> pd.Data
     pdf = pdf.copy()
     pdf[out_col] = (pdf[value_col] - lo) / (hi - lo) if hi != lo else None
     return pdf
+
+
+def arrow_audit_batches(batches):
+    """RecordBatch -> RecordBatch transform for the mapInArrow audit
+    query (queries/pandas_queries.arrow_batch_audit): zero-copy columnar
+    kernels (utf8_length, equality) — no pandas conversion, no per-row
+    Python.  Lives here so the module's pickle-by-value registration
+    ships the body in the task closure (workers need no PYTHONPATH)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        utf8_len = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                utf8_len,
+                pc.equal(utf8_len, batch.column("n_chars")),
+            ],
+            names=["doc_id", "utf8_len", "len_matches"],
+        )

@@ -17,6 +17,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.udtfs i
 )
 from end_to_end_data_engineering_project_with_databricks_spark.functions.pandas_fns import (
     acctbal_range,
+    arrow_audit_batches,
     minmax_normalize,
     token_count,
 )
@@ -235,3 +236,32 @@ def udtf_parse_delimited_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM nation_udtf_src
         ) v, LATERAL parse_delimited(v.line, 3) t
     """)
+
+
+@query(
+    "arrow_batch_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS utf8_len,
+           length(text) = n_chars AS len_matches
+    FROM documents
+    """,
+    tags=("arrow", "mapinarrow", "data-quality"),
+)
+def arrow_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the lowest-overhead Python boundary — raw Arrow
+    RecordBatches in and out, no pandas materialization (mapInPandas
+    pays an extra Arrow<->pandas conversion both ways; per-row Python
+    UDFs pay ~100x).  Used here as a metadata-audit pass recomputing
+    each document's character count with Arrow's C++ ``utf8_length``
+    kernel and checking it against the stored ``n_chars`` column.
+
+    The right tool when the per-batch work is itself expressible in
+    columnar kernels (pyarrow.compute, numpy over zero-copy buffers) —
+    the same boundary the multimodal decode stubs use, minus pandas.
+    Schema declared up front; the scan prunes to the three referenced
+    columns."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    return d.mapInArrow(
+        arrow_audit_batches, "doc_id long, utf8_len long, len_matches boolean"
+    )

@@ -60,3 +60,97 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Output schema of :func:`user_stats_transform_with_state`.
+USER_STATS_TWS_SCHEMA = (
+    "user_id long, n_events long, value_micros long, n_types long"
+)
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` (Spark 4's arbitrary-state API,
+    successor to ``applyInPandasWithState``) runs its StatefulProcessor
+    through a long-lived Python *driver worker* that speaks protobuf to
+    the JVM — so it needs the ``protobuf`` package at runtime, unlike
+    every other Python-UDF path (which are pure Arrow).  Absent in this
+    container; the operator is import-gated rather than stubbed so it
+    lights up unchanged on a cluster that has protobuf."""
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def user_stats_transform_with_state(stream: DataFrame) -> DataFrame:
+    """Per-user running (count, exact value micros, distinct types) via
+    ``transformWithStateInPandas`` — the Spark 4 arbitrary-state API:
+    named state variables (ValueState + MapState) instead of one opaque
+    state tuple, per-variable TTL, and timers.
+
+    The double column is quantized to exact micros JVM-SIDE before the
+    stateful op (same ROUND(x*1e6) convention as functions/numeric.dsum)
+    so Python state sums longs — order-independent and bit-equal with a
+    batch ``COUNT(*) / SUM(micros) / COUNT(DISTINCT event_type)``.
+
+    State sharding and scale behavior are identical to
+    :func:`running_user_totals` (one RocksDB shard per shuffle
+    partition); requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and protobuf —
+    see :func:`transform_with_state_available`.
+    """
+    if not transform_with_state_available():
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(absent in this environment); use running_user_totals "
+            "(applyInPandasWithState) instead"
+        )
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        _scaled,
+    )
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", "cnt long, micros long")
+            self._types = handle.getMapState("types", "event_type string", "n long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cnt, micros = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                cnt += len(pdf)
+                micros += int(pdf["vm"].sum())
+                for t in pdf["event_type"]:
+                    self._types.updateValue((t,), (1,))
+            self._totals.update((cnt, micros))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [cnt],
+                    "value_micros": [micros],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    quantized = stream.select("user_id", "event_type", _scaled("value").alias("vm"))
+    return quantized.groupBy("user_id").transformWithStateInPandas(
+        _UserStats(),
+        outputStructType=USER_STATS_TWS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

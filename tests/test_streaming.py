@@ -228,3 +228,48 @@ def test_foreach_batch_versioned_merge_sink(spark, tmp_path):
     rows = {r.k: r.v for r in out.collect()}
     assert len(rows) == 20                       # no duplicate keys
     assert rows[3] == "a3" and rows[7] == "b7"   # overlap replaced, old kept
+
+
+def test_transform_with_state_gated_or_correct(spark, sf_dir):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) either
+    runs and matches the batch aggregate, or raises the documented
+    ImportError in protobuf-less environments — never a silent wrong
+    answer or an opaque crash."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_project_with_databricks_spark.streaming.stateful import (
+        transform_with_state_available,
+        user_stats_transform_with_state,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    if not transform_with_state_available():
+        with _pytest.raises(ImportError, match="protobuf"):
+            user_stats_transform_with_state(stream)
+        return
+    out = run_to_memory(
+        user_stats_transform_with_state(stream), output_mode="update"
+    )
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        _scaled,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_scaled("value")).alias("value_micros"),
+            F.count_distinct("event_type").alias("n_types"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
