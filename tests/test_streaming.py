@@ -273,3 +273,35 @@ def test_transform_with_state_gated_or_correct(spark, sf_dir):
         )
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_multibatch_stream_state_merges_across_triggers(spark, sf_dir, tmp_path):
+    """Real multi-batch state evolution: the events table split into 4
+    time-ranged files, streamed one file per trigger — the windowed
+    aggregate's state store must merge partial counts across FOUR
+    micro-batches and still equal the single-pass batch aggregate.
+    (The fixture is one file, so the driver-facing stream queries run a
+    single batch; this is the cross-trigger merge coverage.)"""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    src = str(tmp_path / "events_parts")
+    e = load_table(spark, sf_dir, "events")
+    e.repartitionByRange(4, "ts").write.parquet(src)
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got = run_to_memory(tumbling_counts(stream), output_mode="complete")
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    want = all_specs()["events_tumbling_counts"].fn(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
