@@ -179,3 +179,27 @@ def test_misra_gries_superset_guarantee_under_adversarial_partitioning(spark):
     }
     assert got == want
     assert ("hot", 300) in got
+
+
+def test_observed_metrics_match_recount_without_second_scan(spark, sf_dir, tmp_path):
+    """operators/audit.observed: gate metrics accumulated during the one
+    write action equal a separate recount — the no-second-pass audit."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.audit import observed
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.filter(F.col("n_chars") >= 100)
+    instrumented, obs = observed(
+        gated,
+        "quality_gate",
+        F.count("*").alias("rows_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+    instrumented.write.mode("overwrite").parquet(str(tmp_path / "kept"))
+    got = obs.get
+    want_rows = gated.count()
+    want_chars = gated.agg(F.sum("n_chars")).collect()[0][0]
+    assert got["rows_kept"] == want_rows
+    assert got["chars_kept"] == want_chars
