@@ -509,3 +509,95 @@ def oph_minhash_lsh_dedup(
     )
     cand_docs = df.join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
+
+
+def lsh_bucket_index(
+    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """The persisted LSH index: one (id, band, band_hash) row per band
+    per document — what a recurring-ingest pipeline writes ONCE per
+    corpus snapshot (partitioned/bucketed by (band, bh) at scale) so
+    every later increment joins against it instead of re-signing the
+    corpus.  Same band hashing as :func:`lsh_candidate_pairs`."""
+    band_structs = F.expr(
+        "array("
+        + ",".join(
+            "named_struct('band', {b}, 'bh', xxhash64({elems}))".format(
+                b=b,
+                elems=", ".join(
+                    f"element_at(sig, {b * rows_per_band + r + 1})"
+                    for r in range(rows_per_band)
+                ),
+            )
+            for b in range(bands)
+        )
+        + ")"
+    )
+    return signatures.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def minhash_lsh_dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_index: DataFrame | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Ingestion-time near-dup dedup: check an INCREMENT against an
+    LSH-indexed corpus (plus itself) without ever re-processing the
+    corpus — the fuzzy generalization of the reference's anti-join
+    incremental load (ETL_pipeline_countries.py:137, which dedups by
+    exact id only).
+
+    Shape: sign the increment only; join its band buckets against the
+    stored corpus index (equi-join on (band, bh)); require the NEW side
+    on the left so emitted pairs always involve an increment document
+    (new-vs-corpus and new-vs-new; corpus-vs-corpus pairs were already
+    handled when those docs were ingested).  Verification re-shingles
+    only the documents appearing in some candidate pair.
+
+    Per-increment cost is O(|increment| + collisions) regardless of
+    corpus size — the difference between a daily dedup bill that scales
+    with the DAY and one that scales with ALL HISTORY.  ``corpus_index``
+    accepts a precomputed index (the persisted-table path); when None it
+    is derived here (corpus signatures computed once in this plan).
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signatures(new_df, id_col, text_col, num_hashes, shingle_k)
+    new_buckets = lsh_bucket_index(new_sigs, id_col, bands, rows_per_band)
+    if corpus_index is None:
+        corpus_index = lsh_bucket_index(
+            minhash_signatures(corpus_df, id_col, text_col, num_hashes, shingle_k),
+            id_col,
+            bands,
+            rows_per_band,
+        )
+    other = corpus_index.union(new_buckets)
+    # the NEW side is always the left input; canonicalize (not filter) the
+    # id order afterwards — a plain id_a < id_b filter would silently drop
+    # every new-vs-corpus pair whose increment id sorts above the corpus id
+    cands = (
+        new_buckets.select(F.col("_id").alias("id_a"), "band", "bh")
+        .join(other.select(F.col("_id").alias("id_b"), "band", "bh"), ["band", "bh"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    all_docs = new_df.unionByName(corpus_df)
+    cand_docs = all_docs.join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
+    return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)

@@ -540,3 +540,29 @@ def dedup_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .filter(F.col("edit_dist") <= 3)
     )
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=None,  # engine-specific hash family -> rows-only gate
+    tags=("dedup", "approx", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time fuzzy dedup: the docs with ``doc_id % 10 == 0``
+    play the daily increment, the rest the LSH-indexed corpus; emits
+    near-dup pairs involving at least one increment doc
+    (operators/dedup.minhash_lsh_dedup_incremental).  The fuzzy twin of
+    ref_antijoin_incremental: per-increment cost scales with the
+    increment, never with corpus history — the corpus is touched only
+    through its (precomputable) band index and the candidate-filtered
+    verify."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        minhash_lsh_dedup_incremental,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return minhash_lsh_dedup_incremental(
+        new, corpus, "doc_id", "text", threshold=0.5
+    )

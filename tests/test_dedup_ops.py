@@ -127,3 +127,40 @@ def test_oph_signatures_shape_and_densification(spark):
         assert _OPH_EMPTY not in sig  # densified
     again = {r.doc_id: r.sig for r in oph_signatures(df, "doc_id", "text", 16).collect()}
     assert rows == again  # deterministic
+
+
+def test_incremental_lsh_finds_cross_and_intra_increment_dups(spark, sf_dir):
+    """Planted near-dups: one increment doc duplicating a CORPUS doc
+    (both id orders) and two duplicating each other must all surface;
+    corpus-vs-corpus pairs must NOT be re-emitted."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        minhash_lsh_dedup_incremental,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(40)
+    some = {r["doc_id"]: r["text"] for r in base.collect()[:3]}
+    (id0, t0), (id1, t1) = list(some.items())[:2]
+    corpus = base.unionByName(
+        spark.createDataFrame([(100000, t1 + " x")], "doc_id long, text string")
+    )
+    new = spark.createDataFrame(
+        [
+            (200000, t0 + " y"),   # new id ABOVE its corpus twin's id
+            (1, t1),               # new id BELOW its corpus twin (100000)
+            (300000, "alpha beta gamma delta epsilon zeta eta theta"),
+            (300001, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_dedup_incremental(
+        new, corpus, "doc_id", "text", threshold=0.5
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (id0, 200000) in got            # new-vs-corpus, new id larger
+    assert (1, 100000) in got or (1, id1) in got  # new-vs-corpus, new id smaller
+    assert (300000, 300001) in got         # new-vs-new
+    new_ids = {200000, 1, 300000, 300001}
+    assert all(a in new_ids or b in new_ids for a, b in got), got
