@@ -561,3 +561,61 @@ def emb_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_declarative_tables",
+    oracle="""
+    WITH silver AS (
+      SELECT doc_id, lang, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 5
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM silver
+    GROUP BY lang
+    """,
+    tags=("pipeline", "declarative", "expectations", "curation"),
+)
+def pipeline_declarative_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative bronze -> silver -> gold pipeline (the Delta Live
+    Tables capability twin, pipeline/declarative.py): each table is a
+    function of its upstream tables (dependencies read from parameter
+    names), with expectations attached — a warn-only audit on bronze
+    and a drop-action minimum-length gate on silver.  The framework
+    topologically orders the graph; because tables stay lazy plans,
+    Catalyst fuses the whole pipeline into one optimized job (gold's
+    aggregation pushes its column pruning all the way into bronze's
+    parquet scan).  Violation counts ride the Observation API — zero
+    extra passes (see operators/audit.py)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.pipeline.declarative import (
+        Pipeline,
+    )
+
+    pipe = Pipeline("docs_quality")
+
+    @pipe.expect("nonneg_chars", "n_chars >= 0", action="warn")
+    @pipe.table(comment="raw documents")
+    def bronze(spark):  # `spark` parameter = source table (the session)
+        return load_table(spark, sf_dir, "documents")
+
+    @pipe.expect("min_tokens", "n_tokens >= 5", action="drop")
+    @pipe.table(comment="tokenized + length-gated")
+    def silver(bronze):
+        return bronze.select(
+            "doc_id",
+            "lang",
+            "text",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+
+    @pipe.table(comment="per-language token totals")
+    def gold(silver):
+        return silver.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+
+    return pipe.run(spark).tables["gold"]
