@@ -619,3 +619,29 @@ def pipeline_declarative_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return pipe.run(spark).tables["gold"]
+
+
+@query(
+    "ids_sequential_assignment",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+    tags=("ids", "training-data", "zipwithindex"),
+)
+def ids_sequential_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous sample indices (0..n-1 by doc_id order) WITHOUT
+    the single-task global window (operators/ids.assign_sequential_ids):
+    range-partition + per-partition counts + offset-shifted local
+    enumeration — the DataFrame form of RDD zipWithIndex, and the
+    correct way to index a training corpus for sharded shuffling.  The
+    oracle IS the naive ``row_number() OVER (ORDER BY ...)`` form, so
+    this checks the two plans are semantically identical while the
+    physical plans differ by the scale cliff."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return assign_sequential_ids(d, "doc_id", num_partitions=8)
