@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
     dsum,
+    sql_davg,
     sql_dsum,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.operators.asof import asof_join
@@ -589,4 +590,96 @@ def events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+@query(
+    "events_zscore_outliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             {sql_davg('value')} AS m,
+             sqrt({sql_davg('(value * value)')}
+                  - {sql_davg('value')} * {sql_davg('value')}) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.m) / s.sd AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) > 2.5
+    """,
+    tags=("events", "outliers", "stats", "data-quality"),
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: events whose value sits more
+    than 2.5 population standard deviations from their event_type mean —
+    the anomaly gate a metrics pipeline runs before aggregation.
+
+    Mean and variance come from exact fixed-point moment sums (one
+    aggregate pass, map-side partials), so they are bit-equal with the
+    oracle; sqrt is IEEE-754 correctly-rounded in both engines, so the
+    z-scores hash-match too.  The per-type stats table is a handful of
+    rows — broadcast — making outlier scoring a map-only second pass
+    over the stream (at 100 TB: aggregate once, score anywhere).
+    """
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import davg
+
+    e = load_table(spark, sf_dir, "events")
+    m = davg("value")
+    m2 = davg(F.col("value") * F.col("value"))
+    stats = (
+        e.groupBy("event_type")
+        .agg(m.alias("m"), m2.alias("m2"))
+        .select(
+            "event_type", "m", F.sqrt(F.col("m2") - F.col("m") * F.col("m")).alias("sd")
+        )
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs("z") > 2.5)
+    )
+
+
+@query(
+    "events_ewma_bounded",
+    oracle="""
+    SELECT user_id, event_id,
+           0.5 * value
+           + 0.25 * LAG(value, 1) OVER w
+           + 0.125 * LAG(value, 2) OVER w
+           + 0.125 * LAG(value, 3) OVER w AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY LAG(value, 3) OVER w IS NOT NULL
+    """,
+    tags=("events", "window", "timeseries", "smoothing"),
+)
+def events_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded exponentially-weighted moving average per user: a 4-tap
+    EWMA with alpha = 0.5 (weights 1/2, 1/4, 1/8, 1/8 — the final tap
+    absorbs the tail so weights sum to 1), emitted from each user's 4th
+    event on.
+
+    The unbounded recursive EWMA is order-dependent float recursion —
+    impossible to reproduce bit-exactly across engines; the bounded
+    form is a fixed multiply-add chain whose DYADIC coefficients make
+    every product exact, so only the (identically ordered) additions
+    round, and the result hash-matches.  One shuffle on user_id, four
+    lag taps from the same sorted window frame.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    l1, l2, l3 = (F.lag("value", k).over(w) for k in (1, 2, 3))
+    ewma = (
+        F.lit(0.5) * F.col("value")
+        + F.lit(0.25) * l1
+        + F.lit(0.125) * l2
+        + F.lit(0.125) * l3
+    )
+    return (
+        e.select("user_id", "event_id", ewma.alias("ewma"), l3.alias("_l3"))
+        .filter(F.col("_l3").isNotNull())
+        .drop("_l3")
     )
