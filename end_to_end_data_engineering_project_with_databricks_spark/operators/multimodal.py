@@ -229,3 +229,95 @@ def wav_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=WAV_SCHEMA)
+
+
+def synthesize_bmp(
+    df: DataFrame, id_col: str = "doc_id", width: int = 13, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL 24-bit BMP payloads (BITMAPFILEHEADER +
+    BITMAPINFOHEADER + bottom-up BGR rows, pure ``struct`` packing):
+    pixel (x, y) of doc ``d`` has channels
+    ``r=(d*7+x*3+y*5)%256, g=(d*11+x+y*2)%256, b=(d*13+x*2+y)%256`` —
+    integer arithmetic a SQL oracle reproduces exactly.  The default
+    width is deliberately ODD so every row needs the 4-byte alignment
+    padding real BMP writers must emit (the classic parser gotcha).
+    Like the WAV path, this runs END-TO-END with no image libraries:
+    real container bytes out, real header walk back in."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        row_bytes = width * 3
+        padded = (row_bytes + 3) & ~3
+        img_size = padded * height
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                x = np.arange(width, dtype=np.int64)[None, :]
+                y = np.arange(height, dtype=np.int64)[:, None]
+                r = (d * 7 + x * 3 + y * 5) % 256
+                g = (d * 11 + x + y * 2) % 256
+                b = (d * 13 + x * 2 + y) % 256
+                bgr = np.stack(
+                    np.broadcast_arrays(b, g, r), axis=-1
+                ).astype(np.uint8)  # (h, w, 3) in BGR order
+                rows = np.zeros((height, padded), dtype=np.uint8)
+                rows[:, :row_bytes] = bgr.reshape(height, row_bytes)
+                pixel_data = rows[::-1].tobytes()  # bottom-up storage
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + pixel_data)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def bmp_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched BMP decode: validate the magic, read the pixel-array
+    offset / dimensions / bit depth from the headers, walk the bottom-up
+    padded rows, and reduce the RGB planes to integer channel sums —
+    bit-exact across engines.  A wrong byte anywhere (header field,
+    row padding, BGR order, bottom-up flip) breaks the value hash."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                assert payload[:2] == b"BM", "not a BMP container"
+                (pix_off,) = struct.unpack_from("<I", payload, 10)
+                w, h = struct.unpack_from("<ii", payload, 18)
+                (bpp,) = struct.unpack_from("<H", payload, 28)
+                assert bpp == 24, f"expected 24-bit BMP, got {bpp}"
+                padded = (w * 3 + 3) & ~3
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=padded * h, offset=pix_off
+                ).reshape(h, padded)
+                bgr = raw[::-1, : w * 3].reshape(h, w, 3).astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        w * h,
+                        int(bgr[..., 2].sum()),
+                        int(bgr[..., 1].sum()),
+                        int(bgr[..., 0].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pixels", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n_pixels long, sum_r long, sum_g long, sum_b long",
+    )

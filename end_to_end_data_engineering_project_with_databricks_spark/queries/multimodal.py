@@ -183,3 +183,42 @@ def mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     wavs = synthesize_wav(d, "doc_id", n_samples=800, sample_rate=8000)
     return wav_features(wavs)
+
+
+@query(
+    "mm_bmp_decode",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.i * 3 + y.i * 5) % 256 AS r,
+             (d.doc_id * 11 + x.i + y.i * 2) % 256 AS g,
+             (d.doc_id * 13 + x.i * 2 + y.i) % 256 AS b
+      FROM docs d, generate_series(0, 12) x(i), generate_series(0, 7) y(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "image", "pandas"),
+)
+def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image round-trip (no stub): deterministic 24-bit BMP
+    containers synthesized into a binary column (pure struct packing —
+    headers, bottom-up rows, BGR order, 4-byte row padding via an odd
+    width), then decoded back by a real header-walking parser and
+    reduced to integer channel sums with numpy.  The image twin of
+    mm_wav_decode: BMP needs no external libs, so unlike the
+    PIL-gated decode stub this path is exercised END-TO-END, and the
+    oracle regenerates every pixel arithmetically — one wrong byte in
+    the writer or parser breaks the hash."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        bmp_features,
+        synthesize_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return bmp_features(synthesize_bmp(d, "doc_id", width=13, height=8))
