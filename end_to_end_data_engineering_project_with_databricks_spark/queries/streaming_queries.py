@@ -270,3 +270,56 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         click_purchase_stream_join(stream, how="left_outer"), output_mode="append"
     )
+
+
+@query(
+    "stream_multibatch_tumbling",
+    oracle=f"""
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS window_start_sec,
+           event_type,
+           COUNT(*) AS n_events,
+           {{dsum}} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """.format(dsum=sql_dsum("value")),
+    tags=("streaming", "window-agg", "multi-batch", "state"),
+)
+def stream_multibatch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window aggregate over a GENUINELY multi-batch stream:
+    the events table is split into four time-ranged files and streamed
+    one file per trigger (maxFilesPerTrigger=1), so the state store
+    must merge partial window counts across FOUR micro-batches before
+    the complete-mode result equals the one-pass batch aggregate the
+    oracle computes.  The single-file fixture streams elsewhere in the
+    registry run one batch; this query is the cross-trigger
+    state-evolution contract made driver-checkable.  Range partitioning
+    by ts keeps each batch a contiguous time slice — the realistic
+    arrival order for event-time data."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    src = _tmp(f"events_multibatch_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(src):
+        tmp_stage = tempfile.mkdtemp(prefix="mb_stage_")
+        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+            "overwrite"
+        ).parquet(tmp_stage)
+        os.rename(tmp_stage, src)
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return run_to_memory(tumbling_counts(stream), output_mode="complete")
