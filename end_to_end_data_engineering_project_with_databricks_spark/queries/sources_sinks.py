@@ -927,3 +927,45 @@ def stream_matview_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     MV.refresh(spark, view)
     return MV.read_view(spark, view)
+
+
+@query(
+    "sink_versioned_restore",
+    oracle=f"""
+    SELECT CAST(3 AS BIGINT) AS head_version,
+           CAST(1 AS BIGINT) AS restored_from,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("sink", "versioned", "restore", "time-travel"),
+)
+def sink_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE twin: commit v1 (status F), commit a bad batch as
+    v2 (status O), then ``restore`` the head to v1's snapshot — a
+    METADATA-ONLY commit (v3 re-references v1's files; no data
+    rewrite, so restoring a 100 TB table costs one manifest write).
+    The head aggregate must equal the v1 content exactly, while v2
+    stays reachable via time travel for forensics.  Completes the
+    versioned table's Delta surface: append / time travel / MERGE /
+    DELETE / OPTIMIZE / ZORDER / VACUUM / CDF / RESTORE."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_restore")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    V.append(orders.filter(F.col("o_orderstatus") == "F"), root)
+    V.append(orders.filter(F.col("o_orderstatus") == "O"), root)  # bad batch
+    head = V.restore(spark, root, version=1)
+    return V.read(spark, root).agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_price")
+    ).select(
+        F.lit(head).cast("long").alias("head_version"),
+        F.lit(1).cast("long").alias("restored_from"),
+        "n_orders",
+        "total_price",
+    )

@@ -861,3 +861,42 @@ def idempotent_append(
         existing = read(df.sparkSession, root).select(key)
         df = df.join(existing, key, "left_anti")
     return append(df, root)
+
+
+def restore(spark: SparkSession, root: str, version: int, max_commit_retries: int = 10) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` twin: roll the table
+    HEAD back to ``version``'s snapshot by committing a NEW version
+    whose file list / schema / stats are the target's — a
+    metadata-only operation (no data rewrite; the restored version
+    re-references the old files), so restoring a 100 TB table costs one
+    manifest write.  History is preserved: the bad versions remain
+    readable via time travel, and the restore itself appears in
+    ``history()`` as operation RESTORE.
+
+    Fails if the target snapshot's files have been ``vacuum``-ed away —
+    same contract as Delta (a restore window is bounded by the vacuum
+    retention)."""
+    root = os.path.abspath(root)
+    versions = list_versions(root)
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    target = _read_manifest(root, version)
+    missing = [f for f in target["files"] if not os.path.exists(f)]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {root} to v{version}: {len(missing)} data files "
+            f"vacuumed (first: {missing[0]})"
+        )
+    for _ in range(max_commit_retries):
+        head = list_versions(root)[-1]
+        manifest = {
+            "version": head + 1,
+            "operation": "RESTORE",
+            "restored_version": version,
+            "schema": target["schema"],
+            "files": target["files"],
+            "stats": target.get("stats", {}),
+        }
+        if _try_commit(root, head + 1, manifest):
+            return head + 1
+    raise RuntimeError(f"could not commit restore to {root}")

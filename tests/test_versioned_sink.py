@@ -406,3 +406,32 @@ def test_history_records_operations(spark, root):
     # CoW commits both add and remove files
     assert h[2].n_added >= 1 and h[2].n_removed >= 1
     assert all(r.committed_at is not None for r in h.values())
+
+
+def test_restore_is_metadata_only_and_preserves_history(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import versioned as V
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+    root = str(tmp_path / "t")
+    n = load_table(spark, sf_dir, "nation")
+    V.append(n.filter(F.col("n_nationkey") < 10), root)
+    V.append(n.filter(F.col("n_nationkey") >= 10), root)
+    head = V.restore(spark, root, version=1)
+    assert head == 3
+    # head snapshot == v1 snapshot, and v2 still time-travelable
+    assert sorted(map(tuple, V.read(spark, root).collect())) == sorted(
+        map(tuple, V.read(spark, root, version=1).collect())
+    )
+    assert V.read(spark, root, version=2).count() == n.count()
+    # metadata-only: restore added no data files
+    m1, m3 = V._read_manifest(root, 1), V._read_manifest(root, 3)
+    assert m3["files"] == m1["files"]
+    assert m3["operation"] == "RESTORE" and m3["restored_version"] == 1
+    # restoring a vacuumed-away snapshot must fail loudly
+    V.vacuum(root, retain_last=1, min_age_seconds=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises((FileNotFoundError, ValueError)):
+        V.restore(spark, root, version=2)
