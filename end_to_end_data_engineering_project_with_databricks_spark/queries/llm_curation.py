@@ -17,9 +17,15 @@ from pyspark.sql import functions as F
 from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
     davg,
     sql_davg,
+    sql_dsum,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
     l2_norm,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.operators.embeddings import (
+    gram_matrix_exact,
+    pca_components,
+    project,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.operators.curation import (
     EMAIL_RE,
@@ -645,3 +651,48 @@ def ids_sequential_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     return assign_sequential_ids(d, "doc_id", num_partitions=8)
+
+
+@query(
+    "emb_gram_matrix",
+    oracle=f"""
+    SELECT CAST(u.i - 1 AS INT) AS i, CAST(w.j - 1 AS INT) AS j,
+           {sql_dsum('CAST(embedding[u.i] AS DOUBLE) * CAST(embedding[w.j] AS DOUBLE)')} AS gram
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS u(i),
+         unnest(generate_series(1, len(embedding))) AS w(j)
+    WHERE w.j >= u.i
+    GROUP BY u.i, w.j
+    """,
+    tags=("similarity", "agg", "embeddings", "pca"),
+)
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed second-moment (Gram) matrix of the embedding corpus,
+    upper triangle as (i, j, gram) rows — the input to covariance/PCA
+    and the canonical "reduce a tall-skinny matrix to d x d" pattern.
+    Exact fixed-point sums keep the doubles hash-equal to the oracle;
+    after map-side partial aggregation each task ships at most
+    d*(d+1)/2 rows regardless of corpus size (operators/embeddings
+    docstring has the full scale analysis and the BLAS fitting twin)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix_exact(e, "embedding")
+
+
+@query(
+    "emb_pca_project",
+    oracle=None,  # eigenvector sign/order is numerics-dependent; the
+    # fit is verified by tests/test_embeddings_ops.py (variance ordering,
+    # orthonormality, agreement with driver-side numpy PCA up to sign)
+    tags=("similarity", "embeddings", "pca", "rows-only"),
+)
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction end-to-end: distributed BLAS moment
+    partials -> driver-side 64x64 eigendecomposition -> JVM projection
+    of every vector onto the top-4 components (dot products against
+    literal component arrays; no Python in the per-row path).  The
+    driver-side step is O(d^3) ONCE, independent of corpus size — the
+    same fit/apply split as the trained k-means codebook
+    (operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(e, "embedding", k=4)
+    return project(e.select("vec_id", "label", "embedding"), comps)
