@@ -345,26 +345,25 @@ def simhash64(hashes_col: Column | str) -> Column:
     return F.expr(bit_terms)
 
 
-def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+def hamming_near_dup_pairs(
+    fp: DataFrame, id_col: str, fp_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs with Hamming distance <= max_hamming.
+    """Near-dup pairs among 64-bit fingerprints with Hamming distance
+    <= ``max_hamming`` (<= 3), as (id_a, id_b, hamming) rows.
 
-    Blocking: split the 64-bit fingerprint into 4 16-bit bands; by
-    pigeonhole any pair within Hamming distance 3 agrees on at least one
-    band, so candidates come from an equi-join on (band, band_value) —
-    never a cross join.  Exact distance check via bit_count(xor).
+    Blocking: split the fingerprint into 4 16-bit bands; by pigeonhole
+    any pair within Hamming distance 3 agrees on at least one band, so
+    candidates come from an equi-join on (band, band_value) — never a
+    cross join.  Exact distance check via bit_count(xor).  Shared by
+    the text SimHash path (:func:`simhash_near_dups`) and the image
+    average-hash path (operators/multimodal.ahash_features) — any
+    64-bit perceptual fingerprint plugs in unchanged.
 
-    Token hashes are materialized in their own projection before the
-    64-bit fold: the hash array is referenced 64 times by simhash64, and
-    a separate projection step stops CollapseProject from inlining (and
-    recomputing) the tokenize+hash per bit."""
-    # 64 per-token bit tests per row: compute-bound, not byte-bound
-    hashed = scale_out(df).select(
-        F.col(id_col).alias("_id"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_th"),
-    )
-    fp = hashed.select("_id", simhash64("_th").alias("fp"))
+    Pigeonhole guarantees FULL recall only for max_hamming <= 3 (4
+    bands tolerate 3 differing bits); larger thresholds still work but
+    probabilistically, like any LSH — pairs whose 4+ flipped bits land
+    in all 4 bands are missed."""
+    clean = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp"))
     bands = F.array(
         *[
             F.struct(
@@ -374,7 +373,7 @@ def simhash_near_dups(
             for b in range(4)
         ]
     )
-    buckets = fp.select("_id", "fp", F.explode(bands).alias("b")).select(
+    buckets = clean.select("_id", "fp", F.explode(bands).alias("b")).select(
         "_id", "fp", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
     )
     left = buckets.select(
@@ -393,6 +392,25 @@ def simhash_near_dups(
     )
 
 
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance <= max_hamming,
+    via the shared 4x16-bit band join (:func:`hamming_near_dup_pairs`).
+
+    Token hashes are materialized in their own projection before the
+    64-bit fold: the hash array is referenced 64 times by simhash64, and
+    a separate projection step stops CollapseProject from inlining (and
+    recomputing) the tokenize+hash per bit."""
+    # 64 per-token bit tests per row: compute-bound, not byte-bound
+    hashed = scale_out(df).select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+    )
+    fp = hashed.select("_id", simhash64("_th").alias("fp"))
+    return hamming_near_dup_pairs(fp, "_id", "fp", max_hamming)
+
+
 __all__ = [
     "shingles",
     "exact_dedup",
@@ -402,6 +420,7 @@ __all__ = [
     "jaccard_verify",
     "minhash_lsh_dedup",
     "simhash64",
+    "hamming_near_dup_pairs",
     "simhash_near_dups",
 ]
 

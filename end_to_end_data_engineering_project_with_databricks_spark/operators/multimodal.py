@@ -279,6 +279,111 @@ def synthesize_bmp(
     return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
 
 
+def synthesize_bmp_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_size: int = 3,
+    width: int = 13,
+    height: int = 8,
+) -> DataFrame:
+    """Near-duplicate BMP corpus: docs sharing ``doc_id // group_size``
+    render the SAME base image (pixel pattern keyed by the group id, same
+    arithmetic as :func:`synthesize_bmp`), and every non-canonical group
+    member (``doc_id % group_size != 0``) additionally overwrites ONE
+    pixel with a doc-specific value — the controlled perturbation that
+    makes within-group images near- (not exact-) duplicates for the
+    perceptual-hash dedup path."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        row_bytes = width * 3
+        padded = (row_bytes + 3) & ~3
+        img_size = padded * height
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                g = d // group_size
+                x = np.arange(width, dtype=np.int64)[None, :]
+                y = np.arange(height, dtype=np.int64)[:, None]
+                # frequencies depend on g so base images differ in
+                # STRUCTURE across groups (aHash is invariant to global
+                # brightness shifts; a g-linear offset alone would make
+                # every group hash-collide)
+                fx, fy = 3 + g % 5, 5 + g % 7
+                r = np.broadcast_to((g * 7 + x * fx + y * fy) % 256, (height, width)).copy()
+                gg = np.broadcast_to((g * 11 + x * fy + y * fx) % 256, (height, width)).copy()
+                b = np.broadcast_to((g * 13 + x * 2 + y * fy) % 256, (height, width)).copy()
+                if d % group_size:
+                    px, py = d % width, d % height
+                    r[py, px] = (d * 17) % 256
+                    gg[py, px] = (d * 19) % 256
+                    b[py, px] = (d * 23) % 256
+                bgr = np.stack([b, gg, r], axis=-1).astype(np.uint8)
+                rows = np.zeros((height, padded), dtype=np.uint8)
+                rows[:, :row_bytes] = bgr.reshape(height, row_bytes)
+                pixel_data = rows[::-1].tobytes()
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+                    2835, 2835, 0, 0,
+                )
+                payloads.append(header + pixel_data)
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def ahash_features(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) per image: decode the BMP, reduce
+    to an 8x8 luma grid by nearest-neighbor sampling, set bit (gy*8+gx)
+    iff that cell's luma exceeds the grid mean — all integer arithmetic
+    (``64 * luma > total``) so the fingerprint is deterministic across
+    platforms.  Emits (doc_id, ahash) 64-bit fingerprints; near-dup
+    mining is then EXACTLY the text-SimHash machinery —
+    operators/dedup.hamming_near_dup_pairs' banded equi-join, never an
+    all-pairs image comparison.  The decode runs Arrow-batched in
+    ``mapInPandas`` (numpy per batch); a PIL/DCT-based pHash drops in by
+    replacing only the grid reduction."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                assert payload[:2] == b"BM", "not a BMP container"
+                (pix_off,) = struct.unpack_from("<I", payload, 10)
+                w, h = struct.unpack_from("<ii", payload, 18)
+                padded = (w * 3 + 3) & ~3
+                raw = np.frombuffer(
+                    payload, dtype=np.uint8, count=padded * h, offset=pix_off
+                ).reshape(h, padded)
+                bgr = raw[::-1, : w * 3].reshape(h, w, 3).astype(np.int64)
+                luma = bgr.sum(axis=-1)  # 3*Y proxy; monotone in mean luma
+                gx = (np.arange(8) * w) // 8
+                gy = (np.arange(8) * h) // 8
+                grid = luma[np.ix_(gy, gx)]
+                total = int(grid.sum())
+                bits = (64 * grid > total).ravel()
+                ah = 0
+                for i in np.nonzero(bits)[0]:
+                    ah |= 1 << int(i)
+                # two's-complement into a signed 64-bit Spark long
+                if ah >= 1 << 63:
+                    ah -= 1 << 64
+                rows.append((int(d), ah))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return df.mapInPandas(batches, schema="doc_id long, ahash long")
+
+
 def bmp_features(df: DataFrame) -> DataFrame:
     """Arrow-batched BMP decode: validate the magic, read the pixel-array
     offset / dimensions / bit depth from the headers, walk the bottom-up

@@ -222,3 +222,63 @@ def mm_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return bmp_features(synthesize_bmp(d, "doc_id", width=13, height=8))
+
+
+@query(
+    "mm_ahash_neardup",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 90),
+    lum AS (
+      SELECT d.doc_id, gx.i AS gx, gy.i AS gy,
+        CASE WHEN d.doc_id % 3 <> 0
+                  AND (gx.i * 13) // 8 = d.doc_id % 13
+                  AND gy.i = d.doc_id % 8
+          THEN (d.doc_id * 17) % 256 + (d.doc_id * 19) % 256
+               + (d.doc_id * 23) % 256
+          ELSE ((d.doc_id // 3) * 7 + ((gx.i * 13) // 8) * (3 + (d.doc_id // 3) % 5)
+                + gy.i * (5 + (d.doc_id // 3) % 7)) % 256
+             + ((d.doc_id // 3) * 11 + ((gx.i * 13) // 8) * (5 + (d.doc_id // 3) % 7)
+                + gy.i * (3 + (d.doc_id // 3) % 5)) % 256
+             + ((d.doc_id // 3) * 13 + ((gx.i * 13) // 8) * 2
+                + gy.i * (5 + (d.doc_id // 3) % 7)) % 256
+        END AS luma
+      FROM docs d, generate_series(0, 7) gx(i), generate_series(0, 7) gy(i)
+    ),
+    bits AS (
+      SELECT doc_id, gx, gy,
+             CASE WHEN 64 * luma > SUM(luma) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM lum
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+    FROM bits a JOIN bits b
+      ON a.gx = b.gx AND a.gy = b.gy AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+    """,
+    tags=("multimodal", "image", "dedup", "pandas"),
+)
+def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end: synthesize a corpus of
+    REAL BMPs where groups of 3 docs share a base image perturbed by one
+    doc-specific pixel, decode each payload, reduce to a 64-bit
+    average-hash (8x8 luma grid vs mean, integer-exact), and mine pairs
+    with Hamming distance <= 3 through the SAME 4x16-bit banded
+    equi-join as text SimHash (operators/dedup.hamming_near_dup_pairs)
+    — candidate generation is O(n x bands), never all-pairs images.
+    The oracle regenerates every sampled pixel arithmetically and
+    brute-forces the pair distances, so banding recall, the decoder,
+    and the hash construction are all value-checked."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        ahash_features,
+        synthesize_bmp_groups,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 90)
+    fps = ahash_features(synthesize_bmp_groups(d, "doc_id", group_size=3))
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "ahash", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -96,3 +96,56 @@ def test_wav_payloads_are_real_riff_containers(spark, sf_dir):
             assert w.getnframes() == 100
             assert w.getframerate() == 4000
             assert w.getsampwidth() == 2 and w.getnchannels() == 1
+
+
+def test_ahash_band_join_recall_matches_brute_force(spark, sf_dir):
+    """The 4x16-bit banded equi-join must find EXACTLY the pairs a
+    brute-force Hamming scan over the fingerprints finds (pigeonhole
+    guarantees recall at distance <= 3; the exact filter kills the rest)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        hamming_near_dup_pairs,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        ahash_features,
+        synthesize_bmp_groups,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    fps = ahash_features(synthesize_bmp_groups(d, "doc_id", group_size=3))
+    hashes = {r["doc_id"]: r["ahash"] & ((1 << 64) - 1) for r in fps.collect()}
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a in hashes
+        for b in hashes
+        if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in hamming_near_dup_pairs(fps, "doc_id", "ahash", 3).collect()
+    }
+    assert got == want
+    assert want, "fixture should contain at least one near-dup pair"
+
+
+def test_ahash_within_group_images_are_near_or_exact_dups(spark, sf_dir):
+    """Perturbing one pixel must leave within-group images within a few
+    aHash bits of their canonical sibling (that is the fixture's point)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        ahash_features,
+        synthesize_bmp_groups,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    fps = {r["doc_id"]: r["ahash"] & ((1 << 64) - 1)
+           for r in ahash_features(synthesize_bmp_groups(d, "doc_id", 3)).collect()}
+    for doc, h in fps.items():
+        base = fps[(doc // 3) * 3]
+        assert bin(h ^ base).count("1") <= 3
