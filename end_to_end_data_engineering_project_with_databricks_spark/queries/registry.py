@@ -52,10 +52,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
     "ref_multiline_json_pipeline",
-    # -- TPC-H bench flagships (projection/filter/join/agg/topk core) --
+    # -- TPC-H bench flagship (q3 earned green driver rows in r1 AND r2
+    # and rotated out per VERDICT r2 item 4; still a bench headliner and
+    # locally oracle-checked) --
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "agg_exact_corr_regression",  # r3: exercises dsum_wide (VERDICT r2 item 5)
+    # -- r3 session additions, both fully hash-checked --
+    "emb_gram_matrix",
+    "mm_ahash_neardup",
     # -- dedup ladder (exact -> simhash -> LSH -> graph -> embedding) --
     "dedup_exact_documents",
     "dedup_simhash",
@@ -69,7 +73,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivf_topk",
     # -- text analysis + quality + curation tier --
     "text_token_stats",
-    "text_quality_gopher",
+    # text_quality_gopher: green driver row in r2, rotated out (still
+    # locally oracle-checked)
     "pipeline_corpus_curation",
     "text_repetition_filter",
     "text_decontaminate_ngram",

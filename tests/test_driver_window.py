@@ -51,9 +51,12 @@ def test_window_samples_every_family() -> None:
 
     # §2.1 reference-parity anchors never rotate out
     assert len(with_prefix("ref_")) == 3
-    # relational/TPC-H core: flagship + at least one agg-family rep
+    # relational/TPC-H core: flagship + at least one agg-family rep.
+    # The relational family is the MOST driver-attested (r1's window was
+    # almost entirely TPC-H/relational and r2 kept 9 reps), so from r3 on
+    # it holds only 2 slots while never-checked families earn rows.
     assert "q1_pricing_summary" in window
-    assert len(with_prefix("q", "agg_", "join_", "window_", "set_", "topk")) >= 3
+    assert len(with_prefix("q", "agg_", "join_", "window_", "set_", "topk")) >= 2
     # LLM-pipeline operator families
     assert len(with_prefix("dedup_")) >= 5
     assert len(with_prefix("sim_")) >= 3
