@@ -262,3 +262,74 @@ __all__ = [
     "PHONE_RE",
     "IPV4_RE",
 ]
+
+
+def chunk_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """C4-style exact chunk-level dedup WITH REWRITE: split every document
+    into non-overlapping ``chunk_tokens``-token chunks, keep only the
+    globally FIRST occurrence of each distinct chunk (ordered by
+    (doc_id, chunk_no)), and reassemble each document from its surviving
+    chunks.  Documents whose every chunk already appeared elsewhere come
+    back with empty text — dropped content, stable row count.
+
+    This is the line/paragraph-level dedup pass of C4/RefinedWeb (there
+    the unit is a newline-delimited line; the fixture corpus is one-line
+    documents, so the unit is a fixed token window) — the step that
+    removes boilerplate *within* surviving documents, where document-level
+    MinHash (operators/dedup.py) can only drop whole documents.
+
+    Scale shape: one explode (n_chunks rows/doc), one hash aggregate on
+    the chunk content for the winner key, one equi-join back, one
+    groupBy-collect to reassemble — all map-side-combinable equi-shuffles
+    on the chunk/doc keys.  At 100 TB, group winners by a 128-bit
+    fingerprint of the chunk instead of the raw string so the shuffle
+    carries 16-byte keys (here the raw string keeps the DuckDB oracle
+    exact).  The winner key packs (doc_id, chunk_no) into one long
+    (doc_id * 2^20 + chunk_no — fine while chunk_no < 2^20 and
+    doc_id < 2^43); use a struct min at larger id ranges."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    n_chunks = F.ceil(F.size("t") / F.lit(float(chunk_tokens))).cast("long")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(
+                        "t", i * chunk_tokens + 1, chunk_tokens
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk_no", "chunk"),
+    )
+    key = F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_no")
+    winners = chunks.groupBy("chunk").agg(F.min(key).alias("wkey"))
+    kept = (
+        chunks.withColumn("key", key)
+        .join(winners, "chunk")
+        .filter(F.col("key") == F.col("wkey"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_no", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+        F.count("*").alias("n_kept"),
+    )
+    base = toks.select("doc_id", F.size("t").alias("_n"))
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )

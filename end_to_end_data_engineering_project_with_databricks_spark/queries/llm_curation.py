@@ -696,3 +696,50 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     comps, _ = pca_components(e, "embedding", k=4)
     return project(e.select("vec_id", "label", "embedding"), comps)
+
+
+@query(
+    "text_chunk_dedup_rewrite",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(u.i AS INT) AS chunk_no,
+             array_to_string(t[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS chunk
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(t) / 8.0) AS BIGINT) - 1)) u(i)
+    ),
+    winners AS (
+      SELECT chunk, MIN(doc_id * 1048576 + chunk_no) AS wkey
+      FROM chunks GROUP BY chunk
+    ),
+    kept AS (
+      SELECT c.doc_id, c.chunk_no, c.chunk
+      FROM chunks c JOIN winners w
+        ON c.chunk = w.chunk AND c.doc_id * 1048576 + c.chunk_no = w.wkey
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_no) AS kept_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(r.kept_text, '') AS kept_text,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    tags=("text", "dedup", "curation", "training-data"),
+)
+def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style chunk-level dedup WITH rewrite: drop every
+    repeated 8-token chunk corpus-wide (keeping the globally first
+    occurrence) and reassemble each document from its surviving chunks
+    — the pass that strips boilerplate *within* documents, where
+    document-level MinHash can only drop whole documents.  See
+    operators/curation.chunk_dedup_rewrite for the shuffle shape and
+    the 100 TB fingerprint-key variant."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.curation import (
+        chunk_dedup_rewrite,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_rewrite(d, "doc_id", "text", chunk_tokens=8)

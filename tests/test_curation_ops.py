@@ -203,3 +203,36 @@ def test_observed_metrics_match_recount_without_second_scan(spark, sf_dir, tmp_p
     want_chars = gated.agg(F.sum("n_chars")).collect()[0][0]
     assert got["rows_kept"] == want_rows
     assert got["chars_kept"] == want_chars
+
+
+def test_chunk_dedup_rewrite_keeps_first_occurrence(spark):
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.curation import (
+        chunk_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),   # chunks (size 2): "a b", "c d"
+            (2, "a b x y"),   # "a b" dups doc 1 -> only "x y" survives
+            (3, "c d a b"),   # both chunks dup -> empty rewrite
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["kept_text"], r["n_kept"])
+        for r in chunk_dedup_rewrite(df, "doc_id", "text", chunk_tokens=2).collect()
+    }
+    assert out == {1: ("a b c d", 2), 2: ("x y", 1), 3: ("", 0)}
+
+
+def test_chunk_dedup_rewrite_intra_doc_repetition(spark):
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.curation import (
+        chunk_dedup_rewrite,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "a b a b a b")], "doc_id long, text string"
+    )
+    (row,) = chunk_dedup_rewrite(df, "doc_id", "text", chunk_tokens=2).collect()
+    # the repeated chunk collapses to its first in-document occurrence
+    assert (row["kept_text"], row["n_kept"]) == ("a b", 1)
