@@ -11,7 +11,7 @@ registry.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
@@ -743,3 +743,43 @@ def text_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return chunk_dedup_rewrite(d, "doc_id", "text", chunk_tokens=8)
+
+
+@query(
+    "sample_per_group_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE rk <= 15
+    """,
+    tags=("curation", "sampling", "window", "training-data"),
+)
+def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap: an exact-k deterministic uniform sample
+    WITHIN every group (row_number over md5(doc_id) order, partitioned
+    by source, keep 15) — the \"no single domain may exceed its quota\"
+    rule of corpus mixing, the grouped twin of sample_bottom_k_uniform.
+    Hash order makes the cap reproducible run-to-run and engine-to-
+    engine (no RNG state), and CONSISTENT under corpus growth: a new
+    doc displaces at most one in-quota member of its own group.  Plan:
+    one hash-partitioned shuffle on source + per-group rank — the skew
+    risk is a mega-source, where the running-window state is still one
+    row; at extreme skew pre-reduce with a per-partition group-top-k
+    before the shuffle (the sim_topk_bruteforce pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 15)
+        .drop("rk")
+    )
