@@ -772,3 +772,46 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi_ratio"), F.asc("x"), F.asc("y")).limit(30)
+
+
+@query(
+    "text_bpe_pair_merges",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT t[u.i] || ' ' || t[u.i + 1] AS pair
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n FROM counts
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    tags=("text", "tokenizer", "training-data", "topk"),
+)
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE-style merge induction over the corpus: count
+    every ADJACENT token pair and return the top-20 merge candidates
+    (count desc, pair asc — the deterministic tie-break a reproducible
+    tokenizer trainer needs).  Plan: the pair stream is a zip of the
+    token array with its own tail (``arrays_zip`` over two slices — no
+    self-join, no shuffle to form pairs), then one map-side-combinable
+    hash aggregate and a TakeOrderedAndProject top-k — no full sort.
+    Iterated to convergence (re-pairing after each merge) this is
+    exactly distributed BPE training; one round is the primitive, and
+    each round keeps this same one-shuffle shape at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("a"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("b"),
+    )
+    pairs = d.select(F.explode(zipped).alias("z")).select(
+        F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
