@@ -267,3 +267,40 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         ORDER BY ALL
     """)
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "ddl", "udf"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURN
+    <expr>): the function body is pure SQL, so Catalyst INLINES it into
+    the caller's plan — unlike a Python UDF there is no serialization
+    boundary, no black box, and predicate pushdown/codegen see through
+    the call.  The oracle is the hand-inlined expression, proving the
+    inlining is semantics-preserving."""
+    _register(spark, sf_dir, "orders")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_big_order(price DOUBLE)
+        RETURNS INT RETURN CASE WHEN price > 150000 THEN 1 ELSE 0 END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(is_big_order(o_totalprice)) AS BIGINT) AS n_big
+        FROM orders
+        GROUP BY o_orderpriority
+        """
+    )

@@ -286,3 +286,36 @@ def test_triangle_and_pagerank_joins_are_equi(spark, sf_dir):
         kinds = join_kinds(df)
         # the 1-row stats crossJoin is the only allowed non-equi join
         assert kinds.count("CartesianProduct") == 0, (name, kinds)
+
+
+def test_bpe_pair_merges_plans_topk_with_partial_agg(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "text_bpe_pair_merges"))
+    assert "TakeOrderedAndProject" in plan  # top-20, never a full sort
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_gram_matrix_aggregates_partially_map_side(spark, sf_dir):
+    # the n*d^2/2 generated rows must partial-aggregate before shuffling:
+    # the exchange carries at most d*(d+1)/2 rows per task
+    plan = formatted_plan(_df(spark, sf_dir, "emb_gram_matrix"))
+    assert "partial_sum" in plan
+    assert "Generate" in plan
+
+
+def test_ahash_neardup_is_banded_equi_join(spark, sf_dir):
+    df = _df(spark, sf_dir, "mm_ahash_neardup")
+    assert not has_cartesian(df)  # banding, never an all-pairs image join
+    assert "SortMergeJoin" in join_kinds(df) or "BroadcastHashJoin" in join_kinds(df)
+
+
+def test_chunk_dedup_rewrite_joins_on_keys(spark, sf_dir):
+    df = _df(spark, sf_dir, "text_chunk_dedup_rewrite")
+    assert not has_cartesian(df)
+
+
+def test_sql_scalar_udf_inlines_into_codegen(spark, sf_dir):
+    # the SQL UDF must dissolve into the plan: no python runner, no
+    # black-box eval node
+    plan = formatted_plan(_df(spark, sf_dir, "sql_scalar_udf"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan
