@@ -683,3 +683,67 @@ def events_ewma_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_l3").isNotNull())
         .drop("_l3")
     )
+
+
+@query(
+    "events_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_disc(dev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT m.event_type, m.med, d.mad,
+           CAST(COUNT(*) FILTER (
+             WHERE abs(e.value - m.med) > 3 * 1.4826 * d.mad
+           ) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+    GROUP BY m.event_type, m.med, d.mad
+    """,
+    tags=("events", "agg", "quality", "robust-stats"),
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (MAD) with the 1.4826 normal-consistency factor — unlike the z-score
+    gate (events_zscore_outliers), a single extreme value cannot inflate
+    the threshold, the property that matters when the anomaly itself is
+    what you are hunting.  percentile_disc SELECTS actual data values
+    (no interpolation), so medians compare bit-exactly across engines,
+    and every derived double (|v - med|, 3 * 1.4826 * mad) is the same
+    two-operand IEEE op in both.  Plan: two sort-based grouped medians
+    + two broadcast joins back (group count is tiny); at 100 TB swap
+    percentile_disc for approx_percentile's mergeable t-digest and keep
+    the identical shape."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+          FROM events GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, abs(e.value - m.med) AS dev
+          FROM events e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS mad
+          FROM dev GROUP BY event_type
+        )
+        SELECT m.event_type, m.med, d.mad,
+               CAST(COUNT_IF(abs(e.value - m.med) > 3 * 1.4826 * d.mad)
+                    AS BIGINT) AS n_outliers,
+               COUNT(*) AS n_events
+        FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        GROUP BY m.event_type, m.med, d.mad
+        """
+    )

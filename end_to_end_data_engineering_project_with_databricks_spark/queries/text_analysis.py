@@ -815,3 +815,33 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(20)
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             greatest({', '.join(_sql_hits(lang) for lang in sorted(STOPWORDS))}) AS best,
+             text
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN best = 0 THEN 'und' {_LANG_CASE} ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    """,
+    tags=("text", "agg", "quality"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled language x predicted
+    language with counts — the accuracy audit run before trusting a
+    classifier to gate or rebalance a multilingual corpus (the diagonal
+    over the row sum is per-language recall).  Same single
+    map-side-combinable aggregate shape as text_language_id, one extra
+    grouping column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", predict_language("text").alias("predicted_lang")
+    ).agg(F.count("*").alias("n_docs"))
