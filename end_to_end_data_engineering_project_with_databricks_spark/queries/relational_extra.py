@@ -11,7 +11,7 @@ for counts; 1-based positions to match DuckDB's generate_subscripts).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
@@ -641,3 +641,85 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select("node", "pr")
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    flags AS (
+      SELECT o_orderstatus,
+             substr(md5('a' || CAST(o_custkey AS VARCHAR)), 1, 3) IN
+               (SELECT DISTINCT substr(md5('a' || CAST(c_custkey AS VARCHAR)), 1, 3)
+                FROM members) AS pa,
+             substr(md5('b' || CAST(o_custkey AS VARCHAR)), 1, 3) IN
+               (SELECT DISTINCT substr(md5('b' || CAST(c_custkey AS VARCHAR)), 1, 3)
+                FROM members) AS pb,
+             substr(md5('c' || CAST(o_custkey AS VARCHAR)), 1, 3) IN
+               (SELECT DISTINCT substr(md5('c' || CAST(c_custkey AS VARCHAR)), 1, 3)
+                FROM members) AS pc,
+             o_custkey IN (SELECT c_custkey FROM members) AS actual
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN pa AND pb AND pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_bloom,
+           CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_actual
+    FROM flags
+    GROUP BY o_orderstatus
+    """,
+    tags=("join", "bloom", "runtime-filter", "agg"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filtering — the runtime-filter pattern
+    that prunes a 100 TB probe side BEFORE the real join: the build side
+    (BUILDING customers) is condensed to k=3 tiny hash-position sets
+    (first 3 md5 hex chars under 3 salts -> <= 4096 buckets each, always
+    broadcastable no matter how large the build side grows), the probe
+    side keeps a row only if ALL positions hit, and the exact semi-join
+    then runs on the survivors.  One-sided error by construction: zero
+    false negatives (asserted per group: n_pass_bloom >= n_actual, and
+    every actual member passes), false positives bounded by the m=4096
+    bucket saturation.  md5 makes positions engine-portable, so the
+    oracle rebuilds the identical filter and the false-positive counts
+    match EXACTLY.  Spark's own runtime row-group filtering
+    (bloom_filter_agg) is an internal optimizer rewrite; this is the
+    library form when the optimizer cannot see through the join (e.g.
+    pre-filtering before an expensive UDF stage)."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+
+    def pos(seed: str, key: str) -> Column:
+        return F.substring(F.md5(F.concat(F.lit(seed), F.col(key).cast("string"))), 1, 3)
+
+    flags = o.select("o_orderstatus", "o_custkey")
+    for seed in ("a", "b", "c"):
+        bset = c.select(pos(seed, "c_custkey").alias(f"p{seed}")).distinct()
+        flags = flags.join(
+            F.broadcast(bset.withColumn(f"hit_{seed}", F.lit(True))),
+            pos(seed, "o_custkey") == F.col(f"p{seed}"),
+            "left",
+        ).drop(f"p{seed}")
+    members = c.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    flags = flags.join(
+        F.broadcast(members.withColumn("hit_actual", F.lit(True))),
+        "o_custkey",
+        "left",
+    )
+    passed = (
+        F.col("hit_a").isNotNull()
+        & F.col("hit_b").isNotNull()
+        & F.col("hit_c").isNotNull()
+    )
+    return flags.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(passed, 1).otherwise(0)).alias("n_pass_bloom"),
+        F.sum(F.when(F.col("hit_actual").isNotNull(), 1).otherwise(0)).alias(
+            "n_actual"
+        ),
+    )

@@ -319,3 +319,16 @@ def test_sql_scalar_udf_inlines_into_codegen(spark, sf_dir):
     plan = formatted_plan(_df(spark, sf_dir, "sql_scalar_udf"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_sum" in plan
+
+
+def test_bloom_prefilter_broadcasts_and_never_misses(spark, sf_dir):
+    df = _df(spark, sf_dir, "join_bloom_prefilter")
+    kinds = join_kinds(df)
+    # the k position sets and the member set must broadcast (bounded
+    # <= 4096 rows each no matter how large the build side)
+    assert kinds.count("BroadcastHashJoin") >= 4
+    assert not has_cartesian(df)
+    for r in df.collect():
+        # one-sided error: the bloom pass can only over-approximate
+        assert r["n_pass_bloom"] >= r["n_actual"]
+        assert r["n_orders"] >= r["n_pass_bloom"]
