@@ -845,3 +845,50 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy(
         "lang", predict_language("text").alias("predicted_lang")
     ).agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "profile_corpus_datasheet",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+           quantile_disc(len(string_split(text, ' ')), 0.5) AS med_tokens,
+           CAST(MAX(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "agg", "quality", "training-data"),
+)
+def profile_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset datasheet: the per-(lang, source) summary block a corpus
+    release ships with — document/token/char volumes, token-length
+    spread (exact discrete median), and exact-duplicate exposure
+    (distinct md5 fingerprints vs rows).  One grouped aggregate; the
+    count-distinct shuffles fingerprints (16 bytes/doc), never text —
+    at 100 TB swap in approx_count_distinct's mergeable HLL sketch
+    (registered separately) if a tolerance is acceptable."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    d.select(
+        "lang", "source", "n_chars",
+        ntok.alias("ntok"), F.md5("text").alias("fp"),
+    ).createOrReplaceTempView("_datasheet_base")
+    return spark.sql(
+        """
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(CAST(ntok AS BIGINT)) AS n_tokens,
+               SUM(n_chars) AS n_chars,
+               MIN(CAST(ntok AS BIGINT)) AS min_tokens,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY ntok)
+                    AS BIGINT) AS med_tokens,
+               MAX(CAST(ntok AS BIGINT)) AS max_tokens,
+               COUNT(DISTINCT fp) AS n_unique_texts
+        FROM _datasheet_base
+        GROUP BY lang, source
+        """
+    )
