@@ -747,3 +747,57 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m.event_type, m.med, d.mad
         """
     )
+
+
+@query(
+    "events_gap_detection",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(floor(epoch(MIN(ts))) AS BIGINT) // 3600) * 3600 AS lo,
+             (CAST(floor(epoch(MAX(ts))) AS BIGINT) // 3600) * 3600 AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, 3600)) AS bucket_start
+      FROM bounds
+    ),
+    observed AS (
+      SELECT DISTINCT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_start
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT t.event_type, s.bucket_start
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN observed o
+      ON o.event_type = t.event_type AND o.bucket_start = s.bucket_start
+    WHERE o.event_type IS NULL
+    """,
+    tags=("events", "quality", "gap-detection"),
+)
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-bucket detection: generate the expected hourly spine from
+    the observed min/max event time, cross it with the (tiny) event-type
+    dimension, and anti-join the observed (type, hour) buckets — the
+    freshness/completeness monitor run before trusting ingested event
+    data.  The spine is rows = hours (generated, not scanned) and the
+    distinct observed buckets are bounded by types x hours, so every
+    join input is O(answer), not O(events): the only corpus-size work
+    is the distinct's map-side pre-aggregation.  (The deliberate cross
+    join is types x spine — both tiny dimensions.)"""
+    e = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(_epoch() / 3600) * 3600).cast("long")
+    bounds = e.agg(
+        F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(3600))).alias("bucket_start")
+    )
+    types = e.select("event_type").distinct()
+    observed = e.select(
+        "event_type", bucket.alias("bucket_start")
+    ).distinct()
+    return (
+        types.crossJoin(spine)
+        .join(observed, ["event_type", "bucket_start"], "left_anti")
+    )
