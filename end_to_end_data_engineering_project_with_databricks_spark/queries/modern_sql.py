@@ -304,3 +304,29 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT n_regionkey, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("sql", "parameterized"),
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause: table and column names supplied as bound
+    PARAMETERS, not string-spliced SQL — names stay injection-safe while
+    remaining catalog-resolvable (the templating primitive for
+    multi-tenant / per-dataset pipelines, Spark 4's answer to f-string
+    DDL).  The oracle is the resolved plain query."""
+    _register(spark, sf_dir, "nation")
+    return spark.sql(
+        """
+        SELECT IDENTIFIER(:keycol) AS n_regionkey,
+               COUNT(*) AS n_nations
+        FROM IDENTIFIER(:tbl)
+        GROUP BY IDENTIFIER(:keycol)
+        """,
+        args={"tbl": "nation", "keycol": "n_regionkey"},
+    )
