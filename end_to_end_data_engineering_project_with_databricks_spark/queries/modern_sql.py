@@ -330,3 +330,57 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "nation", "keycol": "n_regionkey"},
     )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("sql", "parameterized"),
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE: SQL-composed SQL with ? placeholders bound
+    via USING — the stored-procedure-style dynamic dispatch of Spark 4,
+    with values kept out of the statement text (no injection, plan
+    cache friendly).  The oracle is the resolved static query."""
+    _register(spark, sf_dir, "nation", "region")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT r_name, COUNT(*) AS n_nations
+           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE n.n_nationkey >= ? GROUP BY r_name'
+          USING 0
+        """
+    )
+
+
+@query(
+    "sql_collation_lcase",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    """,
+    tags=("sql", "collation"),
+)
+def sql_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: grouping under UTF8_LCASE compares keys
+    case-insensitively INSIDE the hash aggregate — no lower() rewrite
+    of the data, and range/equality predicates on the collated column
+    stay sargable.  The output key is lowercased only for a stable
+    cross-engine display form; the oracle mirrors with lower()
+    grouping (fixture keys are single-case, so the semantics align
+    exactly)."""
+    _register(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT lower(pr) AS priority_ci, COUNT(*) AS n_orders
+        FROM (SELECT COLLATE(o_orderpriority, 'UTF8_LCASE') AS pr FROM orders)
+        GROUP BY pr
+        """
+    )

@@ -969,3 +969,48 @@ def sink_versioned_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_price",
     )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN source = 'refreshed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_refreshed
+    FROM (
+      SELECT lang, source FROM documents WHERE lang <> 'en'
+      UNION ALL
+      SELECT lang, 'refreshed' AS source FROM documents WHERE lang = 'en'
+    ) t
+    GROUP BY lang
+    """,
+    tags=("sink", "parquet", "partitioning", "overwrite"),
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: INSERT OVERWRITE replaces ONLY the
+    partitions present in the incoming batch (here: the re-processed
+    'en' slice, its source stamped 'refreshed'), leaving every other
+    partition's files untouched — the idempotent backfill primitive for
+    partitioned 100 TB tables, where static overwrite mode would wipe
+    the whole table.  Conf is set per-write via the writer option, not
+    session-wide.  The oracle reconstructs the expected final state:
+    all non-en rows original, all en rows refreshed."""
+    path = _tmp("docs_dyn_overwrite")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    refreshed = d.filter(F.col("lang") == "en").withColumn(
+        "source", F.lit("refreshed")
+    )
+    (
+        refreshed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("source") == "refreshed", 1).otherwise(0)).alias(
+            "n_refreshed"
+        ),
+    )
