@@ -282,3 +282,68 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = ahash_features(synthesize_bmp_groups(d, "doc_id", group_size=3))
     pairs = hamming_near_dup_pairs(fps, "doc_id", "ahash", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query(
+    "source_binaryfile_images",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.i * 3 + y.i * 5) % 256 AS r,
+             (d.doc_id * 11 + x.i + y.i * 2) % 256 AS g,
+             (d.doc_id * 13 + x.i * 2 + y.i) % 256 AS b
+      FROM docs d, generate_series(0, 12) x(i), generate_series(0, 7) y(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("multimodal", "source", "image", "pandas"),
+)
+def source_binaryfile_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` ingestion — the real on-ramp for media corpora:
+    one BMP FILE per document on disk, scanned with
+    ``format("binaryFile")`` into (path, length, content) rows, doc ids
+    recovered from filenames, then decoded by the same header-walking
+    parser as mm_bmp_decode.  This is the exact pattern for loading a
+    directory of images/audio at 100 TB: files scan in parallel
+    (one row per file, payload lazily read per split), metadata columns
+    (path/length/modificationTime) prune without touching bytes, and
+    ``pathGlobFilter``/``recursiveFileLookup`` scope the listing.  The
+    oracle regenerates every pixel arithmetically — write path, file
+    scan, and decoder all value-checked."""
+    import os
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        bmp_features,
+        synthesize_bmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    img_dir = _tmp("bmp_corpus")
+    os.makedirs(img_dir, exist_ok=True)
+    # fixture SYNTHESIS, not a data path: materialize a bounded 40-file
+    # corpus to disk so the binaryFile scan below has real files to list
+    for row in synthesize_bmp(d, "doc_id", width=13, height=8).collect():
+        with open(os.path.join(img_dir, f"doc_{row['doc_id']:06d}.bmp"), "wb") as f:
+            f.write(bytes(row["payload"]))
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(img_dir)
+    )
+    payloads = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bmp", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return bmp_features(payloads)
