@@ -323,3 +323,74 @@ def stream_multibatch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     return run_to_memory(tumbling_counts(stream), output_mode="complete")
+
+
+@query(
+    "stream_image_ingest",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.i * 3 + y.i * 5) % 256 AS r,
+             (d.doc_id * 11 + x.i + y.i * 2) % 256 AS g,
+             (d.doc_id * 13 + x.i * 2 + y.i) % 256 AS b
+      FROM docs d, generate_series(0, 12) x(i), generate_series(0, 7) y(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    tags=("streaming", "multimodal", "image", "source"),
+)
+def stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING media ingestion: ``readStream.format("binaryFile")``
+    over an image drop-directory — the continuous on-ramp for a media
+    corpus (new files become new micro-batch rows; processed files are
+    tracked in the checkpoint's file log, so each image is decoded
+    exactly once even across restarts).  The Arrow-batched BMP decoder
+    runs INSIDE the stream (mapInPandas on an unbounded DataFrame —
+    identical code to the batch path), append-mode memory sink,
+    executed to completion with availableNow; the result then equals
+    the batch scan, so this streaming pipeline carries the full
+    pixel-arithmetic oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        bmp_features,
+        synthesize_bmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    img_dir = _tmp("bmp_stream_corpus")
+    os.makedirs(img_dir, exist_ok=True)
+    # fixture SYNTHESIS (bounded 40-file drop directory), not a data path
+    for row in synthesize_bmp(d, "doc_id", width=13, height=8).collect():
+        with open(os.path.join(img_dir, f"doc_{row['doc_id']:06d}.bmp"), "wb") as f:
+            f.write(bytes(row["payload"]))
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.bmp")
+        .load(img_dir)
+    )
+    payloads = stream.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bmp", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return run_to_memory(bmp_features(payloads), output_mode="append")
