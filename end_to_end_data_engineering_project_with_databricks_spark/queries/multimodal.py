@@ -347,3 +347,96 @@ def source_binaryfile_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return bmp_features(payloads)
+
+
+@query(
+    "pipeline_image_dedup",
+    oracle="""
+    WITH RECURSIVE docs AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+    lum AS (
+      SELECT d.doc_id, gx.i AS gx, gy.i AS gy,
+        CASE WHEN d.doc_id % 3 <> 0
+                  AND (gx.i * 13) // 8 = d.doc_id % 13
+                  AND gy.i = d.doc_id % 8
+          THEN (d.doc_id * 17) % 256 + (d.doc_id * 19) % 256
+               + (d.doc_id * 23) % 256
+          ELSE ((d.doc_id // 3) * 7 + ((gx.i * 13) // 8) * (3 + (d.doc_id // 3) % 5)
+                + gy.i * (5 + (d.doc_id // 3) % 7)) % 256
+             + ((d.doc_id // 3) * 11 + ((gx.i * 13) // 8) * (5 + (d.doc_id // 3) % 7)
+                + gy.i * (3 + (d.doc_id // 3) % 5)) % 256
+             + ((d.doc_id // 3) * 13 + ((gx.i * 13) // 8) * 2
+                + gy.i * (5 + (d.doc_id // 3) % 7)) % 256
+        END AS luma
+      FROM docs d, generate_series(0, 7) gx(i), generate_series(0, 7) gy(i)
+    ),
+    bits AS (
+      SELECT doc_id, gx, gy,
+             CASE WHEN 64 * luma > SUM(luma) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM lum
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bits a JOIN bits b
+        ON a.gx = b.gx AND a.gy = b.gy AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           CAST(COUNT(*) OVER (
+             PARTITION BY COALESCE(c.component, d.doc_id)
+           ) AS BIGINT) AS cluster_size,
+           d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+    FROM docs d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    tags=("multimodal", "image", "dedup", "graph", "pipeline"),
+)
+def pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE dedup pipeline — the multimodal capstone that
+    chains four families: real BMP synthesis (groups of 3 near-dup
+    images), Arrow-batched decode -> 64-bit average-hash, banded
+    Hamming candidate join (never all-pairs), and iterative
+    connected-components closure, finishing with keep-one-per-cluster
+    canonical selection (min doc_id; singletons are their own cluster).
+    Every stage is the documented scale shape of its family; the oracle
+    regenerates the pixels, brute-forces the distances, and closes the
+    clusters with a recursive CTE — the whole pipeline value-checked
+    end to end."""
+    from pyspark.sql import Window
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        connected_components,
+        hamming_near_dup_pairs,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        ahash_features,
+        synthesize_bmp_groups,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    fps = ahash_features(synthesize_bmp_groups(d, "doc_id", group_size=3))
+    pairs = hamming_near_dup_pairs(fps, "doc_id", "ahash", max_hamming=3)
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    out = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+    )
+    w = Window.partitionBy("component")
+    return out.select(
+        "doc_id",
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
+    )
