@@ -61,7 +61,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "emb_gram_matrix",
     "mm_ahash_neardup",
     # -- dedup ladder (exact -> simhash -> LSH -> graph -> embedding) --
-    "dedup_exact_documents",
+    # dedup_exact_documents: green driver row in r2, rotated out
+    "dedup_entity_resolution_blocked",
     "dedup_simhash",
     "text_language_id",
     "dedup_connected_components",
@@ -82,7 +83,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "emb_label_centroids",
     # -- multimodal (mapInPandas decode + pandas-udf resize + metadata) --
     "mm_frame_sample",
-    "mm_resize",
+    # mm_resize: green driver row in r2, rotated out
+    "pipeline_image_dedup",
     "mm_binary_metadata",
     # -- events (window-agg, sessionize, as-of join, rollup, gap-fill) --
     "events_tumbling_counts",
@@ -98,10 +100,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- UDF / pandas / UDTF surface --
     "pandas_grouped_agg_range",
     "pandas_cogroup_asof",
-    "udtf_char_ngrams",
+    # udtf_char_ngrams: green driver row in r2, rotated out
+    "udtf_parse_delimited_dynamic",
     # -- sources --
     "source_text_wordcount",
-    "source_corrupt_records",
+    # source_corrupt_records: green driver row in r2, rotated out
+    "stream_image_ingest",
     "source_versioned_stream",
     "source_orc_roundtrip",
     # -- sinks (versioned: vacuum+travel, ZORDER skipping, MERGE, matview) --
