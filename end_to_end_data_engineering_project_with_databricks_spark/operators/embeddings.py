@@ -113,7 +113,12 @@ def _reduce_partials(parts: DataFrame) -> tuple[int, "np.ndarray", "np.ndarray"]
     Elementwise array summation is expressed as posexplode + hash agg —
     the shuffle carries one row per (which, pos) slot per task, so the
     reduction stays flat no matter how many partitions contributed —
-    and only the d + d^2 final cells are collected to the driver."""
+    and only the 1 + d + d^2 final cells are collected to the driver.
+
+    The row count rides along as a third ``which`` slot (constant pos)
+    so the whole reduction is ONE action — a second action here would
+    re-run the expensive BLAS ``mapInPandas`` pass over the entire
+    corpus (ADVICE r3)."""
     import numpy as np
 
     exploded = parts.select(
@@ -122,9 +127,13 @@ def _reduce_partials(parts: DataFrame) -> tuple[int, "np.ndarray", "np.ndarray"]
         parts.select(F.posexplode("g").alias("pos", "val")).withColumn(
             "which", F.lit("g")
         )
+    ).unionAll(
+        parts.select(
+            F.lit(0).alias("pos"), F.col("n").cast("double").alias("val")
+        ).withColumn("which", F.lit("n"))
     )
     sums = exploded.groupBy("which", "pos").agg(F.sum("val").alias("v")).collect()
-    n = parts.agg(F.sum("n")).collect()[0][0]
+    n = sum(r["v"] for r in sums if r["which"] == "n")
     s = {r["pos"]: r["v"] for r in sums if r["which"] == "s"}
     g = {r["pos"]: r["v"] for r in sums if r["which"] == "g"}
     d = len(s)

@@ -361,6 +361,9 @@ def ahash_features(df: DataFrame) -> DataFrame:
                 assert payload[:2] == b"BM", "not a BMP container"
                 (pix_off,) = struct.unpack_from("<I", payload, 10)
                 w, h = struct.unpack_from("<ii", payload, 18)
+                (bpp,) = struct.unpack_from("<H", payload, 28)
+                assert bpp == 24, f"expected 24-bit BMP, got {bpp}"
+                assert h > 0, "top-down (negative-height) BMP not supported"
                 padded = (w * 3 + 3) & ~3
                 raw = np.frombuffer(
                     payload, dtype=np.uint8, count=padded * h, offset=pix_off
@@ -404,6 +407,7 @@ def bmp_features(df: DataFrame) -> DataFrame:
                 w, h = struct.unpack_from("<ii", payload, 18)
                 (bpp,) = struct.unpack_from("<H", payload, 28)
                 assert bpp == 24, f"expected 24-bit BMP, got {bpp}"
+                assert h > 0, "top-down (negative-height) BMP not supported"
                 padded = (w * 3 + 3) & ~3
                 raw = np.frombuffer(
                     payload, dtype=np.uint8, count=padded * h, offset=pix_off

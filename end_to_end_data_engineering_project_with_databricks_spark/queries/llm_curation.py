@@ -128,7 +128,7 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
     )
     SELECT doc_id,
-           SUM(c) AS n_grams,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
            COUNT(*) AS n_distinct,
            CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_frac,
            CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share

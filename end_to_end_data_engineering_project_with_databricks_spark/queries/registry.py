@@ -48,84 +48,81 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # -- §2.1 reference parity (ETL_pipeline_countries.py ops 5-15) --
+    # ======== round-4 rotation (VERDICT r3 items 2+4) ========
+    # r3 checked its entire 50-slot window, so every r3 slot that earned
+    # a green row rotates out; 39 of the 50 slots below have NEVER had a
+    # driver row.  The 11 non-fresh slots are pinned by policy: the 3
+    # §2.1 anchors + q1 + pipeline_corpus_curation (asserted by
+    # tests/test_driver_window.py), the two r3 REDS re-checked to prove
+    # their oracle fixes green (VERDICT r3 item 1), and 4 family-minimum
+    # fillers (dedup 5th, sim 3rd, pandas/udtf 2nd+3rd — the backlog has
+    # no more never-checked names in those families).
+    # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
     "ref_multiline_json_pipeline",
-    # -- TPC-H bench flagship (q3 earned green driver rows in r1 AND r2
-    # and rotated out per VERDICT r2 item 4; still a bench headliner and
-    # locally oracle-checked) --
+    # -- TPC-H / relational / agg tier --
     "q1_pricing_summary",
-    "agg_exact_corr_regression",  # r3: exercises dsum_wide (VERDICT r2 item 5)
-    # -- r3 session additions, both fully hash-checked --
-    "emb_gram_matrix",
-    "mm_ahash_neardup",
-    # -- dedup ladder (exact -> simhash -> LSH -> graph -> embedding) --
-    # dedup_exact_documents: green driver row in r2, rotated out
-    "dedup_entity_resolution_blocked",
-    "dedup_simhash",
-    "text_language_id",
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    # -- similarity search (exact baseline + scale-path LSH + ANN) --
-    "sim_topk_bruteforce",
-    "sim_threshold_pairs_lsh",
-    "sim_ivf_topk",
+    "agg_bitmap_exact_distinct",
+    "agg_heavy_hitter_tokens",
+    "agg_percentile_disc",
+    "agg_histogram_width_bucket",
+    # -- graph tier (zero driver rows ever before r4) --
+    "graph_triangle_count",
+    "graph_pagerank_fixed_point",
+    # -- dedup ladder --
+    "dedup_exact_documents",  # filler: 5th dedup slot (green r2)
+    "dedup_cluster_canonical",
+    "dedup_containment",
+    "dedup_minhash_oph",
+    "dedup_minhash_incremental",
+    # -- similarity search --
+    "sim_topk_bruteforce",  # filler: 3rd sim slot (green r1-r3)
+    "sim_rp_lsh_topk",
+    "sim_ivf_kmeans_topk",
     # -- text analysis + quality + curation tier --
-    "text_token_stats",
-    # text_quality_gopher: green driver row in r2, rotated out (still
-    # locally oracle-checked)
     "pipeline_corpus_curation",
-    "text_repetition_filter",
-    "text_decontaminate_ngram",
+    "text_repetition_filter",  # r3 RED (oracle HUGEINT) — re-prove green
+    "text_bpe_pair_merges",
+    "text_zipf_token_share",
+    "text_bm25_search",
+    "text_pmi_collocations",
+    "text_chunk_dedup_rewrite",
+    # -- sampling / packing / declarative-pipeline tier --
+    "sample_per_group_cap",
+    "sample_systematic",
+    "sample_stratified_sources",
+    "pipeline_pack_sequences",
+    "pipeline_declarative_tables",
+    "ids_sequential_assignment",
     # -- embedding hygiene --
-    "emb_label_centroids",
-    # -- multimodal (mapInPandas decode + pandas-udf resize + metadata) --
-    "mm_frame_sample",
-    # mm_resize: green driver row in r2, rotated out
-    "pipeline_image_dedup",
-    "mm_binary_metadata",
-    # -- events (window-agg, sessionize, as-of join, rollup, gap-fill) --
-    "events_tumbling_counts",
-    "events_sessionize",
-    "events_asof_purchase_click",
-    "events_sliding_windows",
-    "events_hierarchical_rollup",
-    "events_forward_fill",
+    "emb_int8_quantization",
+    "emb_minmax_scaling",
+    # -- multimodal decode --
+    "mm_wav_decode",
+    "mm_bmp_decode",
+    # -- events --
+    "events_gap_detection",
+    "events_funnel",
     # -- structured streaming (batch-oracle-checked) --
-    "stream_tumbling_counts",
-    "stream_stateful_user_counts",
-    "stream_session_windows",
+    "stream_matview_pipeline",
+    "stream_multibatch_tumbling",
     # -- UDF / pandas / UDTF surface --
-    "pandas_grouped_agg_range",
-    "pandas_cogroup_asof",
-    # udtf_char_ngrams: green driver row in r2, rotated out
-    "udtf_parse_delimited_dynamic",
+    "pandas_apply_minmax_norm",
+    "pandas_cogroup_asof",  # filler: 2nd pandas/udtf slot (green r3)
+    "udtf_parse_delimited_dynamic",  # filler: 3rd pandas/udtf slot (green r3)
     # -- sources --
-    "source_text_wordcount",
-    # source_corrupt_records: green driver row in r2, rotated out
-    "stream_image_ingest",
-    "source_versioned_stream",
-    "source_orc_roundtrip",
-    # -- sinks (versioned: vacuum+travel, ZORDER skipping, MERGE, matview) --
-    "sink_versioned_vacuum_travel",
-    "matview_incremental_refresh",  # CDF + merge + delete + exact partials
-    "sink_versioned_zorder_skipping",
-    "sink_merge_upsert",
+    "source_jsonlines_roundtrip",
+    "source_python_datasource_stream",
+    # -- sinks / versioned-table tier --
+    "sink_dynamic_partition_overwrite",
+    "sink_versioned_schema_evolution",
     # -- modern SQL surface --
-    "sql_listagg_nations",
-    "sql_variant_extraction",
-    "sql_lateral_topk_per_group",
-    # -- scalar function packs (2 reps; all 10 packs oracle-checked
-    # locally by tests/test_queries_vs_oracle.py) --
-    "json_functions",
-    "map_functions",
-    # -- bucketed co-located join (shuffle-free join flagship; other
-    # relational reps earned green driver rows in r1/r2 and rotated out
-    # so never-driver-checked families get rows — VERDICT r2 item 4;
-    # r3 rotation: 17 double-green slots swapped for never-checked) --
-    "sink_bucketed_join",
+    "sql_scalar_udf",
+    "sql_identifier_clause",
+    # -- scalar function packs --
+    "map_functions",  # r3 RED (list-typed column) — re-prove green
+    "higher_order_functions",
 )
 
 

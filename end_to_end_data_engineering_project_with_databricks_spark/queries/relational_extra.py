@@ -30,7 +30,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.sources.readers i
     SELECT event_id,
            m['type'][1] AS type_val,
            m['bucket'][1] AS bucket_val,
-           list_sort(map_keys(m)) AS sorted_keys,
+           array_to_string(list_sort(map_keys(m)), ',') AS sorted_keys,
            CAST(cardinality(m) AS INTEGER) AS n_entries
     FROM (
       SELECT event_id,
@@ -46,7 +46,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Maps are the natural carrier for sparse per-row metadata (multimodal
     sidecars, feature bags).  All operators are JVM built-ins; keys are
-    emitted sorted because map iteration order is engine-specific.
+    emitted sorted (map iteration order is engine-specific) and joined to
+    one string — the correctness harness canonicalizes through a pandas
+    sort, which requires hashable scalar cells (no list-typed columns).
     """
     ev = load_table(spark, sf_dir, "events")
     m = F.create_map(
@@ -59,7 +61,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "bucket").alias("bucket_val"),
-        F.array_sort(F.map_keys(m)).alias("sorted_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("sorted_keys"),
         F.size(m).alias("n_entries"),
     )
 

@@ -1,19 +1,37 @@
 """Local replica of the driver's DuckDB-oracle comparison.
 
-Mimics the strictest plausible driver check: row count, column-name set,
-and an order-insensitive multiset compare of values with columns sorted by
-name.  Floats are compared bit-exactly — the engine is engineered for
-bit-equality with DuckDB (see functions/numeric.py), so any drift is a bug
-we want to see locally before the driver does.
+Mirrors the driver's canonicalization pipeline (VERDICT r3 item 3): both
+sides are converted to pandas (Spark via ``toPandas()``, DuckDB via
+``rel.df()``), columns sorted by name, rows sorted with pandas
+``sort_values`` over all columns, then the stringified frames compared.
+
+This is deliberately STRICTER than comparing ``fetchall()`` Python
+values, and reproduces two driver failure classes the old harness
+masked:
+
+* dtype drift — DuckDB HUGEINT/DECIMAL arrive as float64 (``8.0``)
+  while Spark BIGINT arrives as int64 (``8``); the stringified cells
+  differ, so un-cast ``SUM()`` oracles fail here exactly like they fail
+  the driver's value hash (the ``text_repetition_filter`` r3 red).
+* unhashable cells — pandas ``sort_values`` raises ``TypeError:
+  unhashable type: 'list'`` on list/array-typed columns; we surface the
+  crash as a mismatch instead of tuple-izing it away (the
+  ``map_functions`` r3 red).
+
+Floats are otherwise compared bit-exactly — the engine is engineered
+for bit-equality with DuckDB (see functions/numeric.py), so any drift
+is a bug we want to see locally before the driver does.
 """
 
 from __future__ import annotations
 
 import math
-from datetime import date, datetime
+from datetime import date, datetime, timezone
 from decimal import Decimal
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = (
     "region",
@@ -38,50 +56,82 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-parity canonical form: name-sorted columns, value-sorted
+    rows.  Raises TypeError on unhashable (list/array) cells, exactly
+    like the driver's canonicalizer."""
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _cell(v) -> str:
+    """One canonical string per cell, type-preserving where the driver's
+    pandas hash is type-sensitive (int64 '8' vs float64 '8.0')."""
+    if v is None or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
     if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
+        v = float(v)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
+        return "NaN" if math.isnan(v) else repr(float(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
         return v.isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, list):
-        return tuple(_norm(x) for x in v)
-    return v
+    if isinstance(v, datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, date):
+        # DuckDB's .df() widens DATE to datetime64 — render dates as
+        # midnight timestamps so both sides agree.
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, str):
+        return v
+    return repr(v)
+
+
+def _rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    return [
+        tuple(_cell(v) for v in row)
+        for row in df.itertuples(index=False, name=None)
+    ]
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []
-    spark_rows = spark_df.collect()
-    spark_cols = spark_df.columns
+    sp = spark_df.toPandas()
+    od = con.execute(sql).df()
 
-    rel = con.execute(sql)
-    oracle_cols = [d[0] for d in rel.description]
-    oracle_rows = rel.fetchall()
-
-    if sorted(spark_cols) != sorted(oracle_cols):
-        problems.append(f"columns differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}")
+    if sorted(sp.columns) != sorted(od.columns):
+        problems.append(
+            f"columns differ: spark={sorted(sp.columns)} oracle={sorted(od.columns)}"
+        )
         return problems
-    if len(spark_rows) != len(oracle_rows):
-        problems.append(f"row count differs: spark={len(spark_rows)} oracle={len(oracle_rows)}")
+    if len(sp) != len(od):
+        problems.append(f"row count differs: spark={len(sp)} oracle={len(od)}")
 
-    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
-    o_order = sorted(range(len(oracle_cols)), key=lambda i: oracle_cols[i])
+    try:
+        sp_c, od_c = _canon(sp), _canon(od)
+    except TypeError as e:  # list/array cells — the driver dies here too
+        problems.append(f"driver canonicalizer would crash: {type(e).__name__}: {e}")
+        return problems
 
-    s_set = sorted(
-        (tuple(_norm(row[i]) for i in order) for row in (tuple(r) for r in spark_rows)),
-        key=repr,
-    )
-    o_set = sorted((tuple(_norm(row[i]) for i in o_order) for row in oracle_rows), key=repr)
-    if s_set != o_set:
-        diffs = [
-            (s, o) for s, o in zip(s_set, o_set) if s != o
-        ][:3]
-        extra_s = [r for r in s_set if r not in o_set][:3]
-        extra_o = [r for r in o_set if r not in s_set][:3]
+    s_rows, o_rows = _rows(sp_c), _rows(od_c)
+    if s_rows != o_rows:
+        diffs = [(s, o) for s, o in zip(s_rows, o_rows) if s != o][:3]
+        o_set = set(o_rows)
+        s_set = set(s_rows)
+        extra_s = [r for r in s_rows if r not in o_set][:3]
+        extra_o = [r for r in o_rows if r not in s_set][:3]
         problems.append(
             f"values differ; first row-diffs={diffs} spark-only={extra_s} oracle-only={extra_o}"
         )

@@ -104,5 +104,6 @@ def test_window_minimizes_rows_only_checks() -> None:
         "sim_ivf_kmeans_topk",
         "sim_rp_lsh_topk",
         "dedup_minhash_oph",
+        "dedup_minhash_incremental",
     }
     assert rows_only <= allowed, f"unexpected rows-only slots: {rows_only - allowed}"
