@@ -45,6 +45,38 @@ def register_udtfs(spark) -> None:
     """Register all UDTFs for SQL/lateral use on this session."""
     spark.udtf.register("char_ngrams", CharNgrams)
     spark.udtf.register("parse_delimited", ParseDelimited)
+    spark.udtf.register("user_event_summary", UserEventSummary)
+
+
+@udtf(returnType="user_id bigint, n_events bigint, n_purchases bigint, max_value double")
+class UserEventSummary:
+    """TABLE-argument UDTF (Spark 4 ``TABLE(...) PARTITION BY`` calling
+    convention): consumes one whole relation partition per instance —
+    ``eval`` folds per-partition state row by row, ``terminate`` emits
+    the one summary row.  This is the UDTF-side twin of
+    ``applyInPandas``: same shuffle-by-key physical shape, but the
+    per-group logic lives in a stateful class instead of a pandas
+    callback, which is the natural form for streaming-style accumulators
+    that never need the whole group materialized at once."""
+
+    def __init__(self) -> None:
+        self._user_id = None
+        self._n = 0
+        self._purchases = 0
+        self._max_value = None
+
+    def eval(self, row):  # noqa: D102 - contract method
+        self._user_id = row["user_id"]
+        self._n += 1
+        if row["event_type"] == "purchase":
+            self._purchases += 1
+        v = row["value"]
+        if v is not None and (self._max_value is None or v > self._max_value):
+            self._max_value = v
+
+    def terminate(self):  # noqa: D102 - contract method
+        if self._n:
+            yield self._user_id, self._n, self._purchases, self._max_value
 
 
 @udtf

@@ -69,6 +69,41 @@ def dedup_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cross_source_leakage",
+    oracle="""
+    SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_fp,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM documents
+    GROUP BY prefix_fp
+    HAVING COUNT(DISTINCT source) >= 2
+    """,
+    tags=("dedup", "agg", "leakage"),
+)
+def dedup_cross_source_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source overlap audit: documents whose truncated content
+    fingerprint (md5 of the first 8 tokens) appears in >= 2 DISTINCT
+    sources — the train/test-contamination shape of dedup, where the
+    question is not "is this row duplicated" but "does content leak
+    across corpus partitions".  One hash aggregate on a 32-byte key with
+    a distinct-count on the low-cardinality source column; partial
+    aggregation keeps the shuffle at one row per (fp, source) — no plan
+    change at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8)))
+    return (
+        d.groupBy(fp.alias("prefix_fp"))
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     oracle="""
     WITH docs AS (

@@ -239,6 +239,85 @@ def udtf_parse_delimited_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pandas_rolling_minmax",
+    oracle="""
+    SELECT user_id, event_id, value,
+           MIN(value) OVER w AS roll_min,
+           MAX(value) OVER w AS roll_max
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("pandas-udf", "window", "events"),
+)
+def pandas_rolling_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas with ORDERED per-group state: each user's events
+    arrive as one pandas frame, get time-sorted (ts, event_id for tie
+    stability), and a 5-event rolling min/max envelope — the clipping
+    preamble of outlier-robust feature pipelines — is computed with
+    pandas ``rolling``.  Only order-insensitive extrema (no float
+    summation), so the result is bit-exact against the oracle's window
+    frame.  Same shuffle shape as a SQL window; the pandas hop buys the
+    full rolling toolbox when the per-group logic outgrows SQL frames."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def roll(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        r = pdf["value"].rolling(5, min_periods=1)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "value": pdf["value"],
+                "roll_min": r.min(),
+                "roll_max": r.max(),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        roll,
+        "user_id long, event_id long, value double, roll_min double, roll_max double",
+    )
+
+
+@query(
+    "udtf_table_arg_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("udtf", "table-argument", "agg"),
+)
+def udtf_table_arg_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument (Spark 4 ``TABLE(...) PARTITION BY``
+    calling convention — the third UDTF surface next to lateral scalar
+    args and polymorphic ``analyze``): the engine shuffles the events
+    relation by user_id and streams each partition through one stateful
+    UDTF instance; ``terminate`` emits the per-user summary.  The fold
+    uses only counts and extrema, so values are bit-exact vs the
+    GROUP BY oracle."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("events",))
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT user_id, n_events, n_purchases, max_value
+        FROM user_event_summary(TABLE(events) PARTITION BY user_id)
+        """
+    )
+
+
+@query(
     "arrow_batch_audit",
     oracle="""
     SELECT doc_id,

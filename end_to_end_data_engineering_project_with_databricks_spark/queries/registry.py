@@ -54,9 +54,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver row.  The 11 non-fresh slots are pinned by policy: the 3
     # §2.1 anchors + q1 + pipeline_corpus_curation (asserted by
     # tests/test_driver_window.py), the two r3 REDS re-checked to prove
-    # their oracle fixes green (VERDICT r3 item 1), and 4 family-minimum
-    # fillers (dedup 5th, sim 3rd, pandas/udtf 2nd+3rd — the backlog has
-    # no more never-checked names in those families).
+    # their oracle fixes green (VERDICT r3 item 1), and the remaining 4
+    # family-minimum slots hold queries ADDED this round (themselves
+    # never-checked), so 43/50 slots are fresh.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -71,13 +71,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",
     "graph_pagerank_fixed_point",
     # -- dedup ladder --
-    "dedup_exact_documents",  # filler: 5th dedup slot (green r2)
+    "dedup_cross_source_leakage",  # new r4: cross-source leakage audit
     "dedup_cluster_canonical",
     "dedup_containment",
     "dedup_minhash_oph",
     "dedup_minhash_incremental",
     # -- similarity search --
-    "sim_topk_bruteforce",  # filler: 3rd sim slot (green r1-r3)
+    "sim_ivf_recall",  # new r4: hash-checkable ANN recall (VERDICT r3 stretch 7)
     "sim_rp_lsh_topk",
     "sim_ivf_kmeans_topk",
     # -- text analysis + quality + curation tier --
@@ -109,8 +109,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_multibatch_tumbling",
     # -- UDF / pandas / UDTF surface --
     "pandas_apply_minmax_norm",
-    "pandas_cogroup_asof",  # filler: 2nd pandas/udtf slot (green r3)
-    "udtf_parse_delimited_dynamic",  # filler: 3rd pandas/udtf slot (green r3)
+    "pandas_rolling_minmax",  # new r4: ordered per-group rolling envelope
+    "udtf_table_arg_user_stats",  # new r4: TABLE-argument UDTF surface
     # -- sources --
     "source_jsonlines_roundtrip",
     "source_python_datasource_stream",

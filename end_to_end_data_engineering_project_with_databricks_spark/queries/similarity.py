@@ -149,6 +149,99 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(e, queries, n_planes=8, dim=64, k=5)
 
 
+_COS_CENT = sql_cosine("c.embedding", "ct.centroid")
+_COS_Q_CENT = sql_cosine("q.embedding", "ct.centroid")
+_COS_P_A = sql_cosine("p.q_vec", "a.embedding")
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_COS_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_Q_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents ct
+        WHERE q.vec_id < 8
+      ) WHERE rn <= 4
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {_COS_P_A} DESC, a.vec_id
+               ) AS rank
+        FROM probed p JOIN assigned a USING (cell_id)
+        WHERE a.vec_id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN ivf i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    tags=("similarity", "topk", "recall"),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the deterministic-centroid IVF path vs the exact
+    brute-force baseline, per query — the HASH-CHECKABLE face of the ANN
+    family (VERDICT r3 stretch 7).  Both sides of the comparison run in
+    one plan, and because the default IVF codebook is deterministic (the
+    16 lowest-id vectors) the whole chain — assignment argmax, probe
+    ranking, candidate top-k — is reproducible in ANSI SQL, so the
+    DuckDB oracle replays the complete index, not just the exact
+    baseline.  Emits (query_id, n_hits, recall_at_5); the approximate
+    twin ``sim_ivf_topk`` keeps the rows-only gate for the raw
+    neighbor lists."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(e, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        ivf_topk(e, queries, n_cells=16, nprobe=4, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / F.lit(5)).alias("recall_at_5"),
+        )
+    )
+
+
 @query(
     "sim_ivf_kmeans_topk",
     oracle=None,  # trained codebook -> cell contents are model-dependent
