@@ -23,12 +23,22 @@ Python stage (Arrow batch memory = batch_rows x payload size), and set
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # ship function bodies by value: the PNG helpers are referenced by
+    # mapInPandas closures, and executors must not need this package on
+    # their import path (same rationale as functions/pandas_fns.py)
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+except Exception:  # pragma: no cover
+    pass
 
 #: Feature schema produced by decode_features (stub or real).
 FEATURE_SCHEMA = (
@@ -430,3 +440,239 @@ def bmp_features(df: DataFrame) -> DataFrame:
         batches,
         schema="doc_id long, n_pixels long, sum_r long, sum_g long, sum_b long",
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG: the dominant lossless web format, decodable with stdlib zlib alone
+# (VERDICT r3 stretch 6).  Real containers both ways: the writer emits
+# CRC-checked chunks and per-row FILTERED scanlines, the reader walks the
+# chunks, inflates, and reverses all five filter types.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(t: int, raw: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter type ``t`` to one raw scanline (encoder side)."""
+    out = bytearray(len(raw))
+    for i in range(len(raw)):
+        a = raw[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if t == 0:
+            pred = 0
+        elif t == 1:
+            pred = a
+        elif t == 2:
+            pred = b
+        elif t == 3:
+            pred = (a + b) >> 1
+        else:
+            pred = _paeth(a, b, c)
+        out[i] = (raw[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def _unfilter_row(t: int, filt: bytes, prev: bytes, bpp: int) -> bytes:
+    """Reverse PNG filter type ``t`` on one scanline (decoder side)."""
+    out = bytearray(len(filt))
+    for i in range(len(filt)):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if t == 0:
+            pred = 0
+        elif t == 1:
+            pred = a
+        elif t == 2:
+            pred = b
+        elif t == 3:
+            pred = (a + b) >> 1
+        elif t == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"unknown PNG filter type {t}")
+        out[i] = (filt[i] + pred) & 0xFF
+    return bytes(out)
+
+
+def _encode_png(rgb: "np.ndarray") -> bytes:
+    """Minimal-but-real truecolor 8-bit PNG writer (stdlib only).
+
+    Filter type cycles y % 5 so every decoder path (None/Sub/Up/Average/
+    Paeth) is exercised on every image taller than 4 rows."""
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: F401 - rgb is an ndarray
+
+    h, w, _ = rgb.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    prev = bytes(w * 3)
+    scanlines = bytearray()
+    for y in range(h):
+        raw = rgb[y].tobytes()
+        t = y % 5
+        scanlines += bytes([t]) + _filter_row(t, raw, prev, 3)
+        prev = raw
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(scanlines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """Real PNG decoder: signature + CRC-verified chunk walk + zlib
+    inflate + per-row unfilter.  Supports the truecolor 8-bit
+    non-interlaced subset this engine writes; anything else raises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    assert payload[:8] == _PNG_SIG, "not a PNG container"
+    pos, w = 8, None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        assert crc == zlib.crc32(ctype + data), f"CRC mismatch in {ctype!r}"
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+            assert depth == 8 and color == 2, "only 8-bit truecolor supported"
+            assert comp == 0 and filt == 0 and interlace == 0
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    assert w is not None, "missing IHDR"
+    raw = zlib.decompress(bytes(idat))
+    stride = w * 3
+    assert len(raw) == h * (stride + 1), "inflated size mismatch"
+    prev = bytes(stride)
+    rows = []
+    for y in range(h):
+        off = y * (stride + 1)
+        prev = _unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev, 3)
+        rows.append(np.frombuffer(prev, dtype=np.uint8))
+    return np.stack(rows).reshape(h, w, 3)
+
+
+def synthesize_png(
+    df: DataFrame, id_col: str = "doc_id", width: int = 13, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL PNG payloads: same per-pixel arithmetic as
+    :func:`synthesize_bmp` (``r=(d*7+x*3+y*5)%256`` etc.), so the two
+    container formats share one SQL oracle — the round-trip proves the
+    CONTAINER layer (chunks, CRCs, deflate, row filters), not new pixel
+    math.  Pure stdlib ``zlib``/``struct``; no image libraries."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                x = np.arange(width, dtype=np.int64)[None, :]
+                y = np.arange(height, dtype=np.int64)[:, None]
+                r = (d * 7 + x * 3 + y * 5) % 256
+                g = (d * 11 + x + y * 2) % 256
+                b = (d * 13 + x * 2 + y) % 256
+                rgb = np.stack(
+                    np.broadcast_arrays(r, g, b), axis=-1
+                ).astype(np.uint8)
+                payloads.append(_encode_png(rgb))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def png_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched PNG decode to integer channel sums — identical
+    output contract to :func:`bmp_features`, so the same oracle checks
+    both containers bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = _decode_png(payload).astype(np.int64)
+                h, w, _ = rgb.shape
+                rows.append(
+                    (
+                        int(d),
+                        w * h,
+                        int(rgb[..., 0].sum()),
+                        int(rgb[..., 1].sum()),
+                        int(rgb[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pixels", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n_pixels long, sum_r long, sum_g long, sum_b long",
+    )
+
+
+def png_ahash_features(df: DataFrame) -> DataFrame:
+    """aHash over PNG payloads: decode via :func:`_decode_png`, then the
+    SAME integer 8x8 grid reduction as :func:`ahash_features` — the
+    banded-Hamming dedup pipeline is container-agnostic (tests assert
+    BMP and PNG renderings of one image produce identical hashes)."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = _decode_png(payload).astype(np.int64)
+                h, w, _ = rgb.shape
+                luma = rgb.sum(axis=-1)
+                gx = (np.arange(8) * w) // 8
+                gy = (np.arange(8) * h) // 8
+                grid = luma[np.ix_(gy, gx)]
+                total = int(grid.sum())
+                bits = (64 * grid > total).ravel()
+                ah = 0
+                for i in np.nonzero(bits)[0]:
+                    ah |= 1 << int(i)
+                if ah >= 1 << 63:
+                    ah -= 1 << 64
+                rows.append((int(d), ah))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    return df.mapInPandas(batches, schema="doc_id long, ahash long")

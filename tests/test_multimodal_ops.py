@@ -149,3 +149,59 @@ def test_ahash_within_group_images_are_near_or_exact_dups(spark, sf_dir):
     for doc, h in fps.items():
         base = fps[(doc // 3) * 3]
         assert bin(h ^ base).count("1") <= 3
+
+
+def test_png_filter_vectors():
+    """Hand-computed spec vectors so an encoder/decoder bug pair that
+    cancels in the round-trip still fails (Paeth/Average per RFC 2083)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        _filter_row,
+        _paeth,
+        _unfilter_row,
+    )
+
+    # Sub (t=1), bpp=1: out[i] = raw[i] - raw[i-1]
+    assert _filter_row(1, bytes([10, 20, 30]), bytes(3), 1) == bytes([10, 10, 10])
+    # Up (t=2): out[i] = raw[i] - prev[i]
+    assert _filter_row(2, bytes([10, 20, 30]), bytes([1, 2, 3]), 1) == bytes([9, 18, 27])
+    # Average (t=3), bpp=1: pred = (left + up) >> 1 -> 0:(0+4)//2=2, 1:(20-?)..
+    # raw=[20, 30], prev=[4, 6]: out[0]=20-(0+4)//2=18, out[1]=30-(20+6)//2=17
+    assert _filter_row(3, bytes([20, 30]), bytes([4, 6]), 1) == bytes([18, 17])
+    # Paeth predictor picks nearest of (a, b, c) to p=a+b-c, ties a then b
+    assert _paeth(3, 9, 8) == 3   # p=4: |4-3|=1 < |4-9|=5, |4-8|=4 -> a
+    assert _paeth(9, 3, 8) == 3   # p=4: pa=5, pb=1, pc=4 -> b
+    # p=11: pa=1, pb=1, pc=0 -> c wins (strictly smallest)
+    assert _paeth(10, 12, 11) == 11
+    # round-trip inverse on every filter type
+    raw = bytes([7, 250, 3, 128, 99, 200])
+    prev = bytes([1, 9, 255, 0, 42, 77])
+    for t in range(5):
+        assert _unfilter_row(t, _filter_row(t, raw, prev, 3), prev, 3) == raw
+
+
+def test_png_bmp_cross_container_parity(spark, sf_dir):
+    """The same pixel pattern rendered to PNG and BMP must decode to
+    identical channel sums AND identical aHash fingerprints — the dedup
+    pipeline is container-agnostic."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        ahash_features,
+        bmp_features,
+        png_ahash_features,
+        png_features,
+        synthesize_bmp,
+        synthesize_png,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    png = synthesize_png(d, "doc_id", width=13, height=8)
+    bmp = synthesize_bmp(d, "doc_id", width=13, height=8)
+    png_sums = {tuple(r) for r in png_features(png).collect()}
+    bmp_sums = {tuple(r) for r in bmp_features(bmp).collect()}
+    assert png_sums == bmp_sums and len(png_sums) == 40
+    png_h = {r["doc_id"]: r["ahash"] for r in png_ahash_features(png).collect()}
+    bmp_h = {r["doc_id"]: r["ahash"] for r in ahash_features(bmp).collect()}
+    assert png_h == bmp_h
