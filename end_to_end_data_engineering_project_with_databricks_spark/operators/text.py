@@ -183,9 +183,40 @@ def gopher_pass(feats: dict[str, Column]) -> Column:
 def rolling_fingerprint(text: Column | str) -> Column:
     """Order-sensitive document fingerprint: xxhash64 chained over tokens
     (h = xxhash64(h, token)) — a rolling hash that distinguishes
-    permutations, unlike the content-set fingerprints in dedup.py."""
+    permutations, unlike the content-set fingerprints in dedup.py.
+    Engine-specific hash family; :func:`polynomial_fingerprint` is the
+    engine-neutral (oracle-checkable) twin."""
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),
         lambda acc, t: F.xxhash64(acc, t),
+    )
+
+
+#: Karp-Rabin parameters for :func:`polynomial_fingerprint`.  Mersenne
+#: modulus 2^31-1 keeps every intermediate (acc*base + code < 2^39) well
+#: inside a 64-bit long on both engines.
+_POLY_MOD = 2_147_483_647
+_CHAR_BASE = 31
+_TOKEN_BASE = 131
+
+
+def polynomial_fingerprint(text: Column | str) -> Column:
+    """Order-sensitive Karp-Rabin fingerprint built ONLY from portable
+    integer arithmetic: each token folds its character codes with Horner
+    base 31, the document folds token codes with Horner base 131, both
+    mod 2^31-1.  Same discrimination structure as the xxhash chain
+    (permutations hash apart) but reproducible in any engine with
+    higher-order list functions — the DuckDB oracle replays it with
+    ``list_reduce``.  Whole expression is JVM codegen (nested
+    ``aggregate`` over ``split``), no Python."""
+    token_code = lambda t: F.aggregate(  # noqa: E731 - local expression builder
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda a, ch: (a * _CHAR_BASE + F.ascii(ch)) % _POLY_MOD,
+    )
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda a, t: (a * _TOKEN_BASE + token_code(t)) % _POLY_MOD,
     )

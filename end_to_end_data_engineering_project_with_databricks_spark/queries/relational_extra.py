@@ -406,7 +406,14 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_percentile",
-    oracle=None,  # t-digest sketch is engine-specific -> rows-only gate
+    oracle="""
+    SELECT o_orderstatus,
+           quantile_disc(o_totalprice, 0.25) AS p25_disc, TRUE AS p25_ok,
+           quantile_disc(o_totalprice, 0.50) AS p50_disc, TRUE AS p50_ok,
+           quantile_disc(o_totalprice, 0.90) AS p90_disc, TRUE AS p90_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
     tags=("agg", "percentile", "approx", "sketch"),
 )
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -414,15 +421,39 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     order totals per status with bounded accuracy (1/10000 relative
     rank error).  The sketch counterpart to agg_percentile_disc: the
     exact form must shuffle values for a per-group sort, the sketch
-    keeps fixed-size mergeable state per partition — the same
-    scale trade as exact COUNT(DISTINCT) vs HLL
-    (agg_hll_sketch_union).  Companion test bounds each estimate
-    against the exact discrete percentile."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_percentile("o_totalprice", F.lit(0.25), F.lit(10000)).alias("p25"),
-        F.approx_percentile("o_totalprice", F.lit(0.50), F.lit(10000)).alias("p50"),
-        F.approx_percentile("o_totalprice", F.lit(0.90), F.lit(10000)).alias("p90"),
+    keeps fixed-size mergeable state per partition — the same scale
+    trade as exact COUNT(DISTINCT) vs HLL (agg_hll_sketch_union).
+
+    HASH-CHECKABLE despite being approximate: the raw estimates depend
+    on sketch merge order, so the query emits the exact discrete
+    percentile plus a deterministic bounds check — each estimate must
+    land within the +/-1% rank window of the exact value (two orders of
+    magnitude looser than the sketch's 1e-4 guarantee, so the booleans
+    are stable TRUE unless the sketch is actually broken).  Same trick
+    as join_bloom_prefilter's exact FP count."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25_disc,
+               approx_percentile(o_totalprice, 0.25, 10000) BETWEEN
+                 percentile_disc(0.24) WITHIN GROUP (ORDER BY o_totalprice) AND
+                 percentile_disc(0.26) WITHIN GROUP (ORDER BY o_totalprice) AS p25_ok,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+               approx_percentile(o_totalprice, 0.50, 10000) BETWEEN
+                 percentile_disc(0.49) WITHIN GROUP (ORDER BY o_totalprice) AND
+                 percentile_disc(0.51) WITHIN GROUP (ORDER BY o_totalprice) AS p50_ok,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
+               approx_percentile(o_totalprice, 0.90, 10000) BETWEEN
+                 percentile_disc(0.89) WITHIN GROUP (ORDER BY o_totalprice) AND
+                 percentile_disc(0.91) WITHIN GROUP (ORDER BY o_totalprice) AS p90_ok
+        FROM orders
+        GROUP BY o_orderstatus
+        """
     )
 
 

@@ -24,6 +24,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.operators.text im
     quality_features,
     quality_score,
     regex_token_count,
+    polynomial_fingerprint,
     rolling_fingerprint,
     whitespace_token_count,
 )
@@ -190,8 +191,8 @@ def text_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: whole-content md5 + min-token-md5 (a 1-hash
     MinHash — the set-sensitive variant).  The order-sensitive rolling
-    fingerprint (xxhash64 chain) is engine-specific and covered by
-    text_rolling_fingerprint's rows-only gate."""
+    fingerprint is text_rolling_fingerprint (Karp-Rabin, fully
+    oracle-checked)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     return d.select(
         "doc_id",
@@ -204,14 +205,32 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_rolling_fingerprint",
-    oracle=None,  # xxhash64 chain is engine-specific -> rows-only
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(
+               string_split(text, ' '),
+               t -> list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(string_split(t, ''),
+                                             ch -> CAST(ord(ch) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 2147483647))),
+             (a, b) -> (a * 131 + b) % 2147483647) AS rolling_fp
+    FROM documents
+    """,
     tags=("text", "dedup"),
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling fingerprint (xxhash64 chained over tokens):
-    distinguishes permuted near-dups that set-based fingerprints merge."""
+    """Order-sensitive rolling (Karp-Rabin) fingerprint: distinguishes
+    permuted near-dups that set-based fingerprints merge.  Uses the
+    engine-neutral polynomial hash (Horner over chars then tokens, mod
+    2^31-1) so the chain is replayed exactly by the DuckDB oracle's
+    ``list_reduce`` — this upgraded the query from the rows-only gate
+    to a full value-hash check; the xxhash64-chain variant
+    (operators/text.rolling_fingerprint) remains for engine-internal
+    use where oracle portability doesn't matter."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+    return d.select("doc_id", polynomial_fingerprint("text").alias("rolling_fp"))
 
 
 @query(
