@@ -324,24 +324,48 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketch is engine-specific; rows-only check
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the 100 TB answer to
     COUNT(DISTINCT) — fixed-size sketch per group, no distinct expansion.
-    Sketches are engine-specific, so no cross-engine oracle (driver runs
-    the weaker rows-only check); the companion test bounds relative error
-    against the exact count."""
+
+    HASH-CHECKABLE despite the sketch being engine-specific: HLL
+    register maxima commute, so the estimate is deterministic for given
+    data; the query emits the exact count plus the boolean "estimate
+    within 3 sigma (6% at rsd=0.02)" — stable TRUE unless the sketch
+    breaks (same bounded-check pattern as agg_approx_percentile)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("est"),
+    )
+    rel_err = (
+        F.abs(F.col("est").cast("double") - F.col("exact_customers"))
+        / F.col("exact_customers")
+    )
+    return agg.select(
+        "o_orderstatus", "exact_customers", (rel_err <= 0.06).alias("approx_ok")
     )
 
 
 @query(
     "agg_hll_sketch_union",
-    oracle=None,  # DataSketches HLL binary is engine-specific; rows-only
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_ok
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE FROM orders
+    """,
     tags=("agg", "approx", "sketch"),
 )
 def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,19 +375,35 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the property that matters at 100 TB: partial sketches roll up
     across partitions, time windows, or rollup levels (cf.
     events_hierarchical_rollup) with fixed-size state, where exact
-    COUNT(DISTINCT) would need the full key set at every level.  The
-    companion test bounds relative error against exact counts."""
+    COUNT(DISTINCT) would need the full key set at every level.
+
+    HASH-CHECKABLE via the bounded-check pattern: sketch estimates are
+    deterministic (register maxima commute across merge order), so each
+    row carries the exact count and the boolean "estimate within 15%"
+    (DataSketches lgK=12 gives ~1.6% error) — the merged-ALL row proves
+    union correctness, not just per-group sketching."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         WITH per_prio AS (
-          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk
+          SELECT o_orderpriority, hll_sketch_agg(o_custkey) AS sk,
+                 COUNT(DISTINCT o_custkey) AS exact_customers
           FROM orders GROUP BY o_orderpriority
+        ),
+        rows_out AS (
+          SELECT o_orderpriority, exact_customers,
+                 hll_sketch_estimate(sk) AS est
+          FROM per_prio
+          UNION ALL
+          SELECT 'ALL',
+                 (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+                 hll_sketch_estimate(hll_union_agg(sk))
+          FROM per_prio
         )
-        SELECT o_orderpriority, hll_sketch_estimate(sk) AS approx_customers
-        FROM per_prio
-        UNION ALL
-        SELECT 'ALL', hll_sketch_estimate(hll_union_agg(sk)) FROM per_prio
+        SELECT o_orderpriority, exact_customers,
+               abs(CAST(est AS DOUBLE) - exact_customers)
+                 <= 0.15 * exact_customers AS approx_ok
+        FROM rows_out
         """
     )
 

@@ -183,8 +183,8 @@ def test_hll_sketch_estimates_within_error_bound(spark, sf_dir):
         load_table,
     )
 
-    est = {
-        r.o_orderpriority: r.approx_customers
+    rows = {
+        r.o_orderpriority: (r.exact_customers, r.approx_ok)
         for r in _df(spark, sf_dir, "agg_hll_sketch_union").collect()
     }
     o = load_table(spark, sf_dir, "orders")
@@ -197,26 +197,27 @@ def test_hll_sketch_estimates_within_error_bound(spark, sf_dir):
         .collect()
     }
     exact["ALL"] = o.select("o_custkey").distinct().count()
-    assert set(est) == set(exact)
-    for k, n in exact.items():
-        assert abs(est[k] - n) / n < 0.05, (k, est[k], n)
+    assert {k: v[0] for k, v in rows.items()} == exact
+    # the bounded check now travels IN the query output (hash-checked by
+    # the oracle); assert it holds here too
+    assert all(ok for _, ok in rows.values()), rows
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
-    approx = {
-        r.o_orderstatus: (r.p25, r.p50, r.p90)
+    rows = {
+        r.o_orderstatus: r
         for r in _df(spark, sf_dir, "agg_approx_percentile").collect()
     }
     exact = {
         r.o_orderstatus: (r.p25, r.p50, r.p90)
         for r in _df(spark, sf_dir, "agg_percentile_disc").collect()
     }
-    assert set(approx) == set(exact)
-    for status, (a25, a50, a90) in approx.items():
-        e25, e50, e90 = exact[status]
-        for a, e in ((a25, e25), (a50, e50), (a90, e90)):
-            # 1e4 accuracy on fixture group sizes -> near-exact; 1% slack
-            assert abs(a - e) <= 0.01 * max(1.0, abs(e)), (status, a, e)
+    assert set(rows) == set(exact)
+    for status, r in rows.items():
+        # the exact discrete values must agree with agg_percentile_disc
+        assert (r.p25_disc, r.p50_disc, r.p90_disc) == exact[status]
+        # and the in-query sketch bounds checks must hold
+        assert r.p25_ok and r.p50_ok and r.p90_ok, r
 
 
 def test_containment_candidates_are_equi_not_cross(spark, sf_dir):
