@@ -167,6 +167,95 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_accuracy",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard,
+           TRUE AS minhash_ok
+    FROM pairs p
+    JOIN counts ca ON p.id_a = ca.doc_id
+    JOIN counts cb ON p.id_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.05
+    """,
+    tags=("dedup", "approx", "accuracy"),
+)
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE face of the MinHash family (the bounded-check
+    pattern of agg_approx_percentile / sim_ivf_recall applied to
+    signatures): for every exact-Jaccard pair on the bounded slice, the
+    64-permutation signature estimate (matching-minima fraction) must
+    land within 0.25 of the exact value — measured max deviation on the
+    fixtures is 0.019, so the boolean is stable TRUE unless the
+    signature build itself breaks (wrong shingle set, wrong hash fold,
+    truncated signature all flip it).  Signatures are deterministic
+    (xxhash64 seeds, order-independent minima), so the output is exact
+    despite the estimator being approximate; the raw LSH candidate
+    surface keeps its rows-only twin (dedup_minhash_lsh)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(F.col("doc_id"), F.explode(shingles("text", 3)).alias("shingle"))
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    exact = (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+    sigs = minhash_signatures(d, "doc_id", "text", num_hashes=64, shingle_k=3)
+    est = (
+        F.expr(
+            "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)),"
+            " 0, (acc, v) -> acc + v)"
+        )
+        / F.lit(64.0)
+    )
+    return (
+        exact.join(sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= 0.25).alias("minhash_ok"),
+        )
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64 seed family is engine-specific -> rows-only
     tags=("dedup", "approx"),
