@@ -147,3 +147,56 @@ def binned_range_join(
     return p.join(iv, "_bin").filter(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     ).drop("_bin")
+
+
+def binned_interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: float,
+) -> DataFrame:
+    """Interval-OVERLAP join (``l_lo <= r_hi AND l_hi >= r_lo``, closed
+    intervals) between two big sides as an EQUI-join — the 2D sibling of
+    :func:`binned_range_join` (there one side is points; here both sides
+    are intervals, the time-range-join shape of sessions x campaigns or
+    reading x validity windows).
+
+    Both sides explode into every ``bin_width`` bin they touch, equi-join
+    on the bin id, and the exact overlap predicate refines.  Overlapping
+    pairs share ALL bins in the overlap region, so a naive refine emits
+    one row per shared bin; restricting the match to the FIRST shared bin
+    (``max(floor(l_lo), floor(r_lo))``) keeps output exactly-once with NO
+    dropDuplicates shuffle.  Cost: each side's explode factor is its
+    interval length / bin_width (pick bin_width near the typical length),
+    plus one key shuffle; never a nested-loop theta join."""
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(l_lo) / bin_width), F.floor(F.col(l_hi) / bin_width)
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_lo) / bin_width), F.floor(F.col(r_hi) / bin_width)
+            )
+        ),
+    )
+    first_shared = F.greatest(
+        F.floor(F.col(l_lo) / bin_width), F.floor(F.col(r_lo) / bin_width)
+    )
+    return (
+        lb.join(rb, "_bin")
+        .filter(
+            (F.col(l_lo) <= F.col(r_hi))
+            & (F.col(l_hi) >= F.col(r_lo))
+            & (F.col("_bin") == first_shared)
+        )
+        .drop("_bin")
+    )

@@ -405,6 +405,76 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_interval_overlap",
+    oracle="""
+    WITH promos AS (
+      SELECT CAST(i AS BIGINT) AS promo_id,
+             CAST(i * 45 AS BIGINT) AS p_start,
+             CAST(i * 45 + 9 AS BIGINT) AS p_end
+      FROM generate_series(0, 50) t(i)
+    ),
+    ivals AS (
+      SELECT l_orderkey,
+             MIN(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)))
+               AS s_day,
+             MAX(date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)))
+               AS e_day
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT promo_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(least(e_day, p_end) - greatest(s_day, p_start) + 1)
+                AS BIGINT) AS overlap_days
+    FROM ivals JOIN promos
+      ON s_day <= p_end AND e_day >= p_start
+    GROUP BY promo_id
+    """,
+    tags=("join", "range", "binned", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join between two big sides as an equi-join
+    (operators/scaling.binned_interval_overlap_join): each order's
+    fulfillment window [first ship, last ship] against a 10-day promo
+    window every 45 days, rolled up to per-promo order counts and total
+    overlap days.  Completes the join matrix's range tier: point-in-
+    interval is join_range_binned; interval-x-interval is this — both
+    sides explode into 32-day bins, equi-join on the bin id, the exact
+    overlap predicate refines, and the first-shared-bin rule keeps
+    output exactly-once with no dedup shuffle.  The oracle states the
+    overlap join declaratively; all arithmetic is integer day counts."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        binned_interval_overlap_join,
+    )
+
+    day = lambda c: F.datediff(F.col(c).cast("date"), F.lit("1992-01-01").cast("date"))  # noqa: E731
+    ivals = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(day("l_shipdate")).alias("s_day"),
+            F.max(day("l_shipdate")).alias("e_day"),
+        )
+    )
+    promos = spark.range(0, 51).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * 45).alias("p_start"),
+        (F.col("id") * 45 + 9).alias("p_end"),
+    )
+    matched = binned_interval_overlap_join(
+        ivals, promos, "s_day", "e_day", "p_start", "p_end", bin_width=32.0
+    )
+    overlap = (
+        F.least(F.col("e_day").cast("long"), F.col("p_end"))
+        - F.greatest(F.col("s_day").cast("long"), F.col("p_start"))
+        + 1
+    )
+    return matched.groupBy("promo_id").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(overlap).alias("overlap_days"),
+    )
+
+
+@query(
     "agg_approx_percentile",
     oracle="""
     SELECT o_orderstatus,

@@ -333,3 +333,15 @@ def test_bloom_prefilter_broadcasts_and_never_misses(spark, sf_dir):
         # one-sided error: the bloom pass can only over-approximate
         assert r["n_pass_bloom"] >= r["n_actual"]
         assert r["n_orders"] >= r["n_pass_bloom"]
+
+
+def test_interval_overlap_is_equi_not_theta(spark, sf_dir):
+    """The interval-overlap join must plan as a binned equi-join — a
+    theta/nested-loop node would be the 100 TB scale-killer."""
+    df = _df(spark, sf_dir, "join_interval_overlap")
+    assert not has_cartesian(df)
+    kinds = join_kinds(df)
+    assert any(
+        k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+        for k in kinds
+    ), kinds
