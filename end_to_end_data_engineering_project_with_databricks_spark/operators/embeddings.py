@@ -142,16 +142,18 @@ def _reduce_partials(parts: DataFrame) -> tuple[int, "np.ndarray", "np.ndarray"]
     return int(n), svec, gmat
 
 
-def pca_components(
+def pca_fit(
     df: DataFrame, vec_col: str = "embedding", k: int = 4
-) -> tuple["np.ndarray", "np.ndarray"]:
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray", "np.ndarray"]:
     """Fit top-``k`` principal components over the full corpus.
 
     Covariance from the distributed moments (``C = G/n - mean mean^T``),
     eigendecomposition driver-side on the d x d matrix.  Components are
     sign-canonicalized (largest-|weight| element made positive) so the
     fit is deterministic run-to-run; eigenvalue order is descending.
-    Returns (components k x d, explained variances k)."""
+    Returns (components k x d, explained variances k, mean d,
+    per-dimension variances d — the covariance diagonal, used by the
+    Rayleigh quality bound in emb_pca_quality)."""
     import numpy as np
 
     n, s, g = _reduce_partials(gram_partials(df, vec_col))
@@ -164,7 +166,15 @@ def pca_components(
         j = int(np.abs(comps[i]).argmax())
         if comps[i, j] < 0:
             comps[i] = -comps[i]
-    return comps, vals[order]
+    return comps, vals[order], mean, np.diag(cov)
+
+
+def pca_components(
+    df: DataFrame, vec_col: str = "embedding", k: int = 4
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Back-compat face of :func:`pca_fit`: (components, variances)."""
+    comps, vals, _, _ = pca_fit(df, vec_col, k)
+    return comps, vals
 
 
 def project(
@@ -180,9 +190,66 @@ def project(
     return out.drop(vec_col)
 
 
+def pca_quality_checks(
+    df: DataFrame,
+    comps: "np.ndarray",
+    mean: "np.ndarray",
+    top_dim_var: float,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Basis-independent invariants of a correct PCA fit, as one
+    hash-checkable summary row (queries/llm_curation.emb_pca_quality):
+
+    * ``pythagoras_ok`` — per row, ||proj||^2 + ||explicit residual||^2
+      must equal ||x-mean||^2; fails unless ``comps`` is orthonormal
+      (the residual is constructed, not derived by subtraction, so this
+      is not an arithmetic identity);
+    * ``rayleigh_ok`` — corpus explained variance >= ``top_dim_var``
+      (the best coordinate projection); PCA maximizes over all rank-k
+      projections, so a correct fit always clears it.
+
+    One narrow JVM pass (literal arrays, whole-stage codegen) + one
+    single-row aggregate; tolerances 1e-6 vs ~1e-13 float noise."""
+
+    def arr(v) -> "F.Column":
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), arr(mean), lambda a, b: a - b
+    )
+    out = df.select(centered.alias("c"))
+    for i, comp in enumerate(comps):
+        out = out.withColumn(f"p{i}", dot("c", arr(comp)))
+
+    def _subtract_component(idx: int):
+        return lambda a, b: a - F.col(f"p{idx}") * b
+
+    resid = F.col("c")
+    for i, comp in enumerate(comps):
+        resid = F.zip_with(resid, arr(comp), _subtract_component(i))
+    proj_sq = sum(F.col(f"p{i}") * F.col(f"p{i}") for i in range(len(comps)))
+    out = out.select(
+        proj_sq.alias("proj_sq"),
+        dot("c", "c").alias("total_sq"),
+        dot(resid, resid).alias("resid_sq"),
+    )
+    return out.agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.max(F.abs(F.col("proj_sq") + F.col("resid_sq") - F.col("total_sq")))
+            <= F.lit(1e-6)
+        ).alias("pythagoras_ok"),
+        (
+            (F.sum("proj_sq") / F.count("*")) >= F.lit(top_dim_var - 1e-6)
+        ).alias("rayleigh_ok"),
+    )
+
+
 __all__ = [
     "gram_matrix_exact",
     "gram_partials",
     "pca_components",
+    "pca_fit",
+    "pca_quality_checks",
     "project",
 ]

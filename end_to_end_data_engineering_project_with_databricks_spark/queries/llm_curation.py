@@ -3,9 +3,11 @@ hygiene stats — the round-2 extension tier of the LLM-data-pipeline
 family: decontamination, boilerplate pruning, repetition filtering, PII
 redaction, deterministic domain remixing, and embedding-space QA.
 
-Every query here is fully DuckDB-oracle-checked (no rows-only entries):
-counts, md5 fingerprints, and exact fixed-point sums only, with single
-IEEE divisions — the same bit-equality discipline as the rest of the
+Every query here is DuckDB-oracle-checked except the raw PCA projection
+(emb_pca_project — eigenbasis sign/order is numerics-dependent; its
+invariants hash-check via emb_pca_quality instead): counts, md5
+fingerprints, and exact fixed-point sums only, with single IEEE
+divisions — the same bit-equality discipline as the rest of the
 registry.
 """
 
@@ -20,6 +22,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric
     sql_dsum,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+    dot,
     l2_norm,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.operators.embeddings import (
@@ -696,6 +699,48 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     comps, _ = pca_components(e, "embedding", k=4)
     return project(e.select("vec_id", "label", "embedding"), comps)
+
+
+@query(
+    "emb_pca_quality",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS pythagoras_ok,
+           TRUE AS rayleigh_ok
+    FROM embeddings
+    """,
+    tags=("embeddings", "pca", "accuracy"),
+)
+def emb_pca_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKABLE face of the PCA family (the bounded-check pattern
+    of sim_ivf_recall / dedup_minhash_accuracy): the raw projection
+    (emb_pca_project) stays rows-only because eigenvector sign/order is
+    numerics-dependent, but two INVARIANTS of a correct fit are exact
+    and basis-independent, so they hash-check:
+
+    * Pythagoras — for every vector, ||P(x-mean)||^2 + ||x-mean -
+      sum_i p_i c_i||^2 must equal ||x-mean||^2 (the residual is built
+      EXPLICITLY, so this fails unless the components are actually
+      orthonormal — it is not an identity of the arithmetic);
+    * Rayleigh — the corpus-wide explained variance of the fitted
+      subspace must be >= the sum of the top-k per-DIMENSION variances
+      (PCA maximizes retained variance over ALL rank-k projections,
+      coordinate projections included).
+
+    Both booleans are computed by a distributed JVM pass over the full
+    corpus against literal component/mean arrays; float noise is
+    ~1e-13 against 1e-6 tolerances, so the output is deterministic."""
+    import numpy as np
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.embeddings import (
+        pca_fit,
+        pca_quality_checks,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mean, dim_vars = pca_fit(e, "embedding", k=4)
+    top_dim_var = float(np.sort(dim_vars)[::-1][:4].sum())
+    return pca_quality_checks(e, comps, mean, top_dim_var)
 
 
 @query(

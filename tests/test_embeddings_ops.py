@@ -82,3 +82,41 @@ def test_project_matches_numpy(emb, X):
     got = np.array([[r["pc0"], r["pc1"]] for r in out])
     # JVM fold is sequential double math; numpy pairwise — tiny drift only
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_pca_quality_checks_are_not_vacuous(spark, sf_dir):
+    """A broken basis must flip the booleans: scaling one component
+    breaks orthonormality (pythagoras), and projecting onto the 4
+    LOWEST-variance coordinate axes must under-explain (rayleigh)."""
+    import numpy as np
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.embeddings import (
+        pca_fit,
+        pca_quality_checks,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, _vals, mean, dim_vars = pca_fit(e, "embedding", k=4)
+    top_dim_var = float(np.sort(dim_vars)[::-1][:4].sum())
+
+    # correct fit: both green
+    row = pca_quality_checks(e, comps, mean, top_dim_var).collect()[0]
+    assert row.pythagoras_ok and row.rayleigh_ok
+
+    # scaled component -> non-orthonormal basis -> pythagoras red
+    bad = comps.copy()
+    bad[0] = bad[0] * 1.01
+    row = pca_quality_checks(e, bad, mean, top_dim_var).collect()[0]
+    assert not row.pythagoras_ok
+
+    # worst coordinate projection -> orthonormal (pythagoras green) but
+    # must fail the variance bound
+    worst = np.argsort(dim_vars)[:4]
+    axes = np.zeros_like(comps)
+    for i, j in enumerate(worst):
+        axes[i, j] = 1.0
+    row = pca_quality_checks(e, axes, mean, top_dim_var).collect()[0]
+    assert row.pythagoras_ok and not row.rayleigh_ok
