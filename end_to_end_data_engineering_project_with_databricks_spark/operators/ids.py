@@ -90,3 +90,58 @@ def assign_sequential_ids(
             yield out
 
     return with_pid.mapInPandas(add_ids, out_schema)
+
+
+def assign_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Add ``out_col`` = the INCLUSIVE global running sum of ``weight_col``
+    in ``order_col`` order, plus the grand total — the weighted
+    generalization of :func:`assign_sequential_ids` (same two-pass
+    zipWithIndex shape: range partition + sort, per-partition weight
+    totals collected once — one row per PARTITION — then a narrow Arrow
+    pass adds offset + local cumsum).  A plain
+    ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY would funnel the
+    corpus through one reducer; this never does.  Weights must be
+    non-negative integers for exact arithmetic."""
+    parts = (
+        df.repartitionByRange(num_partitions, order_col)
+        if num_partitions
+        else df.repartitionByRange(order_col)
+    ).sortWithinPartitions(order_col)
+    parts = parts.localCheckpoint(eager=True)
+    with_pid = parts.withColumn("_pid", F.spark_partition_id())
+
+    sums = {
+        r["_pid"]: r["w"]
+        for r in with_pid.groupBy("_pid")
+        .agg(F.sum(weight_col).alias("w"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    total = acc
+
+    out_schema = with_pid.drop("_pid").schema.add(out_col, "long")
+
+    def add_cums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_pid"])
+            cums = pdf[weight_col].astype("int64").cumsum() + pos
+            out[out_col] = cums.values
+            pos = int(cums.iloc[-1])
+            yield out
+
+    return with_pid.mapInPandas(add_cums, out_schema), total

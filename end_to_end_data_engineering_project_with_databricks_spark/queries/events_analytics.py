@@ -340,6 +340,111 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_linear_interpolation",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+      FROM events WHERE user_id < 20
+    ),
+    daily AS (
+      SELECT user_id, (es // 86400) * 86400 AS day_sec,
+             {sql_dsum('value')} AS day_value
+      FROM e GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT 1704067200 + 86400 * unnest(generate_series(0, 29)) AS day_sec
+    ),
+    users AS (SELECT DISTINCT user_id FROM e),
+    spine AS (SELECT u.user_id, d.day_sec FROM users u CROSS JOIN days d),
+    j AS (
+      SELECT s.user_id, s.day_sec, daily.day_value
+      FROM spine s LEFT JOIN daily USING (user_id, day_sec)
+    ),
+    nb AS (
+      SELECT user_id, day_sec, day_value,
+             last_value(day_value IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN day_value IS NOT NULL THEN day_sec END
+                        IGNORE NULLS) OVER w_prev AS pd,
+             first_value(day_value IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN day_value IS NOT NULL THEN day_sec END
+                         IGNORE NULLS) OVER w_next AS nd
+      FROM j
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY day_sec
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY day_sec
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day_sec, day_value,
+           CASE WHEN day_value IS NOT NULL THEN day_value
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                ELSE pv + (nv - pv) * (CAST(day_sec - pd AS DOUBLE)
+                                       / CAST(nd - pd AS DOUBLE))
+           END AS lerp_value
+    FROM nb
+    """,
+    tags=("events", "window", "gap-fill", "interpolation"),
+)
+def events_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense day spine — the lerp twin of
+    events_forward_fill (LOCF): missing days take
+    ``prev + (next-prev) * elapsed/gap`` between their observed
+    neighbors, NULL outside the observed range (no extrapolation).
+    Exact day totals come from fixed-point dsum; the lerp itself is the
+    single-IEEE-op expression both engines evaluate in the same order,
+    so values hash-match bit-for-bit.  Same plan shape as forward fill:
+    one shuffle on user_id feeds the spine join and both neighbor
+    windows."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    daily = (
+        e.select("user_id", _epoch().alias("es"), "value")
+        .groupBy(
+            "user_id",
+            ((F.col("es") / 86400).cast("long") * 86400).alias("day_sec"),
+        )
+        .agg(dsum("value").alias("day_value"))
+    )
+    days = spark.range(30).select(
+        (F.lit(1704067200) + 86400 * F.col("id")).alias("day_sec")
+    )
+    spine = e.select("user_id").distinct().crossJoin(F.broadcast(days))
+    j = spine.join(daily, ["user_id", "day_sec"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day_sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day_sec")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day_sec"))
+    nb = j.select(
+        "user_id",
+        "day_sec",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("day_value", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("day_sec") - F.col("pd")).cast("double")
+        / (F.col("nd") - F.col("pd")).cast("double")
+    )
+    return nb.select(
+        "user_id",
+        "day_sec",
+        "day_value",
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .otherwise(lerp)
+        .alias("lerp_value"),
+    )
+
+
+@query(
     "events_asof_next_purchase",
     oracle="""
     WITH c AS (

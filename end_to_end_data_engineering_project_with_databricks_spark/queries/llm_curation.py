@@ -394,6 +394,52 @@ def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted_systematic",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM documents
+    ),
+    t AS (SELECT SUM(n_chars) AS w FROM documents)
+    SELECT doc_id, lang, n_chars, cum
+    FROM c, t
+    WHERE (cum * 100) // w > ((cum - n_chars) * 100) // w
+    """,
+    tags=("curation", "sampling", "weighted"),
+)
+def sample_weighted_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic PPS (probability-proportional-to-size) sampling:
+    documents selected where their INCLUSIVE cumulative n_chars crosses
+    one of k=100 equal weight boundaries — the deterministic weighted
+    counterpart of sample_bottom_k_uniform, and the standard shape for
+    token-budget-proportional corpus mixing (heavier docs
+    proportionally likelier; a doc heavier than W/k is selected once —
+    boundary multiplicity clamps).  All arithmetic is integer (cumsum,
+    integer division), so the sample is bit-reproducible.
+
+    Scale shape: the global running sum comes from
+    operators/ids.assign_prefix_sums — the two-pass zipWithIndex
+    pattern generalized to weights (range partition + per-partition
+    totals + narrow Arrow pass), never the single-reducer
+    ``SUM() OVER (ORDER BY)`` the oracle states declaratively."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.ids import (
+        assign_prefix_sums,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    withcum, total = assign_prefix_sums(d, "doc_id", "n_chars", out_col="cum")
+    # TRUE integer division (`div`), not float-divide-and-floor: at an
+    # exact boundary (cum*k == m*W) the double quotient can land one ulp
+    # under m and floor to m-1, flipping membership
+    return withcum.filter(
+        F.expr(f"(cum * 100L) div {total}L")
+        > F.expr(f"((cum - n_chars) * 100L) div {total}L")
+    )
+
+
+@query(
     "emb_int8_quantization",
     oracle=f"""
     WITH v AS (
