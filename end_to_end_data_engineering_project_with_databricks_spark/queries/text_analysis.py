@@ -836,6 +836,88 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_K = 8
+
+_BPE_ORACLE_MERGES = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pairs AS (
+      SELECT t[u.i] || ' ' || t[u.i + 1] AS pair
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+    merges AS (
+      SELECT pair, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS r
+      FROM counts ORDER BY n DESC, pair LIMIT 8
+    )
+"""
+
+
+def _bpe_oracle_apply_expr() -> str:
+    """Nested replace() chain: merge r=1 applied first, r=8 last — each
+    pattern/replacement drawn from the merges CTE by scalar subquery."""
+    expr = "'|' || replace(text, ' ', '|') || '|'"
+    for r in range(1, _BPE_K + 1):
+        pat = f"(SELECT '|' || replace(pair, ' ', '|') || '|' FROM merges WHERE r = {r})"
+        rep = f"(SELECT '|' || replace(pair, ' ', '_') || '|' FROM merges WHERE r = {r})"
+        expr = f"replace({expr}, {pat}, {rep})"
+    return expr
+
+
+@query(
+    "text_bpe_apply",
+    oracle=f"""
+    WITH {_BPE_ORACLE_MERGES},
+    enc AS (SELECT doc_id, {_bpe_oracle_apply_expr()} AS e FROM documents)
+    SELECT doc_id,
+           md5(e) AS encoded_fp,
+           CAST(length(e) - length(replace(e, '|', '')) - 1 AS BIGINT)
+             AS n_tokens
+    FROM enc
+    """,
+    tags=("text", "tokenizer", "training-data"),
+)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of distributed BPE (text_bpe_pair_merges is the
+    learn half): collect the top-8 first-round merges (count desc, pair
+    asc — a bounded 8-row driver action, the fit/apply split of the
+    k-means codebook and PCA), then encode every document by applying
+    the merges in priority order as sentinel-delimited literal replaces
+    ('|a|b|' -> '|a_b|').  Both engines' replace() scans left-to-right
+    non-overlapping and does NOT rescan replacement text, so
+    '(a b)(a b)' merges once per non-overlapping occurrence — identical
+    semantics, hash-checked via the encoded md5 and post-merge token
+    count.  The oracle re-derives the merge table itself (no literals
+    leak from the engine), so learn AND apply are both verified.  Apply
+    is a narrow JVM map — no shuffle; the learn pass is the one-shuffle
+    hash-agg of text_bpe_pair_merges."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    zipped = F.arrays_zip(
+        F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("a"),
+        F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("b"),
+    )
+    merges = (
+        d.select(F.explode(zipped).alias("z"))
+        .select(F.concat_ws(" ", F.col("z.a"), F.col("z.b")).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(_BPE_K)
+        .collect()
+    )
+    enc = F.translate(F.concat(F.lit("|"), F.col("text"), F.lit("|")), " ", "|")
+    for row in merges:
+        pat = "|" + row["pair"].replace(" ", "|") + "|"
+        rep = "|" + row["pair"].replace(" ", "_") + "|"
+        enc = F.replace(enc, F.lit(pat), F.lit(rep))
+    n_tokens = (
+        F.length(enc) - F.length(F.replace(enc, F.lit("|"), F.lit(""))) - 1
+    ).cast("long")
+    return d.select(
+        "doc_id", F.md5(enc).alias("encoded_fp"), n_tokens.alias("n_tokens")
+    )
+
+
 @query(
     "text_lang_confusion",
     oracle=f"""
