@@ -323,6 +323,40 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_null_safe_dim",
+    oracle="""
+    WITH dim AS (SELECT * FROM (VALUES ('click'), ('purchase'), (NULL)) t(k)),
+    e AS (SELECT event_id, NULLIF(event_type, 'view') AS k FROM events)
+    SELECT d.k AS dim_key, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM dim d LEFT JOIN e ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+    tags=("join", "null-safe"),
+)
+def join_null_safe_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the dim
+    carries an explicit NULL key that must MATCH null fact keys (here
+    'view' events nulled via NULLIF) — plain ``=`` would silently drop
+    them, the classic unknown-bucket bug in dimensional rollups.  Scale
+    note: a null-safe key makes NULL one join group; if nulls dominate,
+    that group is the skew cell (route it through the salted-join path
+    or pre-aggregate, cf. operators/scaling.salted_join).  Here the dim
+    is 3 rows and broadcast, so the fact side never shuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.nullif(F.col("event_type"), F.lit("view")).alias("k")
+    )
+    dim = spark.createDataFrame(
+        [("click",), ("purchase",), (None,)], "k string"
+    )
+    return (
+        F.broadcast(dim)
+        .join(ev, dim["k"].eqNullSafe(ev["k"]), "left")
+        .groupBy(dim["k"].alias("dim_key"))
+        .agg(F.count("event_id").alias("n_events"))
+    )
+
+
+@query(
     "agg_approx_count_distinct",
     oracle="""
     SELECT o_orderstatus,

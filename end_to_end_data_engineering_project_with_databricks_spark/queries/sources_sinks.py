@@ -72,6 +72,41 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_file_metadata",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("source", "metadata", "lineage"),
+)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file-lineage column: write documents
+    partitioned by lang, read back, and recover each row's partition
+    from ``_metadata.file_path`` alone (regexp over the physical path —
+    NOT the lang data column, which is deliberately dropped before the
+    re-read).  This is the provenance primitive of corpus audits
+    ("which input file produced this training row"); file NAMES are
+    nondeterministic, so the query aggregates by the deterministic
+    partition-directory component.  Metadata columns are populated by
+    the scan itself — no join, no shuffle beyond the final count."""
+    path = _tmp("docs_by_lang")
+    d = load_table(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).select(
+        F.col("doc_id"),
+        F.regexp_extract(F.col("_metadata.file_path"), "lang=([^/]+)", 1).alias(
+            "lang"
+        ),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+@query(
     "source_text_wordcount",
     oracle="""
     WITH toks AS (
