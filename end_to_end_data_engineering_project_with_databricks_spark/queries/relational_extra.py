@@ -405,6 +405,104 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_orderkey FROM lineitem
+               EXCEPT SELECT o_orderkey FROM orders)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_partkey FROM lineitem
+               EXCEPT SELECT p_partkey FROM part)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier.s_suppkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) FROM lineitem) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT l_suppkey FROM lineitem
+               EXCEPT SELECT s_suppkey FROM supplier)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer.c_custkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT o_custkey FROM orders
+               EXCEPT SELECT c_custkey FROM customer)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation.n_nationkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) FROM customer) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT c_nationkey FROM customer
+               EXCEPT SELECT n_nationkey FROM nation)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation.n_nationkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT s_nationkey) AS BIGINT) FROM supplier) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT s_nationkey FROM supplier
+               EXCEPT SELECT n_nationkey FROM nation)) AS n_orphan_keys
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region.r_regionkey' AS relationship,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_child_rows,
+           (SELECT CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS n_distinct_keys,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM
+              (SELECT DISTINCT n_regionkey FROM nation
+               EXCEPT SELECT r_regionkey FROM region)) AS n_orphan_keys
+    """,
+    tags=("audit", "join", "data-quality"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema foreign-key audit: one report row per relationship
+    with child row count, distinct key count, and ORPHAN key count
+    (child keys with no parent) — the ingest-gate every warehouse load
+    runs before trusting joins.  Scale shape: each orphan check is a
+    LEFT ANTI join of the child's DISTINCT keys (aggregate-before-join
+    shrinks the probe side to |keys|) against the parent's key column;
+    dimension parents broadcast.  The reports union to a 7-row result,
+    so the whole audit is metadata-sized output over map-side-combined
+    scans."""
+    rels = [
+        ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    report = None
+    for rel, child_t, child_k, parent_t, parent_k in rels:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(parent_k)
+        keys = child.select(F.col(child_k).alias("k")).distinct()
+        orphans = keys.join(
+            parent, keys["k"] == parent[parent_k], "left_anti"
+        ).agg(F.count("*").alias("n_orphan_keys"))
+        row = (
+            child.agg(
+                F.count("*").alias("n_child_rows"),
+                F.countDistinct(child_k).alias("n_distinct_keys"),
+            )
+            .crossJoin(orphans)
+            .select(
+                F.lit(rel).alias("relationship"),
+                "n_child_rows",
+                "n_distinct_keys",
+                "n_orphan_keys",
+            )
+        )
+        report = row if report is None else report.unionAll(row)
+    return report
+
+
+@query(
     "join_interval_overlap",
     oracle="""
     WITH promos AS (
