@@ -345,3 +345,28 @@ def test_interval_overlap_is_equi_not_theta(spark, sf_dir):
         k in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
         for k in kinds
     ), kinds
+
+
+def test_weighted_systematic_has_no_global_window(spark, sf_dir):
+    """The PPS sample's global cumsum must come from the two-pass
+    prefix-sum operator — a Window with an empty partition spec would be
+    the single-reducer scale cliff the operator exists to avoid."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        window_partition_spec_sizes,
+    )
+
+    df = _df(spark, sf_dir, "sample_weighted_systematic")
+    assert all(s >= 1 for s in window_partition_spec_sizes(df))
+    assert df.count() == 100  # exactly k boundaries crossed
+
+
+def test_referential_audit_uses_anti_joins(spark, sf_dir):
+    plan = formatted_plan(_df(spark, sf_dir, "audit_referential_integrity"))
+    assert "LeftAnti" in plan, plan
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    df = _df(spark, sf_dir, "join_null_safe_dim")
+    kinds = join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert not has_cartesian(df)
