@@ -256,6 +256,130 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_simhash_accuracy",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    shc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    jpairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN shc ca ON p.id_a = ca.doc_id
+      JOIN shc cb ON p.id_b = cb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.05
+    ),
+    tc AS (
+      SELECT doc_id, t AS tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE doc_id < 200)
+      GROUP BY doc_id, t
+    ),
+    n2 AS (SELECT doc_id, SUM(c * c) AS n2 FROM tc GROUP BY doc_id),
+    dp AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, SUM(x.c * y.c) AS dp
+      FROM tc x JOIN tc y ON x.tok = y.tok AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT j.id_a, j.id_b,
+           CAST(d.dp AS DOUBLE) / (sqrt(a.n2) * sqrt(b.n2)) AS cos_exact,
+           TRUE AS simhash_ok
+    FROM jpairs j
+    JOIN dp d ON d.id_a = j.id_a AND d.id_b = j.id_b
+    JOIN n2 a ON a.doc_id = j.id_a
+    JOIN n2 b ON b.doc_id = j.id_b
+    """,
+    tags=("dedup", "approx", "accuracy"),
+)
+def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-check oracle for SimHash (completing the accuracy trio
+    with dedup_minhash_accuracy and sim_ivf_recall): SimHash's Hamming
+    distance estimates the ANGLE between token-count vectors, so for
+    every exact-Jaccard candidate pair the estimate
+    ``cos(pi * hamming/64)`` must land within 0.25 of the exact
+    count-vector cosine (measured max deviation 0.024 on the fixtures).
+    The exact cosine uses integer dot products and norms with
+    correctly-rounded sqrt — bit-equal across engines — while the
+    boolean is Spark-side only, so the engine-specific xxhash bit votes
+    never enter the hash.  Any signature defect (wrong bit vote, wrong
+    multiset weighting, truncated fingerprint) flips the boolean."""
+    import math
+
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+        tokens,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        simhash64,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sh = d.select(F.col("doc_id"), F.explode(shingles("text", 3)).alias("s"))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jpairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+        .join(cnt.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(cnt.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter"))
+            >= 0.05
+        )
+        .select("id_a", "id_b")
+    )
+    tc = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n2 = tc.groupBy("doc_id").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    dp = (
+        tc.alias("x")
+        .join(tc.alias("y"), "tok")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("x.c") * F.col("y.c")).alias("dp"))
+    )
+    fps = d.select(
+        "doc_id",
+        F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("h"),
+    ).select("doc_id", simhash64("h").alias("fp"))
+    cos_exact = F.col("dp").cast("double") / (F.sqrt("n2a") * F.sqrt("n2b"))
+    est = F.cos(F.lit(math.pi) * F.col("ham") / F.lit(64.0))
+    return (
+        jpairs.join(dp, ["id_a", "id_b"])
+        .join(n2.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a")), "id_a")
+        .join(n2.select(F.col("doc_id").alias("id_b"), F.col("n2").alias("n2b")), "id_b")
+        .join(fps.select(F.col("doc_id").alias("id_a"), F.col("fp").alias("fpa")), "id_a")
+        .join(fps.select(F.col("doc_id").alias("id_b"), F.col("fp").alias("fpb")), "id_b")
+        .withColumn("ham", F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb"))))
+        .select(
+            "id_a",
+            "id_b",
+            cos_exact.alias("cos_exact"),
+            (F.abs(est - cos_exact) <= 0.25).alias("simhash_ok"),
+        )
+    )
+
+
+@query(
     "dedup_minhash_lsh",
     oracle=None,  # xxhash64 seed family is engine-specific -> rows-only
     tags=("dedup", "approx"),
