@@ -26,10 +26,24 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _driver_checked_names() -> set[str]:
+    """Names with a driver row from any PRIOR round's window.
+
+    The NEWEST artifact, when its checked-name set equals the CURRENT
+    window, is the artifact this window itself produced — it must not
+    count as staleness, or the tripwire fires the moment the driver
+    writes the round's CORRECTNESS file (the r3 judging-time red,
+    VERDICT r3 item 5).  Only that single newest artifact is exempt: a
+    window left unchanged across TWO rounds still trips, because the
+    older round's identical artifact stays counted."""
+    current = set(_DRIVER_WINDOW)
+    files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
     seen: set[str] = set()
-    for f in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+    for i, f in enumerate(files):
         with open(f) as fh:
-            seen.update(json.load(fh))
+            names = set(json.load(fh))
+        if i == len(files) - 1 and names == current:
+            continue
+        seen.update(names)
     return seen
 
 
