@@ -394,6 +394,46 @@ def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audit_k_anonymity",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, n_chars // 16 AS size_bucket, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MIN(c) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS groups_below_k,
+           CAST(SUM(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+             AS rows_below_k
+    FROM g
+    """,
+    tags=("audit", "privacy", "agg"),
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit over quasi-identifiers (lang, source,
+    bucketed length): how many QI equivalence classes fall below k=5,
+    and how many rows they expose — the pre-release privacy gate that
+    pairs with text_pii_redaction (redaction removes direct
+    identifiers; this measures re-identification risk from indirect
+    ones).  Two chained hash aggregates, both map-side combinable; the
+    report is one row."""
+    d = load_table(spark, sf_dir, "documents")
+    g = d.groupBy(
+        "lang", "source", (F.col("n_chars") / 16).cast("long").alias("size_bucket")
+    ).agg(F.count("*").alias("c"))
+    below = F.when(F.col("c") < 5, 1).otherwise(0)
+    return g.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("c").alias("n_rows"),
+        F.min("c").alias("min_group_size"),
+        F.sum(below).alias("groups_below_k"),
+        F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0)).alias("rows_below_k"),
+    )
+
+
+@query(
     "sample_weighted_systematic",
     oracle="""
     WITH c AS (
