@@ -503,6 +503,72 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stat_crosstab",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("stat", "agg", "pivot"),
+)
+def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.stat.crosstab``: the contingency-table convenience
+    over (status x priority) — one hash aggregate and a driver-side
+    pivot of the (|statuses| x |priorities|) cell grid, fine whenever
+    both cardinalities are small (for large dims use groupBy().pivot()
+    with explicit values so the schema is planned, not collected).
+    Cell counts are exact longs; the oracle states the same table as
+    CASE-pivoted sums."""
+    o = load_table(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    return ct.select(
+        "o_orderstatus_o_orderpriority",
+        *[F.col("`" + v + "`").cast("long").alias(v) for v in ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW']],
+    )
+
+
+@query(
+    "audit_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_text,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+    tags=("audit", "observe", "data-quality"),
+)
+def audit_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.observe``: data-quality metrics accumulated DURING a
+    pass the pipeline already runs (here a noop materialization standing
+    in for the real sink write) — zero extra scans, unlike a separate
+    audit query.  This is how a 100 TB load asserts row counts and null
+    budgets without doubling its I/O.  The observed metrics come back on
+    the driver as one bounded row, re-emitted as the result DataFrame."""
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    obs = Observation("docs_load_metrics")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), int(m["n_null_text"]), int(m["sum_chars"]))],
+        "n_rows long, n_null_text long, sum_chars long",
+    )
+
+
+@query(
     "join_interval_overlap",
     oracle="""
     WITH promos AS (

@@ -72,6 +72,40 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("source", "xml", "join"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> XML (Spark 4 built-in xml source, rowTag elements) ->
+    read back with schema inference -> broadcast-join region ->
+    aggregate.  The XML twin of the CSV/ORC/JSONL roundtrips: inference
+    widens integers to bigint, which the downstream SUM cast absorbs.
+    XML remains the interchange format of legacy enterprise feeds, so
+    the source matrix covers it alongside the columnar formats."""
+    path = _tmp("nation_xml")
+    nation = load_table(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).format("xml").save(path)
+    back = spark.read.option("rowTag", "nation").format("xml").load(path)
+    region = load_table(spark, sf_dir, "region")
+    return (
+        back.join(F.broadcast(region), back.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+    )
+
+
+@query(
     "source_file_metadata",
     oracle="""
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
