@@ -1,0 +1,85 @@
+"""Registry-WIDE structural plan scan: no query may silently degrade to
+a cartesian / nested-loop join — the 100 TB scale cliff — unless it is
+on the explicit allow-list of documented bounded cases.  Plan-only
+(no execution) for most queries; the fit/apply queries run their
+bounded fit actions at sf0.001 during construction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+    has_cartesian,
+)
+from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+    all_specs,
+)
+
+#: Documented bounded theta/cross nodes (each query's docstring carries
+#: the justification):
+#: - exact O(n^2) similarity baselines on predicate-bounded slices;
+#: - broadcast crossJoin against a tiny literal spine/dim/centroid side
+#:   (days spine, IVF/k-means centroid scoring, probe tables);
+#: - scalar-subquery plans where Catalyst plans a 1-row BNLJ.
+_ALLOWED_THETA = {
+    # exact O(n^2) similarity baselines on predicate-bounded slices
+    "sim_threshold_pairs",
+    "sim_topk_bruteforce",
+    "dedup_embedding_cosine",
+    # IVF/RP centroid- or probe-scoring against a tiny broadcast table
+    "sim_ivf_topk",
+    "sim_ivf_kmeans_topk",
+    "sim_ivf_recall",
+    "sim_rp_lsh_topk",
+    # broadcast crossJoin against a tiny literal spine/dim side
+    "events_forward_fill",
+    "events_linear_interpolation",
+    "events_gap_detection",
+    "events_cohort_retention",
+    "audit_referential_integrity",
+    # 1-row scalar broadcast (global totals / thresholds / dangling mass)
+    "emb_minmax_scaling",
+    "emb_int8_quantization",
+    "sql_scalar_udf",
+    "scalar_subquery_above_avg",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q22_dormant_customers",
+    "sample_language_temperature",
+    "sample_stratified_sources",
+    "text_zipf_token_share",
+    "text_bm25_search",
+    "text_pmi_collocations",
+    "profile_corpus_datasheet",
+    "agg_heavy_hitter_tokens",
+    "graph_pagerank_fixed_point",
+    "graph_triangle_count",
+    # the join matrix's explicit CROSS JOIN demonstration (bounded dims)
+    "join_cross_region_segments",
+    # documented broadcast-NL non-equi baseline (binned twin is the
+    # scale path: join_range_binned)
+    "join_range_price_bands",
+}
+
+_SPECS = all_specs()
+
+#: queries whose construction runs streaming fixtures or heavy fit
+#: actions — covered by their own tests; plan-scanning them here would
+#: re-run minutes of setup for no additional signal
+_SKIP_PREFIXES = ("stream_", "sink_", "source_", "matview_", "pipeline_", "ref_")
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(_SPECS) if not n.startswith(_SKIP_PREFIXES)],
+)
+def test_no_silent_theta_join(name, spark, sf_dir):
+    df = _SPECS[name].fn(spark, sf_dir)
+    if name in _ALLOWED_THETA:
+        return  # documented bounded case
+    assert not has_cartesian(df), (
+        f"{name} plans a CartesianProduct/BroadcastNestedLoopJoin — "
+        "either fix the join shape or add it to _ALLOWED_THETA with a "
+        "docstring justification"
+    )
