@@ -83,3 +83,30 @@ def test_no_silent_theta_join(name, spark, sf_dir):
         "either fix the join shape or add it to _ALLOWED_THETA with a "
         "docstring justification"
     )
+
+
+#: Unpartitioned (global ORDER BY) windows are the single-reducer scale
+#: cliff; the two allowed cases run over BOUNDED inputs and say so in
+#: their docstrings: text_zipf_token_share windows over the aggregated
+#: vocabulary (not the corpus), window_ntile_distribution is the
+#: documented report-sized-relation caveat demo.
+_ALLOWED_GLOBAL_WINDOW = {"text_zipf_token_share", "window_ntile_distribution"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n in sorted(_SPECS) if not n.startswith(_SKIP_PREFIXES)],
+)
+def test_no_silent_global_window(name, spark, sf_dir):
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        window_partition_spec_sizes,
+    )
+
+    if name in _ALLOWED_GLOBAL_WINDOW:
+        return
+    sizes = window_partition_spec_sizes(_SPECS[name].fn(spark, sf_dir))
+    assert all(s >= 1 for s in sizes), (
+        f"{name} plans an unpartitioned Window (single-reducer sort) — "
+        "bound its input or add it to _ALLOWED_GLOBAL_WINDOW with a "
+        "docstring justification"
+    )
