@@ -393,6 +393,54 @@ def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCKLIST = ("spark", "shuffle", "broadcast")  # stand-in lexicon
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id,
+             {" + ".join(
+                 f"len(list_filter(string_split(text, ' '), t -> t = '{w}'))"
+                 for w in ("spark", "shuffle", "broadcast")
+             )} AS n_hits
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits = 0 AS keep
+    FROM hits
+    """,
+    tags=("text", "curation", "filter"),
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon blocklist gate (the C4 bad-words stage shape): per-doc
+    hit counts against a term blocklist and the keep/drop verdict.
+    The fixture corpus is clean prose, so a stand-in lexicon of corpus
+    words exercises the machinery; a real deployment swaps the literal
+    list for a broadcast lookup.  Token-exact matching (not substring)
+    via the same JVM list_filter shape as the stopword machinery — one
+    narrow map, no shuffle; the filter composes in front of any
+    downstream stage."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _match(word: str):
+        # closure factory, NOT a default-arg lambda: a 2-param lambda is
+        # interpreted by PySpark as the (element, index) HOF signature
+        return lambda t: t == F.lit(word)
+
+    n_hits = None
+    for w in _BLOCKLIST:
+        h = F.size(F.filter(toks, _match(w)))
+        n_hits = h if n_hits is None else n_hits + h
+    return d.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits == 0).alias("keep"),
+    )
+
+
 @query(
     "audit_k_anonymity",
     oracle="""
