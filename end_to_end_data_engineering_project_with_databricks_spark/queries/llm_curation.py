@@ -393,6 +393,126 @@ def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_text_pretrain_shards",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text
+      FROM documents
+      WHERE lang IN ('en', 'de', 'fr')
+        AND n_chars BETWEEN 50 AND 10000
+        AND len(string_split(text, ' ')) >= 5
+        AND doc_id % 97 <> 0
+        AND len(list_filter(string_split(text, ' '),
+                            x -> x IN ('spark', 'shuffle', 'broadcast'))) = 0
+    ),
+    dedup AS (
+      SELECT MIN(doc_id) AS doc_id, text FROM base GROUP BY text
+    ),
+    eval_grams AS (
+      SELECT DISTINCT t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2]
+             || ' ' || t[u.i+3] || ' ' || t[u.i+4] AS gram
+      FROM (SELECT string_split(text, ' ') AS t
+            FROM documents WHERE doc_id % 97 = 0) e,
+           unnest(generate_series(1, greatest(len(t) - 4, 0))) u(i)
+    ),
+    contaminated AS (
+      SELECT DISTINCT dg.doc_id
+      FROM (
+        SELECT d.doc_id,
+               t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2]
+               || ' ' || t[u.i+3] || ' ' || t[u.i+4] AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM dedup) d,
+             unnest(generate_series(1, greatest(len(t) - 4, 0))) u(i)
+      ) dg JOIN eval_grams eg ON dg.gram = eg.gram
+    ),
+    clean AS (
+      SELECT d.doc_id, text FROM dedup d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM clean
+    ),
+    packed AS (
+      SELECT shard, n_tokens,
+             CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // 2048 AS BIGINT) AS seq_id
+      FROM toks
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_sequences,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY shard
+    """,
+    tags=("pipeline", "curation", "dedup", "packing", "training-data"),
+)
+def pipeline_text_pretrain_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXT-PRETRAINING CAPSTONE (the text twin of pipeline_image_dedup):
+    the full shard-preparation chain composed from the engine's own
+    stages — language + length quality gate -> blocklist gate ->
+    exact content dedup (min doc_id canonical) -> eval-set 5-gram
+    decontamination (operators/curation.decontaminate) -> per-shard
+    2048-token greedy sequence packing -> per-shard release stats.
+
+    Scale shape is the union of its parts, each argued at its own
+    query: all gates push into the scan; dedup is one hash-agg on the
+    content key; the decontamination gram join AQE-broadcasts the eval
+    side; packing's only shuffle partitions by shard.  End-to-end
+    integer arithmetic keeps the driver hash exact across the whole
+    composition — the strongest kind of correctness row, since one
+    wrong stage anywhere shifts every downstream count."""
+    from pyspark.sql.window import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def _match(word: str):
+        return lambda t: t == F.lit(word)
+
+    n_hits = None
+    for w in _BLOCKLIST:
+        h = F.size(F.filter(toks, _match(w)))
+        n_hits = h if n_hits is None else n_hits + h
+    base = d.filter(
+        F.col("lang").isin("en", "de", "fr")
+        & F.col("n_chars").between(50, 10000)
+        & (F.size(toks) >= 5)
+        & (F.col("doc_id") % 97 != 0)
+        & (n_hits == 0)
+    ).select("doc_id", "text")
+    dedup = base.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    evalset = d.filter(F.col("doc_id") % 97 == 0)
+    contaminated = decontaminate(dedup, evalset, "doc_id", "text", n=5).select(
+        "doc_id"
+    )
+    clean = dedup.join(contaminated, "doc_id", "left_anti")
+    sh = clean.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    win = W.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    packed = sh.select(
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(win) - F.col("n_tokens")) / 2048)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 _BLOCKLIST = ("spark", "shuffle", "broadcast")  # stand-in lexicon
 
 
