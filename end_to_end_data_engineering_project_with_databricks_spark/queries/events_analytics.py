@@ -340,6 +340,39 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, next
+    """,
+    tags=("events", "window", "agg", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix (first-order Markov counts): per
+    user, consecutive event pairs ordered by (ts, event_id for tie
+    stability), aggregated to (prev -> next) transition counts — the
+    input to funnel modeling and next-action prediction.  One shuffle
+    on user_id for the lag window, then a map-side-combinable count
+    over the tiny |types|^2 key space."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return seq.groupBy("prev", F.col("event_type").alias("next")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
     "events_linear_interpolation",
     oracle=f"""
     WITH e AS (

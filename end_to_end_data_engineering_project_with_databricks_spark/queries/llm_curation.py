@@ -394,6 +394,73 @@ def sample_bottom_k_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "emb_whitening_quality",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS diag_ok,
+           TRUE AS offdiag_ok
+    FROM embeddings
+    """,
+    tags=("embeddings", "pca", "whitening", "accuracy"),
+)
+def emb_whitening_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA WHITENING verified by its defining property: project every
+    vector onto the top-8 components scaled by 1/sqrt(eigenvalue), then
+    measure the whitened covariance distributed-side — a correct
+    whitening transform yields the identity (unit diagonal, zero
+    off-diagonals) BY CONSTRUCTION of the eigendecomposition, so the two
+    booleans (max |C_ii - 1| and max |C_ij| within 1e-5, vs ~1e-12 float
+    noise) are deterministic and hash-checkable like emb_pca_quality's
+    invariants.  Whitening is the standard embedding-hygiene step before
+    cosine ANN indexing (it equalizes dimension scales so distance is
+    not dominated by high-variance axes).  Plan: one narrow JVM pass for
+    the 8 projections + one single-row aggregate of the 36 moment
+    sums."""
+    import math
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.embeddings import (
+        pca_fit,
+    )
+
+    k = 8
+    e = load_table(spark, sf_dir, "embeddings")
+    comps, vals, mean, _dim_vars = pca_fit(e, "embedding", k=k)
+
+    def arr(v) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    centered = F.zip_with(
+        F.col("embedding").cast("array<double>"), arr(mean), lambda a, b: a - b
+    )
+    df = e.select(centered.alias("c"))
+    for i in range(k):
+        df = df.withColumn(
+            f"y{i}", dot("c", arr(comps[i])) / F.lit(math.sqrt(float(vals[i])))
+        )
+    aggs = [F.count("*").alias("n_rows")]
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(F.col(f"y{i}") * F.col(f"y{j}")).alias(f"m_{i}_{j}"))
+    m = df.agg(*aggs)
+    n = F.col("n_rows").cast("double")
+    diag_err = F.greatest(
+        *[F.abs(F.col(f"m_{i}_{i}") / n - 1.0) for i in range(k)]
+    )
+    off_err = F.greatest(
+        *[
+            F.abs(F.col(f"m_{i}_{j}") / n)
+            for i in range(k)
+            for j in range(i + 1, k)
+        ]
+    )
+    return m.select(
+        "n_rows",
+        (diag_err <= 1e-5).alias("diag_ok"),
+        (off_err <= 1e-5).alias("offdiag_ok"),
+    )
+
+
+@query(
     "pipeline_text_pretrain_shards",
     oracle="""
     WITH base AS (

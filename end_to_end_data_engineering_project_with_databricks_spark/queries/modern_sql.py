@@ -359,6 +359,40 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_lateral_column_alias",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice * 0.9 AS discounted,
+           (o_totalprice * 0.9) * 0.07 AS tax,
+           (o_totalprice * 0.9) + ((o_totalprice * 0.9) * 0.07) AS final_price
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("sql", "modern"),
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): later SELECT items reference
+    earlier aliases in the same list — the ergonomic form of chained
+    derivations that otherwise need nested subqueries.  Catalyst
+    rewrites each reference to the aliased expression, so the oracle
+    states the expanded arithmetic; every step is the same IEEE op
+    chain in the same order, keeping doubles bit-equal."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_totalprice * 0.9 AS discounted,
+               discounted * 0.07 AS tax,
+               discounted + tax AS final_price
+        FROM orders WHERE o_orderkey % 100 = 0
+        """
+    )
+
+
+@query(
     "sql_collation_lcase",
     oracle="""
     SELECT lower(o_orderpriority) AS priority_ci,
