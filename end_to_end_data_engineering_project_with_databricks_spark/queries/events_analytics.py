@@ -340,6 +340,85 @@ def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type
+      FROM events
+      WHERE user_id < 60
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS state_type,
+             ts AS valid_from, LEAD(ts) OVER w AS valid_to
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id < 60
+    )
+    SELECT d.state_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users
+    FROM purchases p
+    JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    GROUP BY d.state_type
+    """,
+    tags=("events", "join", "scd2", "temporal", "warehouse"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) lookup — the companion of
+    events_scd2_user_state: every purchase joined to the SCD2 state row
+    valid AT its timestamp (``valid_from <= ts < valid_to``), rolled up
+    to purchases per state.  This is THE warehouse pattern for
+    reproducible feature lookups ("what did we believe about the user
+    when the event happened"), which a plain latest-state join silently
+    gets wrong.  Plan: equi-join on user_id with the validity range as
+    a join filter — a hash join, not a theta join; the half-open
+    periods partition each user's timeline, so exactly one row matches
+    per event deterministically."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state_type"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = purchases.join(
+        dim,
+        (F.col("d_user") == F.col("user_id"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("state_type").agg(
+        F.count("*").alias("n_purchases"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@query(
     "events_transition_matrix",
     oracle="""
     WITH seq AS (

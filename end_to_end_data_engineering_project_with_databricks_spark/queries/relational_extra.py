@@ -569,6 +569,46 @@ def audit_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_modern_pack",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_big,
+           bool_and(o_totalprice > 900) AS all_above_min,
+           bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+           CAST(SUM(o_orderkey) FILTER (WHERE o_orderpriority = '5-LOW')
+                AS BIGINT) AS low_key_sum
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "modern", "sql"),
+)
+def agg_modern_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern aggregate surface: count_if, bool_and/bool_or (every/any),
+    and the ANSI FILTER clause — the conditional-aggregation idioms that
+    replace SUM(CASE WHEN ...) towers.  All shapes stay one map-side-
+    combinable hash aggregate; every function is deterministic (counts,
+    booleans, integer sums), so the pack hash-checks exactly."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+               bool_and(o_totalprice > 900) AS all_above_min,
+               bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+               SUM(o_orderkey) FILTER (WHERE o_orderpriority = '5-LOW')
+                 AS low_key_sum
+        FROM orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
     "join_interval_overlap",
     oracle="""
     WITH promos AS (
