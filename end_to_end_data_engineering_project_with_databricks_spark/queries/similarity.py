@@ -266,3 +266,149 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8)
     cents = kmeans_centroids(e, n_cells=16)
     return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5, centroids=cents)
+
+
+def _rp_oracle_sql() -> str:
+    """DuckDB replay of the COMPLETE rp_lsh_topk pipeline (VERDICT r4
+    item 2b).  The ±1 hyperplanes are deterministic module constants
+    (operators/similarity._rp_planes, seeded PRNG), so they inline as
+    SQL literals and the oracle re-derives every stage — sign codes,
+    Hamming-1 multi-probe, bucket equi-join, exact cosine ranking —
+    rather than just the exact baseline.  ``list_dot_product`` folds in
+    the same element order as the Spark-side ``zip_with``/``aggregate``
+    (functions/vectors.py), so the sign decisions are bit-reproducible."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        _rp_planes,
+    )
+
+    planes = _rp_planes(8, 64)
+    code = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "[" + ",".join(f"{w:.1f}" for w in p) + "]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    probes = ", ".join(f"xor(bucket, {1 << j})" for j in range(8))
+    cos_pc = sql_cosine("p.q_vec", "c.embedding")
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, ({code}) AS bucket FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_vec,
+             unnest([bucket, {probes}]) AS bucket
+      FROM coded WHERE vec_id < 8
+    ),
+    lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY {cos_pc} DESC, c.vec_id
+               ) AS rank
+        FROM probes p JOIN coded c USING (bucket)
+        WHERE c.vec_id <> p.query_id
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id ORDER BY {_COS} DESC, c.vec_id
+               ) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 8
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(l.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM exact e
+    LEFT JOIN lsh l
+      ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """
+
+
+@query(
+    "sim_rp_lsh_recall",
+    oracle=_rp_oracle_sql(),
+    tags=("similarity", "topk", "recall", "lsh"),
+)
+def sim_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the random-hyperplane LSH path vs the exact baseline,
+    per query — the HASH-CHECKABLE face of the sign-LSH family (VERDICT
+    r4 item 2b).  Unlike a recall-floor bound (vacuous here: the fixture
+    embeddings are random noise, so 8-bit LSH recall is legitimately
+    0.0-0.4), the DuckDB oracle replays the ENTIRE pipeline — the ±1
+    planes are deterministic literals, sign codes and Hamming-1
+    multi-probe are pure integer algebra, and the candidate ranking is
+    the same bit-reproducible cosine — so any change in bucketing,
+    probing, or ranking flips the hash.  The raw neighbor-list twin
+    (sim_rp_lsh_topk) keeps the rows-only gate."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        rp_lsh_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(e, queries, k=5).select("query_id", "neighbor_id")
+    approx = (
+        rp_lsh_topk(e, queries, n_planes=8, dim=64, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hits"),
+            (F.count("hit").cast("double") / F.lit(5)).alias("recall_at_5"),
+        )
+    )
+
+
+@query(
+    "sim_ivf_kmeans_fullprobe",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS} AS score
+      FROM embeddings q
+      JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 8
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, neighbor_id
+             ) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "topk", "ml", "equivalence"),
+)
+def sim_ivf_kmeans_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive-probe equivalence for the TRAINED-codebook IVF (VERDICT
+    r4 item 2c, adapted): with nprobe == n_cells the index must return
+    EXACTLY the brute-force top-5 — neighbor ids, bit-reproducible
+    scores, and ranks — regardless of what the k-means fit produced.
+    This is the hash-stable invariant for a trained codebook: a recall
+    bound at partial nprobe is knife-edge (measured min recall 0.2 at
+    sf0.01, and k-means|| centroid floats are not run-reproducible
+    across partitionings), while full-probe equivalence is exact and
+    catches the real failure modes — a vector lost or duplicated in
+    cell assignment, a broken probe ranking, or a tie-break drift all
+    corrupt the result set.  The partial-probe twin
+    (sim_ivf_kmeans_topk) keeps the rows-only gate."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    cents = kmeans_centroids(e, n_cells=16)
+    return ivf_topk(e, queries, n_cells=16, nprobe=16, k=5, centroids=cents).select(
+        "query_id", "neighbor_id", "score", "rank"
+    )
