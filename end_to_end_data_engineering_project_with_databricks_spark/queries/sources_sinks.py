@@ -1083,3 +1083,59 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             "n_refreshed"
         ),
     )
+
+
+@query(
+    "sink_versioned_history",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS nf,
+             CAST(COUNT(CASE WHEN o_orderstatus IN ('F', 'O') THEN 1 END)
+                  AS BIGINT) AS nfo
+      FROM orders
+    )
+    SELECT CAST(1 AS BIGINT) AS version, 'APPEND' AS operation, nf AS n_rows FROM c
+    UNION ALL SELECT CAST(2 AS BIGINT), 'APPEND', nfo FROM c
+    UNION ALL SELECT CAST(3 AS BIGINT), 'DELETE', nf FROM c
+    UNION ALL SELECT CAST(4 AS BIGINT), 'RESTORE', nfo FROM c
+    """,
+    tags=("sink", "versioned", "history", "time-travel"),
+)
+def sink_versioned_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``DESCRIBE HISTORY`` twin under the driver gate (VERDICT r4
+    item 6): run a deterministic operation sequence — APPEND (status F),
+    APPEND (status O), DELETE (status O rows), RESTORE to the pre-delete
+    snapshot — then join ``history()``'s (version, operation) log with
+    the time-travel row count AT each version.  The oracle reconstructs
+    the expected ledger from the orders table alone: v1 = F rows,
+    v2 = F+O, v3 = F again (copy-on-write delete), v4 = F+O (restore is
+    a metadata-only commit re-referencing v2's files).  Commit
+    timestamps and physical file counts are execution-dependent and
+    deliberately excluded; versions/operations/logical contents are
+    exact.  History itself is driver-side manifest metadata — no data
+    files are opened to print a 100 TB table's ledger."""
+    import shutil
+
+    from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+        versioned as V,
+    )
+
+    root = _tmp("orders_history")
+    shutil.rmtree(root, ignore_errors=True)  # fresh table per run
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = V.append(orders.filter(F.col("o_orderstatus") == "F"), root)
+    v2 = V.append(orders.filter(F.col("o_orderstatus") == "O"), root)
+    v3 = V.delete_where(spark, root, "o_orderstatus = 'O'")
+    v4 = V.restore(spark, root, version=v2)
+    hist = V.history(spark, root).select(
+        F.col("version").cast("long").alias("version"), "operation"
+    )
+    counts = None
+    for v in (v1, v2, v3, v4):
+        c = (
+            V.read(spark, root, version=v)
+            .agg(F.count("*").alias("n_rows"))
+            .select(F.lit(v).cast("long").alias("version"), "n_rows")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return hist.join(counts, "version")
