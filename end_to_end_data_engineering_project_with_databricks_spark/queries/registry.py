@@ -48,81 +48,82 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-4 rotation (VERDICT r3 items 2+4) ========
-    # r3 checked its entire 50-slot window, so every r3 slot that earned
-    # a green row rotates out; 39 of the 50 slots below have NEVER had a
-    # driver row.  The 11 non-fresh slots are pinned by policy: the 3
-    # §2.1 anchors + q1 + pipeline_corpus_curation (asserted by
-    # tests/test_driver_window.py), the two r3 REDS re-checked to prove
-    # their oracle fixes green (VERDICT r3 item 1), and the remaining 4
-    # family-minimum slots hold queries ADDED this round (themselves
-    # never-checked), so 43/50 slots are fresh.
+    # ======== round-5 rotation (VERDICT r4 items 1+2+5+6) ========
+    # Every r4 slot earned a green driver row, so all 43 non-pinned r4
+    # slots rotate out; 39 of the 50 slots below have NEVER had a driver
+    # row (including the 5 queries ADDED this round, all windowed
+    # immediately per VERDICT r4 item 5).  The 11 pinned greens are the
+    # 5 policy anchors (3 §2.1 refs + q1 + pipeline_corpus_curation)
+    # plus 6 family-minimum slots whose families have no never-checked
+    # members left (dedup 5th, sim 3rd, mm 2nd, the 3 pandas/udtf).
+    # Backlog math: 75 never-checked (70 backlog + 5 new) - 39 fresh
+    # = 36 after r5; r6's ~39 fresh slots absorb all of them.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
     "ref_multiline_json_pipeline",
-    # -- TPC-H / relational / agg tier --
+    # -- TPC-H / relational flagship (pinned) --
     "q1_pricing_summary",
-    "agg_bitmap_exact_distinct",
-    "agg_heavy_hitter_tokens",
-    "agg_percentile_disc",
-    "agg_histogram_width_bucket",
-    # -- graph tier (zero driver rows ever before r4) --
-    "graph_triangle_count",
-    "graph_pagerank_fixed_point",
-    # -- dedup ladder --
-    "dedup_cross_source_leakage",  # new r4: cross-source leakage audit
-    "dedup_cluster_canonical",
-    "dedup_containment",
-    "dedup_minhash_oph",
-    "dedup_minhash_incremental",
-    # -- similarity search --
-    "sim_ivf_recall",  # new r4: hash-checkable ANN recall (VERDICT r3 stretch 7)
-    "sim_rp_lsh_topk",
-    "sim_ivf_kmeans_topk",
-    # -- text analysis + quality + curation tier --
+    # -- everyday relational surface (VERDICT r4 item 1b, all fresh) --
+    "math_functions",
+    "array_functions",
+    "conditional_functions",
+    "try_functions",
+    "json_agg_stats",
+    "pivot_nation_segments",
+    "union_by_name",
+    "unpivot_lineitem_measures",
+    "in_subquery_building_orders",
+    "window_percent_rank_cume_dist",
+    "agg_modern_pack",
+    # -- joins (fresh) --
+    "join_interval_overlap",
+    "join_point_in_time_scd2",
+    # -- dedup ladder (4 fresh incl. the 2 new equivalence/accuracy
+    #    twins; dedup_ngram_jaccard pinned for the family minimum) --
+    "dedup_ngram_jaccard",
+    "dedup_minhash_accuracy",
+    "dedup_simhash_accuracy",
+    "dedup_oph_accuracy",  # new r5: OPH bounded-check twin
+    "dedup_incremental_equivalence",  # new r5: incremental==batch oracle
+    # -- similarity search (2 new oracled faces; sim_ivf_recall pinned) --
+    "sim_ivf_recall",
+    "sim_rp_lsh_recall",  # new r5: full DuckDB LSH replay
+    "sim_ivf_kmeans_fullprobe",  # new r5: trained-codebook equivalence
+    # -- LLM curation capstone + text tier (fresh) --
     "pipeline_corpus_curation",
-    "text_repetition_filter",  # r3 RED (oracle HUGEINT) — re-prove green
-    "text_bpe_pair_merges",
-    "text_zipf_token_share",
-    "text_bm25_search",
-    "text_pmi_collocations",
-    "text_chunk_dedup_rewrite",
-    # -- sampling / packing / declarative-pipeline tier --
-    "sample_per_group_cap",
-    "sample_systematic",
-    "sample_stratified_sources",
-    "pipeline_pack_sequences",
-    "pipeline_declarative_tables",
-    "ids_sequential_assignment",
-    # -- embedding hygiene --
-    "emb_int8_quantization",
-    "emb_minmax_scaling",
-    # -- multimodal decode --
+    "pipeline_text_pretrain_shards",
+    "text_bpe_apply",
+    "text_blocklist_filter",
+    "text_quality_scores",
+    "text_rolling_fingerprint",
+    # -- embedding hygiene (fresh: PCA invariant pair) --
+    "emb_pca_quality",
+    "emb_pca_project",
+    # -- multimodal decode (png fresh; wav pinned for family minimum) --
     "mm_wav_decode",
-    "mm_bmp_decode",
-    # -- events --
-    "events_gap_detection",
-    "events_funnel",
-    # -- structured streaming (batch-oracle-checked) --
-    "stream_matview_pipeline",
-    "stream_multibatch_tumbling",
-    # -- UDF / pandas / UDTF surface --
-    "pandas_apply_minmax_norm",
-    "pandas_rolling_minmax",  # new r4: ordered per-group rolling envelope
-    "udtf_table_arg_user_stats",  # new r4: TABLE-argument UDTF surface
-    # -- sources --
-    "source_jsonlines_roundtrip",
-    "source_python_datasource_stream",
-    # -- sinks / versioned-table tier --
-    "sink_dynamic_partition_overwrite",
-    "sink_versioned_schema_evolution",
-    # -- modern SQL surface --
-    "sql_scalar_udf",
-    "sql_identifier_clause",
-    # -- scalar function packs --
-    "map_functions",  # r3 RED (list-typed column) — re-prove green
-    "higher_order_functions",
+    "mm_png_decode",
+    # -- events (fresh) --
+    "events_linear_interpolation",
+    "events_transition_matrix",
+    # -- structured streaming joins (VERDICT r4 item 1c, all fresh) --
+    "stream_sliding_counts",
+    "stream_stream_join",
+    "stream_static_join",
+    "stream_stream_left_join",
+    # -- UDF / pandas / UDTF surface (all driver-seen; family minimum) --
+    "pandas_cogroup_asof",
+    "pandas_grouped_agg_range",
+    "udtf_char_ngrams",
+    # -- sources (fresh) --
+    "source_xml_roundtrip",
+    "source_file_metadata",
+    # -- sinks / versioned-table tier (fresh) --
+    "sink_versioned_delete_compact",
+    "sink_versioned_history",  # new r5: DESCRIBE HISTORY twin
+    # -- modern SQL surface (fresh) --
+    "sql_lateral_column_alias",
+    "sql_parameterized",
 )
 
 
