@@ -555,10 +555,14 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     import numpy as np
 
     assert payload[:8] == _PNG_SIG, "not a PNG container"
-    pos, w = 8, None
+    pos, w, h = 8, None, None
     idat = bytearray()
     while pos < len(payload):
+        assert pos + 8 <= len(payload), "truncated chunk header"
         (length,) = struct.unpack_from(">I", payload, pos)
+        # declared length must fit before slicing, or the CRC unpack
+        # below raises struct.error instead of a clean message (ADVICE r4)
+        assert pos + 12 + length <= len(payload), "chunk length overruns payload"
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -572,7 +576,7 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    assert w is not None, "missing IHDR"
+    assert w is not None and h is not None, "missing IHDR"
     raw = zlib.decompress(bytes(idat))
     stride = w * 3
     assert len(raw) == h * (stride + 1), "inflated size mismatch"

@@ -523,12 +523,25 @@ def stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     both cardinalities are small (for large dims use groupBy().pivot()
     with explicit values so the schema is planned, not collected).
     Cell counts are exact longs; the oracle states the same table as
-    CASE-pivoted sums."""
+    CASE-pivoted sums.
+
+    The five TPC-H priorities are the oracle's FIXED output schema, but
+    the Spark side backfills any priority absent from the crosstab's
+    actual columns with a zero column instead of selecting it blindly —
+    a scale/filter where some priority has no orders yields a zero
+    column on both sides rather than a missing-column error (ADVICE
+    r4)."""
     o = load_table(spark, sf_dir, "orders")
     ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    present = set(ct.columns)
     return ct.select(
         "o_orderstatus_o_orderpriority",
-        *[F.col("`" + v + "`").cast("long").alias(v) for v in ['1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW']],
+        *[
+            (F.col("`" + v + "`") if v in present else F.lit(0))
+            .cast("long")
+            .alias(v)
+            for v in ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ],
     )
 
 
