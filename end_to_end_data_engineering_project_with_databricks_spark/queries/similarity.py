@@ -1,8 +1,14 @@
 """Similarity-search query surface over ``embeddings`` (operators/
 similarity.py).  Brute-force cosine math is bit-reproducible against
 DuckDB (same left-to-right double fold — functions/vectors.py), so the
-exact paths are fully oracle-checked; IVF probing is approximate and gets
-the rows-only gate plus consistency tests (tests/test_similarity_ops.py).
+exact paths are fully oracle-checked — and because the deterministic-
+centroid IVF codebook and the ±1 LSH planes are reproducible constants,
+the DuckDB oracles REPLAY those indexes end-to-end too (assignment,
+probing, banding, ranking).  Only the trained-codebook partial-probe
+path (sim_ivf_kmeans_topk — k-means float noise is not run-reproducible)
+keeps the rows-only gate, backed by the full-probe equivalence oracle
+(sim_ivf_kmeans_fullprobe) and consistency tests
+(tests/test_similarity_ops.py).
 """
 
 from __future__ import annotations
@@ -83,9 +89,60 @@ def sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_threshold_pairs(e, threshold=0.35)
 
 
+def _banded_lsh_oracle_sql(threshold: float, n_planes: int = 64, bands: int = 16) -> str:
+    """DuckDB replay of the COMPLETE banded sign-LSH threshold join
+    (cosine_threshold_pairs_bucketed): the ±1 planes are deterministic
+    module constants, so sign bits, band packing, the candidate
+    equi-join, and the exact cosine verify all re-derive in SQL.  The
+    replay shares the plane source (operators/similarity._rp_planes)
+    and the bit-packing convention (bit j of band b set iff
+    dots[b*rows+j] > 0) with the Spark side, and ``list_dot_product``
+    folds in the same element order as the zip_with/aggregate fold, so
+    every sign decision is bit-reproducible."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        _rp_planes,
+    )
+
+    rows = n_planes // bands
+    planes = _rp_planes(n_planes, 64)
+    signs = ",\n             ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "[" + ",".join(f"{w:.1f}" for w in p) + "]) > 0 THEN 1 ELSE 0 END)"
+        f" AS s{j}"
+        for j, p in enumerate(planes)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ("
+        + " + ".join(f"{1 << j} * s{b * rows + j}" for j in range(rows))
+        + ") AS bv FROM coded"
+        for b in range(bands)
+    )
+    cos_ab = sql_cosine("x.embedding", "y.embedding")
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             {signs}
+      FROM embeddings
+    ),
+    bands AS (
+      {band_rows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b, {cos_ab} AS score
+    FROM cands c
+    JOIN embeddings x ON x.vec_id = c.id_a
+    JOIN embeddings y ON y.vec_id = c.id_b
+    WHERE {cos_ab} >= {threshold}
+    """
+
+
 @query(
     "sim_threshold_pairs_lsh",
-    oracle=None,  # one-sided LSH candidate generation -> rows-only gate
+    oracle=_banded_lsh_oracle_sql(threshold=0.45),
     tags=("similarity", "join", "approx", "lsh"),
 )
 def sim_threshold_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,10 +158,13 @@ def sim_threshold_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     every scale factor (7 at sf0.001, 14 at sf0.01, 144 at sf0.1 —
     measured with a driver-side gram matrix; the max pairwise cosine at
     sf0.01 is 0.513, so a 0.6 threshold returns an honest-but-empty
-    result the rows-only gate can't distinguish from a broken plan).
+    result a rows-only gate could not distinguish from a broken plan).
     Per-pair recall at 0.45 with 16x4 banding is ~0.956, so an empty
     result would mean the pipeline is broken, not unlucky
-    (P ~= 0.044^14)."""
+    (P ~= 0.044^14).  Fully hash-checked since r5: the planes are
+    deterministic literals, so the DuckDB oracle replays sign bits,
+    band packing, the candidate equi-join, and the exact verify — the
+    one-sided misses are part of the replayed semantics, not noise."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         cosine_threshold_pairs_bucketed,
     )
@@ -113,33 +173,122 @@ def sim_threshold_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_threshold_pairs_bucketed(e, threshold=0.45, dim=64)
 
 
+_COS_CENT = sql_cosine("c.embedding", "ct.centroid")
+_COS_Q_CENT = sql_cosine("q.embedding", "ct.centroid")
+_COS_P_A = sql_cosine("p.q_vec", "a.embedding")
+
+#: DuckDB replay of the deterministic-centroid IVF index (16 lowest-id
+#: vectors as the codebook, nearest-cell assignment, nprobe-cell probe
+#: per query) — shared by the raw top-k oracle and the recall oracle.
+_IVF_REPLAY_CTES = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_COS_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_Q_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents ct
+        WHERE q.vec_id < 8
+      ) WHERE rn <= 4
+    )"""
+
+
 @query(
     "sim_ivf_topk",
-    oracle=None,  # approximate (cell probing) -> rows-only gate
+    oracle=f"""
+    {_IVF_REPLAY_CTES}
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_COS_P_A} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_COS_P_A} DESC, a.vec_id
+             ) AS BIGINT) AS rank
+      FROM probed p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
     tags=("similarity", "topk", "approx"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: 16 deterministic cells, probe 4 — scores
-    only ~1/4 of the corpus per query.  Companion test checks the result
-    equals brute force restricted to the probed cells (mechanism
-    correctness) and measures recall vs the exact baseline."""
+    only ~1/4 of the corpus per query.  Fully hash-checked: the default
+    codebook is deterministic (the 16 lowest-id vectors), so the DuckDB
+    oracle replays the whole index — assignment argmax, probe ranking,
+    candidate top-k, bit-reproducible cosine scores.  The companion test
+    additionally checks the result equals brute force restricted to the
+    probed cells and measures recall vs the exact baseline."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5)
 
 
+def _rp_topk_oracle_sql() -> str:
+    """DuckDB replay of the raw rp_lsh_topk neighbor lists: same coded/
+    multi-probe pipeline as the recall oracle (see _rp_oracle_sql), but
+    emitting the per-query (neighbor_id, score, rank) rows themselves."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        _rp_planes,
+    )
+
+    planes = _rp_planes(8, 64)
+    code = " + ".join(
+        "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "[" + ",".join(f"{w:.1f}" for w in p) + "]) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    probes = ", ".join(f"xor(bucket, {1 << j})" for j in range(8))
+    cos_pc = sql_cosine("p.q_vec", "c.embedding")
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, ({code}) AS bucket FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS q_vec,
+             unnest([bucket, {probes}]) AS bucket
+      FROM coded WHERE vec_id < 8
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT p.query_id, c.vec_id AS neighbor_id, {cos_pc} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {cos_pc} DESC, c.vec_id
+             ) AS BIGINT) AS rank
+      FROM probes p JOIN coded c USING (bucket)
+      WHERE c.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """
+
+
 @query(
     "sim_rp_lsh_topk",
-    oracle=None,  # approximate (bucket probing) -> rows-only gate
+    oracle=_rp_topk_oracle_sql(),
     tags=("similarity", "topk", "approx", "lsh"),
 )
 def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (sign) LSH approximate top-5 — the second ANN
     path next to IVF: 8-bit sign codes bucket the corpus, each query
     probes its own bucket plus all Hamming-1 neighbors (multi-probe),
-    scoring ~9/256 of the corpus.  Companion test checks the result
-    equals brute force restricted to the probed buckets (mechanism
-    correctness) and measures recall vs the exact baseline."""
+    scoring ~9/256 of the corpus.  Fully hash-checked: the ±1 planes are
+    deterministic literals, so the DuckDB oracle replays bucketing,
+    multi-probe, and the exact cosine ranking end-to-end.  The companion
+    test additionally checks the result equals brute force restricted to
+    the probed buckets and measures recall vs the exact baseline."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         rp_lsh_topk,
     )
@@ -147,11 +296,6 @@ def sim_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return rp_lsh_topk(e, queries, n_planes=8, dim=64, k=5)
-
-
-_COS_CENT = sql_cosine("c.embedding", "ct.centroid")
-_COS_Q_CENT = sql_cosine("q.embedding", "ct.centroid")
-_COS_P_A = sql_cosine("p.q_vec", "a.embedding")
 
 
 @query(
@@ -222,7 +366,7 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking, candidate top-k — is reproducible in ANSI SQL, so the
     DuckDB oracle replays the complete index, not just the exact
     baseline.  Emits (query_id, n_hits, recall_at_5); the approximate
-    twin ``sim_ivf_topk`` keeps the rows-only gate for the raw
+    twin ``sim_ivf_topk`` carries the same replay over its raw
     neighbor lists."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
@@ -345,7 +489,7 @@ def sim_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe are pure integer algebra, and the candidate ranking is
     the same bit-reproducible cosine — so any change in bucketing,
     probing, or ranking flips the hash.  The raw neighbor-list twin
-    (sim_rp_lsh_topk) keeps the rows-only gate."""
+    (sim_rp_lsh_topk) carries the same replay."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         rp_lsh_topk,
     )

@@ -113,10 +113,7 @@ def test_window_minimizes_rows_only_checks() -> None:
     allowed = {
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "sim_threshold_pairs_lsh",
-        "sim_ivf_topk",
         "sim_ivf_kmeans_topk",
-        "sim_rp_lsh_topk",
         "dedup_minhash_oph",
         "dedup_minhash_incremental",
     }
