@@ -48,82 +48,83 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-5 rotation (VERDICT r4 items 1+2+5+6) ========
-    # Every r4 slot earned a green driver row, so all 43 non-pinned r4
-    # slots rotate out; 39 of the 50 slots below have NEVER had a driver
-    # row (including the 5 queries ADDED this round, all windowed
-    # immediately per VERDICT r4 item 5).  The 11 pinned greens are the
-    # 5 policy anchors (3 §2.1 refs + q1 + pipeline_corpus_curation)
-    # plus 6 family-minimum slots whose families have no never-checked
-    # members left (dedup 5th, sim 3rd, mm 2nd, the 3 pandas/udtf).
-    # Backlog math: 75 never-checked (70 backlog + 5 new) - 39 fresh
-    # = 36 after r5; r6's ~39 fresh slots absorb all of them.
+    # ======== round-6 FINAL rotation (VERDICT r5 items 2+3) ========
+    # This window closes the attestation backlog to ZERO: all 36
+    # never-driver-checked queries plus the 5 stale `no_oracle` rows
+    # whose full index-replay oracles landed post-r4 (commit 4524d7b)
+    # occupy 41 slots; the other 9 are the 5 policy anchors (3 §2.1
+    # refs + q1 + pipeline_corpus_curation) and 4 family-minimum greens
+    # for families whose members are ALL already driver-attested
+    # (dedup, multimodal, streaming, pandas/UDTF).  After this round
+    # every registry query has a driver row (green or declared
+    # rows-only); the registry is FROZEN until then — any new query
+    # must take a window slot immediately (VERDICT r5 item 3).
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
     "ref_multiline_json_pipeline",
     # -- TPC-H / relational flagship (pinned) --
     "q1_pricing_summary",
-    # -- everyday relational surface (VERDICT r4 item 1b, all fresh) --
-    "math_functions",
-    "array_functions",
-    "conditional_functions",
-    "try_functions",
-    "json_agg_stats",
-    "pivot_nation_segments",
-    "union_by_name",
-    "unpivot_lineitem_measures",
-    "in_subquery_building_orders",
-    "window_percent_rank_cume_dist",
-    "agg_modern_pack",
-    # -- joins (fresh) --
-    "join_interval_overlap",
-    "join_point_in_time_scd2",
-    # -- dedup ladder (4 fresh incl. the 2 new equivalence/accuracy
-    #    twins; dedup_ngram_jaccard pinned for the family minimum) --
-    "dedup_ngram_jaccard",
-    "dedup_minhash_accuracy",
-    "dedup_simhash_accuracy",
-    "dedup_oph_accuracy",  # new r5: OPH bounded-check twin
-    "dedup_incremental_equivalence",  # new r5: incremental==batch oracle
-    # -- similarity search (2 new oracled faces; sim_ivf_recall pinned) --
-    "sim_ivf_recall",
-    "sim_rp_lsh_recall",  # new r5: full DuckDB LSH replay
-    "sim_ivf_kmeans_fullprobe",  # new r5: trained-codebook equivalence
-    # -- LLM curation capstone + text tier (fresh) --
+    # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    "pipeline_text_pretrain_shards",
-    "text_bpe_apply",
-    "text_blocklist_filter",
-    "text_quality_scores",
-    "text_rolling_fingerprint",
-    # -- embedding hygiene (fresh: PCA invariant pair) --
-    "emb_pca_quality",
-    "emb_pca_project",
-    # -- multimodal decode (png fresh; wav pinned for family minimum) --
-    "mm_wav_decode",
+    # -- family-minimum greens (all members already attested) --
+    "dedup_ngram_jaccard",
     "mm_png_decode",
-    # -- events (fresh) --
-    "events_linear_interpolation",
-    "events_transition_matrix",
-    # -- structured streaming joins (VERDICT r4 item 1c, all fresh) --
     "stream_sliding_counts",
-    "stream_stream_join",
-    "stream_static_join",
-    "stream_stream_left_join",
-    # -- UDF / pandas / UDTF surface (all driver-seen; family minimum) --
-    "pandas_cogroup_asof",
-    "pandas_grouped_agg_range",
     "udtf_char_ngrams",
-    # -- sources (fresh) --
-    "source_xml_roundtrip",
-    "source_file_metadata",
-    # -- sinks / versioned-table tier (fresh) --
-    "sink_versioned_delete_compact",
-    "sink_versioned_history",  # new r5: DESCRIBE HISTORY twin
-    # -- modern SQL surface (fresh) --
-    "sql_lateral_column_alias",
-    "sql_parameterized",
+    # -- aggregations (2 never-checked + 2 stale-no_oracle w/ new oracles) --
+    "agg_approx_percentile",
+    "agg_skew_resistant_distinct",
+    "agg_approx_count_distinct",
+    "agg_hll_sketch_union",
+    # -- similarity: the 3 stale rows whose full DuckDB index-replay
+    #    oracles (planes/centroid literals) have never had a driver slot --
+    "sim_ivf_topk",
+    "sim_rp_lsh_topk",
+    "sim_threshold_pairs_lsh",
+    # -- joins (never-checked) --
+    "join_bloom_prefilter",
+    "join_null_safe_dim",
+    "join_range_binned",
+    # -- generators / scalar surface (never-checked) --
+    "explode_outer_empty",
+    "explode_with_position",
+    "stat_crosstab",
+    # -- events analytics (never-checked) --
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "events_ewma_bounded",
+    "events_mad_outliers",
+    "events_scd2_user_state",
+    "events_zscore_outliers",
+    # -- text analysis (never-checked) --
+    "text_boilerplate_ngrams",
+    "text_chunk_windows",
+    "text_fingerprints",
+    "text_lang_confusion",
+    "text_language_profile",
+    "text_term_frequency",
+    # -- audits / profiling / observability (never-checked) --
+    "audit_k_anonymity",
+    "audit_observe_metrics",
+    "audit_referential_integrity",
+    "profile_corpus_datasheet",
+    "profile_numeric_columns",
+    # -- sampling (never-checked) --
+    "sample_bottom_k_uniform",
+    "sample_language_temperature",
+    "sample_weighted_systematic",
+    # -- embeddings / arrow (never-checked) --
+    "emb_whitening_quality",
+    "arrow_batch_audit",
+    # -- sources / sinks (never-checked) --
+    "source_binaryfile_images",
+    "sink_versioned_restore",
+    # -- modern SQL surface (never-checked) --
+    "sql_collation_lcase",
+    "sql_execute_immediate",
+    "sql_group_order_by_all",
+    "sql_pipe_syntax",
 )
 
 

@@ -489,7 +489,13 @@ def sim_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe are pure integer algebra, and the candidate ranking is
     the same bit-reproducible cosine — so any change in bucketing,
     probing, or ranking flips the hash.  The raw neighbor-list twin
-    (sim_rp_lsh_topk) carries the same replay."""
+    (sim_rp_lsh_topk) carries the same replay.
+
+    Plan note (allow-listed in _ALLOWED_THETA): the exact side composes
+    brute_force_topk, whose crossJoin broadcasts the 8-query batch
+    (``vec_id < 8``) against the corpus — a bounded broadcast-NL scan,
+    same class as the allow-listed sim_topk_bruteforce, never an
+    all-pairs cartesian."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         rp_lsh_topk,
     )
@@ -545,7 +551,13 @@ def sim_ivf_kmeans_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches the real failure modes — a vector lost or duplicated in
     cell assignment, a broken probe ranking, or a tie-break drift all
     corrupt the result set.  The partial-probe twin
-    (sim_ivf_kmeans_topk) keeps the rows-only gate."""
+    (sim_ivf_kmeans_topk) keeps the rows-only gate.
+
+    Plan note (allow-listed in _ALLOWED_THETA): ivf_topk with nprobe ==
+    n_cells degenerates to scoring the broadcast 8-query batch
+    (``vec_id < 8``) against every cell — a bounded broadcast-NL scan,
+    same class as the allow-listed sim_topk_bruteforce; the k-means fit
+    is a bounded driver-side action over 16 centroids."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         kmeans_centroids,
     )

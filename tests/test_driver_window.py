@@ -56,7 +56,16 @@ def test_window_is_exactly_the_first_fifty() -> None:
 
 def test_window_samples_every_family() -> None:
     """Every §2 family keeps at least one slot in the driver window,
-    whichever representatives the current rotation picked."""
+    whichever representatives the current rotation picked.
+
+    r6 endgame note: the original per-family minimums (dedup >=5,
+    mm/stream >=2, pandas/udtf >=3, ...) were rotation PRESSURE — they
+    forced never-checked members of each family into the window.  With
+    the backlog at zero members for dedup/mm/stream/pandas (all
+    driver-green r1-r5) those minimums would only displace the actual
+    remaining backlog, so families whose members are ALL attested relax
+    to >=1 representative; test_window_carries_entire_backlog below is
+    the (strictly stronger) replacement pressure."""
     specs = all_specs()
     window = {n: specs[n] for n in _DRIVER_WINDOW}
 
@@ -66,29 +75,75 @@ def test_window_samples_every_family() -> None:
     # §2.1 reference-parity anchors never rotate out
     assert len(with_prefix("ref_")) == 3
     # relational/TPC-H core: flagship + at least one agg-family rep.
-    # The relational family is the MOST driver-attested (r1's window was
-    # almost entirely TPC-H/relational and r2 kept 9 reps), so from r3 on
-    # it holds only 2 slots while never-checked families earn rows.
     assert "q1_pricing_summary" in window
     assert len(with_prefix("q", "agg_", "join_", "window_", "set_", "topk")) >= 2
-    # LLM-pipeline operator families
-    assert len(with_prefix("dedup_")) >= 5
+    # LLM-pipeline operator families (fully-attested families: >=1)
+    assert len(with_prefix("dedup_")) >= 1
     assert len(with_prefix("sim_")) >= 3
     assert len(with_prefix("text_")) >= 4
     assert "pipeline_corpus_curation" in window
     assert len(with_prefix("emb_")) >= 1
-    assert len(with_prefix("mm_")) >= 2
+    assert len(with_prefix("mm_")) >= 1
     # events / streaming / pandas-UDF surfaces
     assert len(with_prefix("events_")) >= 2
-    assert len(with_prefix("stream_")) >= 2
-    assert len(with_prefix("pandas_", "udtf_")) >= 3
-    # sources / sinks / modern SQL / scalar packs
-    assert len(with_prefix("source_")) >= 2
-    assert len(with_prefix("sink_")) >= 2
+    assert len(with_prefix("stream_")) >= 1
+    assert len(with_prefix("pandas_", "udtf_")) >= 1
+    # sources / sinks / modern SQL / scalar-generator packs
+    assert len(with_prefix("source_")) >= 1
+    assert len(with_prefix("sink_")) >= 1
     assert len(with_prefix("sql_")) >= 2
-    assert len([n for n in window if "functions" in n]) >= 2
+    assert len(with_prefix("explode_", "stat_")) + len(
+        [n for n in window if "functions" in n]
+    ) >= 2
     # versioned-table capability tier (time travel / CDC / maintenance)
-    assert len([n for n in window if "versioned" in n or "matview" in n]) >= 2
+    assert len([n for n in window if "versioned" in n or "matview" in n]) >= 1
+
+
+def _latest_driver_rows() -> dict[str, dict]:
+    """Latest driver row per query across all CORRECTNESS artifacts,
+    with the same newest-artifact exemption as _driver_checked_names
+    (the artifact the CURRENT window just produced must not count)."""
+    current = set(_DRIVER_WINDOW)
+    files = sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    latest: dict[str, dict] = {}
+    for i, f in enumerate(files):
+        with open(f) as fh:
+            rows = json.load(fh)
+        if i == len(files) - 1 and set(rows) == current:
+            continue
+        latest.update(rows)
+    return latest
+
+
+def test_window_carries_entire_backlog() -> None:
+    """Endgame guard (VERDICT r5 items 2+3): whenever the remaining
+    attestation backlog — never-driver-checked queries plus stale
+    `no_oracle` rows whose spec NOW carries an oracle — fits in the
+    window's free capacity (50 minus the 5 policy anchors), the window
+    must contain ALL of it.  This supersedes the >=10-fresh-slots
+    pressure of test_window_rotates_in_never_checked_queries once the
+    backlog is small, and keeps the registry frozen in practice: a new
+    query immediately joins the backlog and must take a slot."""
+    specs = all_specs()
+    latest = _latest_driver_rows()
+    if not latest:  # fresh checkout — no driver artifacts yet
+        return
+    never_checked = set(specs) - set(latest)
+    stale_no_oracle = {
+        n
+        for n, row in latest.items()
+        if row.get("err") == "no_oracle"
+        and n in specs
+        and specs[n].oracle is not None
+    }
+    backlog = never_checked | stale_no_oracle
+    if len(backlog) > WINDOW - 5:
+        return  # cannot fit yet — rotation test above applies instead
+    missing = backlog - set(_DRIVER_WINDOW)
+    assert not missing, (
+        f"backlog fits the window but {len(missing)} queries are left "
+        f"out: {sorted(missing)}"
+    )
 
 
 def test_window_rotates_in_never_checked_queries() -> None:

@@ -32,6 +32,11 @@ _ALLOWED_THETA = {
     "sim_ivf_kmeans_topk",
     "sim_ivf_recall",
     "sim_rp_lsh_topk",
+    # recall/equivalence harnesses that compose brute_force_topk — the
+    # broadcast-8-query bounded exact baseline (same class as
+    # sim_topk_bruteforce; each docstring names the bounded side)
+    "sim_rp_lsh_recall",
+    "sim_ivf_kmeans_fullprobe",
     # broadcast crossJoin against a tiny literal spine/dim side
     "events_forward_fill",
     "events_linear_interpolation",
