@@ -11,7 +11,10 @@ ladder (BASELINE.json north star):
 - n-gram Jaccard: exact pairwise similarity on shingle sets (the oracle
   for the approximate paths, and usable directly on bounded subsets).
 
-Everything is JVM-side (split/explode/xxhash64/groupBy) — no Python UDFs.
+Everything is JVM-side (split/explode/md5-int/groupBy) — no Python UDFs.
+The hash family is the engine-portable md5-derived 60-bit integer of
+functions/hashfamily.py, so every signature, band key, and fingerprint is
+bit-reproducible in DuckDB and the pair queries carry full value oracles.
 Scale design: each operator's candidate-generation step is a single
 equi-join on a computed key (band hash), so Catalyst shuffles both sides
 on that key — no cross join ever materializes.  At 100 TB the shingle
@@ -24,6 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+    MERSENNE_P,
+    SHINGLE_C,
+    h60_spark,
+    minhash_perm_spark,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
     fingerprint,
     tokens,
@@ -31,6 +40,13 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns
 from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
     scale_out,
 )
+
+
+def _h60(c: Column) -> Column:
+    """md5-derived 60-bit non-negative base hash (functions/hashfamily.py)
+    — bit-identical to DuckDB's ``CAST('0x' || substr(md5(s),1,15) AS
+    BIGINT)``, which is what makes every signature below oracle-replayable."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def shingles(text_col: Column | str, k: int = 3) -> Column:
@@ -51,6 +67,46 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def _hashed_shingle_docs(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, _sh) where ``_sh`` is the distinct array of k-gram shingle
+    HASHES in [0, P): each token is md5-60-hashed ONCE (the only
+    variable-length hash — md5 cost scales with input bytes, so hashing
+    tokens instead of 3-word gram strings cuts the hash work ~3x and
+    skips the per-gram concat allocation), then the k positional
+    token-hashes combine with the pure-integer polynomial of
+    functions/hashfamily.SHINGLE_C — which a DuckDB oracle replays
+    literally.
+
+    Two projections on purpose: ``_th`` (the token-hash array) is
+    referenced ``shingle_k`` times by the gram combine; the projection
+    barrier stops CollapseProject from inlining — and recomputing — the
+    tokenize+md5 per position (the same 12x-regression mechanism
+    documented on the signature fold below).  Documents with fewer than
+    ``shingle_k`` tokens are dropped (no shingles -> can't be a
+    near-dup of anything)."""
+    tokh = (
+        scale_out(df)
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.transform(
+                tokens(text_col), lambda t: F.pmod(_h60(t), F.lit(MERSENNE_P))
+            ).alias("_th"),
+        )
+        .filter(F.size("_th") >= shingle_k)
+    )
+    combine = " + ".join(
+        f"pmod({SHINGLE_C[j]} * element_at(_th, i + {j}), {MERSENNE_P})"
+        for j in range(shingle_k)
+    )
+    gram_sql = (
+        f"array_distinct(transform(sequence(1, size(_th) - {shingle_k - 1}), "
+        f"i -> pmod({combine}, {MERSENNE_P})))"
+    )
+    return tokh.select("_id_", F.expr(gram_sql).alias("_sh"))
+
+
 def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: one row per distinct content, keeping the minimum id
     as canonical and counting members.  A single hash aggregate —
@@ -69,16 +125,23 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: ``sig[i] = min over shingles of
-    h_i(shingle)``, where ``h_i(s) = xxhash64(i, xxhash64(s))``.
+    h_i(shingle)``, where ``h_i(s) = (A[i] * sh(s) + B[i]) % P`` — the
+    classic 2-universal affine family over the Mersenne prime
+    P = 2^31 - 1 — and ``sh(s)`` is the positional integer combine of
+    md5-60 token hashes (:func:`_hashed_shingle_docs`,
+    functions/hashfamily.py).  Unlike the previous xxhash64 seed family
+    this is bit-reproducible in DuckDB, so the LSH pair queries carry
+    full value-hash oracles instead of the rows-only gate (VERDICT r5
+    item 4).
 
-    Fully narrow — no explode, no shuffle: each shingle string is hashed
-    ONCE (the only variable-length hash) into a pre-materialized hash
-    array, and each of the ``num_hashes`` families is an independent
-    ``array_min(transform(hashes, h -> xxhash64(i, h)))`` — re-hashing
-    the fixed-width long is ~an order of magnitude cheaper per family
-    than hashing the string again.  At 100 TB this stage pipelines with
-    the corpus scan and the first (and only) shuffle of the dedup
-    pipeline is the LSH band join.
+    Fully narrow — no explode, no shuffle: each TOKEN is md5-hashed
+    ONCE (the only variable-length hash) into a pre-materialized mod-P
+    hash array, shingle hashes are integer combines of it, and each of
+    the ``num_hashes`` families is an independent
+    ``array_min(transform(hashes, h -> (A[i]*h + B[i]) % P))`` — an
+    integer multiply-add is cheaper per family than any re-hash.  At
+    100 TB this stage pipelines with the corpus scan and the first (and
+    only) shuffle of the dedup pipeline is the LSH band join.
 
     Memory shape: the earlier formulation folded with an
     array-accumulator (``zip_with`` + a num_hashes-element array literal
@@ -98,38 +161,45 @@ def minhash_signatures(
     """
     # millions of hash evals from a few MB of text: widen tiny scans so
     # the compute doesn't serialize on one split (no-op at scale)
-    hashed = (
-        scale_out(df)
-        .filter(F.size(tokens(text_col)) >= shingle_k)
-        .select(
-            F.col(id_col).alias("_id_"),
-            F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
-                "_sh"
-            ),
-        )
-    )
+    hashed = _hashed_shingle_docs(df, id_col, text_col, shingle_k)
 
     # One SQL string instead of num_hashes unrolled py4j Columns: the
     # py4j form (64 x array_min(transform(...)) + F.array) cost ~2 s of
     # pure driver latency PER QUERY CONSTRUCTION in round trips; this
     # parses JVM-side in ~5 ms and evaluates bit-identically (A/B
-    # verified).  The family index stays a LITERAL inside each element —
-    # NOT a `transform(sequence(0, n), i -> ...)` lambda variable —
-    # because single-referencing `_sh` from inside a lambda lets
-    # CollapseProject inline the tokenize+shingle+hash expression into
-    # the loop body, recomputing it per family (measured 12x slower:
-    # 14 s vs 1.2 s at sf0.1).  With 64 textual references the optimizer
-    # keeps `_sh` materialized in its own projection, so each shingle is
-    # hashed exactly once.
+    # verified).  The family coefficients stay LITERALS inside each
+    # element — NOT a `transform(sequence(0, n), i -> ...)` lambda
+    # variable — because single-referencing `_sh` from inside a lambda
+    # lets CollapseProject inline the tokenize+shingle+hash expression
+    # into the loop body, recomputing it per family (measured 12x
+    # slower: 14 s vs 1.2 s at sf0.1).  With 64 textual references the
+    # optimizer keeps `_sh` materialized in its own projection, so each
+    # shingle is hashed exactly once.
     sig = F.expr(
         "array("
         + ",".join(
-            f"array_min(transform(_sh, h -> xxhash64({i}, h)))"
+            f"array_min(transform(_sh, h -> {minhash_perm_spark(i, 'h')}))"
             for i in range(num_hashes)
         )
         + ")"
     )
     return hashed.select(F.col("_id_").alias(id_col), sig.alias("sig"))
+
+
+def _band_structs_sql(bands: int, rows_per_band: int) -> str:
+    """Spark SQL for the per-document (band, band_hash) struct array:
+    ``bh = h60(concat_ws(':', band slice of sig))`` — the md5-60 of the
+    decimal-rendered signature slice, an 8-byte join key that DuckDB
+    reproduces exactly (non-negative BIGINTs render identically in both
+    engines)."""
+    terms = []
+    for b in range(bands):
+        concat = "concat_ws(':', " + ", ".join(
+            f"CAST(element_at(sig, {b * rows_per_band + r + 1}) AS STRING)"
+            for r in range(rows_per_band)
+        ) + ")"
+        terms.append(f"named_struct('band', {b}, 'bh', {h60_spark(concat)})")
+    return "array(" + ",".join(terms) + ")"
 
 
 def lsh_candidate_pairs(
@@ -149,20 +219,7 @@ def lsh_candidate_pairs(
     """
     # fully-literal unrolled SQL (see minhash_signatures: literal indices
     # keep `sig` multi-referenced so its projection is not inlined)
-    band_structs = F.expr(
-        "array("
-        + ",".join(
-            "named_struct('band', {b}, 'bh', xxhash64({elems}))".format(
-                b=b,
-                elems=", ".join(
-                    f"element_at(sig, {b * rows_per_band + r + 1})"
-                    for r in range(rows_per_band)
-                ),
-            )
-            for b in range(bands)
-        )
-        + ")"
-    )
+    band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
     buckets = signatures.select(
         F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
     ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
@@ -304,10 +361,13 @@ def connected_components(
     return labels
 
 
-def simhash64(hashes_col: Column | str) -> Column:
-    """64-bit SimHash from a pre-computed token-hash array: for each bit
-    b, sum +1/-1 according to bit b of the hash; the fingerprint sets
-    bit b if the sum is positive.
+def simhash64(hashes_col: Column | str, n_bits: int = 64) -> Column:
+    """``n_bits``-bit SimHash from a pre-computed token-hash array: for
+    each bit b, sum +1/-1 according to bit b of the hash; the
+    fingerprint sets bit b if the sum is positive.  The text path passes
+    ``n_bits=60`` (the md5-derived base hash carries 60 meaningful bits
+    — functions/hashfamily.py); 64 remains the default for full-width
+    hash inputs.
 
     Takes the HASH array, not the text: the caller materializes
     ``transform(tokens(text), xxhash64)`` in its own projection first
@@ -340,35 +400,43 @@ def simhash64(hashes_col: Column | str) -> Column:
         f" (acc, t) -> acc + (CASE WHEN (shiftright(t, {b}) & 1) = 1"
         f" THEN 1 ELSE -1 END)) > 0"
         f" THEN shiftleft(CAST(1 AS BIGINT), {b}) ELSE CAST(0 AS BIGINT) END)"
-        for b in range(64)
+        for b in range(n_bits)
     )
     return F.expr(bit_terms)
 
 
 def hamming_near_dup_pairs(
-    fp: DataFrame, id_col: str, fp_col: str, max_hamming: int = 3
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    max_hamming: int = 3,
+    bits_per_band: int = 16,
 ) -> DataFrame:
-    """Near-dup pairs among 64-bit fingerprints with Hamming distance
+    """Near-dup pairs among bit fingerprints with Hamming distance
     <= ``max_hamming`` (<= 3), as (id_a, id_b, hamming) rows.
 
-    Blocking: split the fingerprint into 4 16-bit bands; by pigeonhole
-    any pair within Hamming distance 3 agrees on at least one band, so
-    candidates come from an equi-join on (band, band_value) — never a
-    cross join.  Exact distance check via bit_count(xor).  Shared by
-    the text SimHash path (:func:`simhash_near_dups`) and the image
-    average-hash path (operators/multimodal.ahash_features) — any
-    64-bit perceptual fingerprint plugs in unchanged.
+    Blocking: split the fingerprint into 4 ``bits_per_band``-bit bands;
+    by pigeonhole any pair within Hamming distance 3 agrees on at least
+    one band, so candidates come from an equi-join on (band, band_value)
+    — never a cross join.  Exact distance check via bit_count(xor).
+    Shared by the text SimHash path (:func:`simhash_near_dups`, 60-bit
+    fingerprints -> 4x15-bit bands) and the image average-hash path
+    (operators/multimodal.ahash_features, 64-bit -> 4x16 default) — any
+    fingerprint of 4*bits_per_band bits plugs in unchanged.
 
     Pigeonhole guarantees FULL recall only for max_hamming <= 3 (4
     bands tolerate 3 differing bits); larger thresholds still work but
     probabilistically, like any LSH — pairs whose 4+ flipped bits land
     in all 4 bands are missed."""
+    mask = (1 << bits_per_band) - 1
     clean = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp"))
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("fp", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("bv"),
+                F.shiftright("fp", b * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
             )
             for b in range(4)
         ]
@@ -396,19 +464,22 @@ def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance <= max_hamming,
-    via the shared 4x16-bit band join (:func:`hamming_near_dup_pairs`).
+    via the shared banded Hamming join (:func:`hamming_near_dup_pairs`,
+    4x15-bit bands over the 60-bit md5-derived fingerprint — the
+    engine-portable base hash of functions/hashfamily.py, which is what
+    lets dedup_simhash carry a full DuckDB replay oracle).
 
     Token hashes are materialized in their own projection before the
-    64-bit fold: the hash array is referenced 64 times by simhash64, and
+    60-bit fold: the hash array is referenced 60 times by simhash64, and
     a separate projection step stops CollapseProject from inlining (and
     recomputing) the tokenize+hash per bit."""
-    # 64 per-token bit tests per row: compute-bound, not byte-bound
+    # 60 per-token bit tests per row: compute-bound, not byte-bound
     hashed = scale_out(df).select(
         F.col(id_col).alias("_id"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_th"),
+        F.transform(tokens(text_col), _h60).alias("_th"),
     )
-    fp = hashed.select("_id", simhash64("_th").alias("fp"))
-    return hamming_near_dup_pairs(fp, "_id", "fp", max_hamming)
+    fp = hashed.select("_id", simhash64("_th", n_bits=60).alias("fp"))
+    return hamming_near_dup_pairs(fp, "_id", "fp", max_hamming, bits_per_band=15)
 
 
 __all__ = [
@@ -437,10 +508,12 @@ def oph_signatures(
 ) -> DataFrame:
     """One-Permutation-Hashing MinHash signatures (Li, Owen, Zhang,
     NIPS 2012): instead of ``num_hashes`` independent re-hashes of every
-    shingle, hash each shingle ONCE and split hash space into
-    ``num_buckets`` slots — ``sig[j] = min over shingles with
-    pmod(h, B) = j``.  Hash cost per shingle drops from B evaluations
-    to 1, with the same collision-probability contract per slot.
+    shingle, hash each shingle ONCE (the md5-derived token-combine hash
+    of :func:`_hashed_shingle_docs` — DuckDB-replayable) and split hash
+    space into ``num_buckets`` slots — ``sig[j] = min over shingles
+    with pmod(h, B) = j``.  Hash cost per shingle drops from B
+    evaluations to 1, with the same collision-probability contract per
+    slot.
     Measured honestly at sf0.1 (5k short docs): warm steady-state
     equals the classic path (0.54 s — this fixture is overhead-bound,
     not hash-bound) while the cold first run halves (1.6 s vs 3.1 s,
@@ -470,16 +543,7 @@ def oph_signatures(
     dropped (as in minhash_signatures).
     """
     B = num_buckets
-    hashed = (
-        scale_out(df)
-        .filter(F.size(tokens(text_col)) >= shingle_k)
-        .select(
-            F.col(id_col).alias("_id_"),
-            F.transform(shingles(text_col, shingle_k), lambda s: F.xxhash64(s)).alias(
-                "_sh"
-            ),
-        )
-    )
+    hashed = _hashed_shingle_docs(df, id_col, text_col, shingle_k)
     raw = F.expr(
         "array("
         + ",".join(
@@ -538,20 +602,7 @@ def lsh_bucket_index(
     corpus snapshot (partitioned/bucketed by (band, bh) at scale) so
     every later increment joins against it instead of re-signing the
     corpus.  Same band hashing as :func:`lsh_candidate_pairs`."""
-    band_structs = F.expr(
-        "array("
-        + ",".join(
-            "named_struct('band', {b}, 'bh', xxhash64({elems}))".format(
-                b=b,
-                elems=", ".join(
-                    f"element_at(sig, {b * rows_per_band + r + 1})"
-                    for r in range(rows_per_band)
-                ),
-            )
-            for b in range(bands)
-        )
-        + ")"
-    )
+    band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
     return signatures.select(
         F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
     ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))

@@ -1,15 +1,26 @@
 """Dedup query surface over the ``documents`` fixture (operators/dedup.py).
 
-Exact/fingerprint/n-gram-Jaccard are fully oracle-checked; MinHash-LSH and
-SimHash use engine-specific hash families (xxhash64 seeds) so they get the
-driver's rows-only gate plus property tests with planted near-duplicates
-(tests/test_dedup_ops.py).
+Every query is fully oracle-checked (VERDICT r5 item 4): the signature
+hash family is the engine-portable md5-derived 60-bit integer of
+functions/hashfamily.py, so the DuckDB oracles below replay the ENTIRE
+MinHash / OPH / SimHash pipelines — shingling, base hash, affine
+permutations, banding, the candidate equi-join, and the exact-Jaccard /
+Hamming verify — value-for-value.  Property tests with planted
+near-duplicates (tests/test_dedup_ops.py) cover recall behavior the
+replay can't (by construction both engines agree even on misses).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+    MERSENNE_P,
+    SHINGLE_C,
+    h60_duck,
+    minhash_perm_duck,
+)
 
 from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
     fingerprint,
@@ -29,6 +40,170 @@ from end_to_end_data_engineering_project_with_databricks_spark.operators.similar
 )
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
 from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# DuckDB replay-oracle generators for the signature pipelines.  The SQL is
+# machine-generated from the SAME hashfamily constants the Spark operators
+# use, so the two engines agree by construction; any change to shingling,
+# hashing, banding, or verification flips the driver's value hash.
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTES = """
+    docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    eligible AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
+    pos AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM eligible
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    )"""
+
+#: shingle-HASH CTE replaying operators/dedup._hashed_shingle_docs: one
+#: md5-60 per token position, positional SHINGLE_C combine mod P.
+_HS_COMBINE = " + ".join(
+    f"({SHINGLE_C[j]} * ({h60_duck(f'toks[i+{j}]')} % {MERSENNE_P})) % {MERSENNE_P}"
+    for j in range(3)
+)
+_HS_CTE = f"""
+    hs AS (
+      SELECT DISTINCT doc_id, ({_HS_COMBINE}) % {MERSENNE_P} AS h
+      FROM pos
+    )"""
+
+
+def _band_cte_sql(src: str, bands: int = 16, rows_per_band: int = 4) -> str:
+    """(doc_id, band, bh) rows from a 64-column signature CTE ``src``
+    with columns s0..s63 — ``bh = h60('s_i:s_j:s_k:s_l')``, mirroring
+    operators/dedup._band_structs_sql."""
+    parts = []
+    for b in range(bands):
+        concat = " || ':' || ".join(
+            f"CAST(s{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, {h60_duck('(' + concat + ')')} AS bh"
+            f" FROM {src}"
+        )
+    return "\n      UNION ALL ".join(parts)
+
+
+def _lsh_verify_sql(threshold: float, pair_filter: str = "") -> str:
+    """Shared candidate-join + exact-Jaccard verify over a ``bands`` CTE
+    (plus the shingle CTEs).  ``pair_filter`` optionally restricts the
+    candidate pairs (the incremental query's increment-touching set)."""
+    return f"""
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+      {pair_filter}
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS inter
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+           CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter) AS jaccard
+    FROM inter i
+    JOIN counts ca ON i.id_a = ca.doc_id
+    JOIN counts cb ON i.id_b = cb.doc_id
+    WHERE CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter) >= {threshold}"""
+
+
+def _minhash_replay_sql(threshold: float, pair_filter: str = "") -> str:
+    """Full DuckDB replay of minhash_lsh_dedup: 64 affine-permutation
+    minima over the mod-P base hash, 16x4 banding, candidate equi-join,
+    exact-Jaccard verify."""
+    sig_cols = ",\n             ".join(
+        f"MIN({minhash_perm_duck(i, 'h')}) AS s{i}" for i in range(64)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},{_HS_CTE},
+    sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+      {_band_cte_sql('sig')}
+    ),{_lsh_verify_sql(threshold, pair_filter)}
+    """
+
+
+def _oph_replay_sql(threshold: float) -> str:
+    """Full DuckDB replay of oph_minhash_lsh_dedup: per-slot minima of
+    the combined shingle hash (slot = h % 64), rotation densification as
+    a 64-way COALESCE (NULL is the empty-slot sentinel — COALESCE over
+    the clockwise rotation IS the densification), then the shared
+    banding and verify."""
+    raw_cols = ",\n             ".join(
+        f"MIN(CASE WHEN h % 64 = {j} THEN h END) AS r{j}" for j in range(64)
+    )
+    dens_cols = ",\n             ".join(
+        "COALESCE(" + ", ".join(f"r{(j + k) % 64}" for k in range(64)) + f") AS s{j}"
+        for j in range(64)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},{_HS_CTE},
+    raw AS (
+      SELECT doc_id,
+             {raw_cols}
+      FROM hs GROUP BY doc_id
+    ),
+    dens AS (
+      SELECT doc_id,
+             {dens_cols}
+      FROM raw
+    ),
+    bands AS (
+      {_band_cte_sql('dens')}
+    ),{_lsh_verify_sql(threshold)}
+    """
+
+
+def _simhash_replay_sql(max_hamming: int = 3) -> str:
+    """Full DuckDB replay of simhash_near_dups: 60 per-bit +1/-1 votes
+    over the multiset of token hashes, 4x15-bit banding, pigeonhole
+    candidate join, exact Hamming verify."""
+    fp_terms = "\n           + ".join(
+        f"(CASE WHEN SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    th AS (SELECT doc_id, {h60_duck('t')} AS h FROM tok),
+    fp AS (
+      SELECT doc_id,
+             {fp_terms}
+             AS fp
+      FROM th GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, fp, b.band, (fp >> (b.band * 15)) & 32767 AS bv
+      FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.fp AS fp_a, b.fp AS fp_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    """
 
 
 @query(
@@ -310,19 +485,21 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     with dedup_minhash_accuracy and sim_ivf_recall): SimHash's Hamming
     distance estimates the ANGLE between token-count vectors, so for
     every exact-Jaccard candidate pair the estimate
-    ``cos(pi * hamming/64)`` must land within 0.25 of the exact
-    count-vector cosine (measured max deviation 0.024 on the fixtures).
-    The exact cosine uses integer dot products and norms with
-    correctly-rounded sqrt — bit-equal across engines — while the
-    boolean is Spark-side only, so the engine-specific xxhash bit votes
-    never enter the hash.  Any signature defect (wrong bit vote, wrong
-    multiset weighting, truncated fingerprint) flips the boolean."""
+    ``cos(pi * hamming/60)`` must land within 0.25 of the exact
+    count-vector cosine (60 = fingerprint width of the md5-derived
+    family; measured max deviation 0.033 on the fixtures).  The exact
+    cosine uses integer dot products and norms with correctly-rounded
+    sqrt — bit-equal across engines — while the boolean is Spark-side
+    only.  Any signature defect (wrong bit vote, wrong multiset
+    weighting, truncated fingerprint) flips the boolean; the raw pair
+    surface now carries its own full replay oracle (dedup_simhash)."""
     import math
 
     from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
         tokens,
     )
     from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _h60,
         simhash64,
     )
 
@@ -359,10 +536,10 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fps = d.select(
         "doc_id",
-        F.expr("transform(split(text, ' '), t -> xxhash64(t))").alias("h"),
-    ).select("doc_id", simhash64("h").alias("fp"))
+        F.transform(F.split("text", " "), _h60).alias("h"),
+    ).select("doc_id", simhash64("h", n_bits=60).alias("fp"))
     cos_exact = F.col("dp").cast("double") / (F.sqrt("n2a") * F.sqrt("n2b"))
-    est = F.cos(F.lit(math.pi) * F.col("ham") / F.lit(64.0))
+    est = F.cos(F.lit(math.pi) * F.col("ham") / F.lit(60.0))
     return (
         jpairs.join(dp, ["id_a", "id_b"])
         .join(n2.select(F.col("doc_id").alias("id_a"), F.col("n2").alias("n2a")), "id_a")
@@ -381,7 +558,7 @@ def dedup_simhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 seed family is engine-specific -> rows-only
+    oracle=_minhash_replay_sql(threshold=0.5),
     tags=("dedup", "approx"),
     bench=True,
 )
@@ -390,7 +567,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents table, verified with exact Jaccard >= 0.5.  Candidate
     generation is O(n x bands) via equi-join on band hashes — the shape
     that survives 100 TB (tests plant near-duplicates and assert recall
-    against the exact-Jaccard baseline)."""
+    against the exact-Jaccard baseline).
+
+    Full value-hash oracle (VERDICT r5 item 4): the md5-derived affine
+    hash family (functions/hashfamily.py) is bit-reproducible in DuckDB,
+    so the oracle replays signatures, banding, the candidate join, and
+    the exact-Jaccard verify end-to-end — any change in any stage flips
+    the hash, including which pairs the banding MISSES."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_dedup(
         d, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.5
@@ -449,14 +632,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based fingerprint is engine-specific
+    oracle=_simhash_replay_sql(max_hamming=3),
     tags=("dedup", "approx"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs at Hamming distance <= 3, banded
-    16-bit blocking (pigeonhole-complete for d<=3)."""
+    """SimHash(60-bit, md5-derived base hash) near-dup pairs at Hamming
+    distance <= 3, banded 4x15-bit blocking (pigeonhole-complete for
+    d<=3).  Full value-hash oracle: the DuckDB replay recomputes the
+    per-bit votes, fingerprints, banding, and Hamming verify from the
+    same hash family (functions/hashfamily.py)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(d, "doc_id", "text", max_hamming=3)
+    return simhash_near_dups(d, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @query(
@@ -717,18 +905,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_oph",
-    oracle=None,  # engine-specific hash family -> rows-only gate
+    oracle=_oph_replay_sql(threshold=0.5),
     tags=("dedup", "approx", "lsh", "oph"),
 )
 def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs on ONE-PERMUTATION-HASHING signatures
-    (operators/dedup.oph_signatures): one xxhash64 per shingle split
+    (operators/dedup.oph_signatures): one md5-60 hash per shingle split
     across 64 slots with rotation densification, then the identical
     band join + exact-Jaccard verify as dedup_minhash_lsh — the
     hash-work-per-shingle goes from 64 evaluations to 1, the scale
     answer when signature computation (not the band join) dominates.
     Emits identical pairs to the classic path on the fixtures
-    (tests/test_dedup_ops.py plants near-dups and checks both)."""
+    (tests/test_dedup_ops.py plants near-dups and checks both).
+
+    Full value-hash oracle: the DuckDB replay recomputes slot minima
+    (NULL-sentinel empties), rotation densification (a 64-way COALESCE
+    over the clockwise rotation), banding, and the exact-Jaccard
+    verify from the same hash family (functions/hashfamily.py)."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
         oph_minhash_lsh_dedup,
     )
@@ -792,7 +985,10 @@ def dedup_entity_resolution_blocked(spark: SparkSession, sf_dir: str) -> DataFra
 
 @query(
     "dedup_minhash_incremental",
-    oracle=None,  # engine-specific hash family -> rows-only gate
+    oracle=_minhash_replay_sql(
+        threshold=0.5,
+        pair_filter="AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)",
+    ),
     tags=("dedup", "approx", "lsh", "incremental"),
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,7 +999,15 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_antijoin_incremental: per-increment cost scales with the
     increment, never with corpus history — the corpus is touched only
     through its (precomputable) band index and the candidate-filtered
-    verify."""
+    verify.
+
+    Full value-hash oracle: the increment's candidate set is BY
+    CONSTRUCTION the batch candidate set restricted to pairs touching
+    the increment (same signatures, same band keys), so the oracle is
+    the batch replay with that restriction pushed into the candidate
+    join — hash equality proves the incremental index emits exactly
+    the batch pairs for its increment (the set-algebra argument
+    dedup_incremental_equivalence states, now value-checked)."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
         minhash_lsh_dedup_incremental,
     )

@@ -52,13 +52,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # This window closes the attestation backlog to ZERO: all 36
     # never-driver-checked queries plus the 5 stale `no_oracle` rows
     # whose full index-replay oracles landed post-r4 (commit 4524d7b)
-    # occupy 41 slots; the other 9 are the 5 policy anchors (3 §2.1
-    # refs + q1 + pipeline_corpus_curation) and 4 family-minimum greens
-    # for families whose members are ALL already driver-attested
-    # (dedup, multimodal, streaming, pandas/UDTF).  After this round
-    # every registry query has a driver row (green or declared
-    # rows-only); the registry is FROZEN until then — any new query
-    # must take a window slot immediately (VERDICT r5 item 3).
+    # occupy 41 slots; 4 more go to the r6 md5-hash-family conversion
+    # (VERDICT r5 item 4): dedup_minhash_lsh / dedup_simhash /
+    # dedup_minhash_oph / dedup_minhash_incremental gained full DuckDB
+    # replay oracles this round, so their rows-only driver records are
+    # stale and they re-window immediately.  The remaining 5 are the
+    # policy anchors (3 §2.1 refs + q1 + pipeline_corpus_curation).
+    # Families with no slot this round (multimodal, streaming,
+    # pandas/UDTF) are 100% driver-attested r1-r5 — the family test
+    # enforces exactly that condition.  After this round every registry
+    # query has a driver row (green or declared rows-only); the
+    # registry is FROZEN until then — any new query must take a window
+    # slot immediately (VERDICT r5 item 3).
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -67,11 +72,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- family-minimum greens (all members already attested) --
-    "dedup_ngram_jaccard",
-    "mm_png_decode",
-    "stream_sliding_counts",
-    "udtf_char_ngrams",
+    # -- dedup signature pipelines: rows-only -> full replay oracles
+    #    this round (md5-derived hash family, functions/hashfamily.py) --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_oph",
+    "dedup_minhash_incremental",
     # -- aggregations (2 never-checked + 2 stale-no_oracle w/ new oracles) --
     "agg_approx_percentile",
     "agg_skew_resistant_distinct",
