@@ -680,3 +680,490 @@ def png_ahash_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
 
     return df.mapInPandas(batches, schema="doc_id long, ahash long")
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the dominant LOSSY format (VERDICT r5 stretch 7).  A real baseline
+# sequential DCT codec pair in pure stdlib+numpy: the writer emits a
+# spec-shaped JFIF stream (SOI/APP0/DQT/SOF0 4:4:4/DHT Annex-K/SOS/EOI)
+# with standard Huffman tables and zigzag order; the reader walks the
+# markers, Huffman-decodes the MCUs, dequantizes, runs the IDCT, and
+# converts YCbCr back to clamped RGB.  Unlike BMP/PNG the transform is
+# lossy, so the r7 oracle plan is the bounded-check pattern: exact
+# formula-pixel sums (SQL-replayable, as in mm_bmp/mm_png) plus a boolean
+# asserting the decoded sums sit within the quantization-error envelope
+# (tests/test_multimodal_jpeg.py measures the actual deviation).
+# ---------------------------------------------------------------------------
+
+#: JPEG zigzag scan order (spec Figure 5): index = zigzag position,
+#: value = raster position within the 8x8 block.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K.1 luminance quantization table (raster order), scaled at the
+#: encoder by _JPEG_QUALITY.
+_JPEG_QL = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: Annex K.2 chrominance quantization table (raster order).
+_JPEG_QC = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+_JPEG_QUALITY = 90
+
+#: Annex K.3 Huffman table specs: (BITS counts per code length 1..16,
+#: HUFFVAL symbol list).
+_DHT_DC_L = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_DHT_DC_C = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_DHT_AC_L = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+_DHT_AC_C = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ),
+)
+
+
+def _jpeg_quant_tables():
+    """Annex-K tables scaled by the fixed quality (libjpeg convention)."""
+    scale = 200 - 2 * _JPEG_QUALITY if _JPEG_QUALITY >= 50 else 5000 // _JPEG_QUALITY
+    ql = [max(1, min(255, (q * scale + 50) // 100)) for q in _JPEG_QL]
+    qc = [max(1, min(255, (q * scale + 50) // 100)) for q in _JPEG_QC]
+    return ql, qc
+
+
+def _huff_codes(bits, huffval):
+    """Spec C.2: generate (symbol -> (code, length)) from BITS/HUFFVAL."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:  # un-stuff
+            nxt = self.data[self.pos]
+            assert nxt == 0x00, f"unexpected marker 0xFF{nxt:02X} in scan"
+            self.pos += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        val = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return val
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """DPCM/AC coefficient -> (size category, amplitude bits) per F.1.2."""
+    if v == 0:
+        return 0, 0
+    size = abs(v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """Inverse of _jpeg_magnitude (spec F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _dct_matrix():
+    import numpy as np
+
+    k = np.arange(8)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m = c * 0.5
+    m[0, :] = 0.5 / np.sqrt(2.0)
+    return m
+
+
+def _rgb_to_ycbcr(rgb):
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc):
+    import numpy as np
+
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _encode_jpeg(rgb) -> bytes:
+    """Baseline sequential JFIF writer: 4:4:4 sampling (one 8x8 block
+    per component per MCU), Annex-K Huffman/quant tables, quality fixed
+    at _JPEG_QUALITY.  Pure numpy + stdlib struct."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = rgb.shape
+    ql, qc = _jpeg_quant_tables()
+    dctm = _dct_matrix()
+
+    # pad to 8x8 multiples by edge replication
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = _rgb_to_ycbcr(rgb)
+    ycc = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+
+    dc_l = _huff_codes(*_DHT_DC_L)
+    ac_l = _huff_codes(*_DHT_AC_L)
+    dc_c = _huff_codes(*_DHT_DC_C)
+    ac_c = _huff_codes(*_DHT_AC_C)
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for comp in range(3):
+                block = ycc[by : by + 8, bx : bx + 8, comp] - 128.0
+                coef = dctm @ block @ dctm.T
+                q = np.array(ql if comp == 0 else qc, dtype=np.float64).reshape(8, 8)
+                quant = np.round(coef / q).astype(np.int64)
+                zz = quant.ravel()[list(_JPEG_ZIGZAG)]
+                dctab = dc_l if comp == 0 else dc_c
+                actab = ac_l if comp == 0 else ac_c
+                diff = int(zz[0]) - pred[comp]
+                pred[comp] = int(zz[0])
+                size, bits = _jpeg_magnitude(diff)
+                code, length = dctab[size]
+                bw.write(code, length)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = actab[0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    size, bits = _jpeg_magnitude(v)
+                    code, length = actab[(run << 4) | size]
+                    bw.write(code, length)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    code, length = actab[0x00]  # EOB
+                    bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, spec) -> bytes:
+        bits, huffval = spec
+        return bytes([(cls << 4) | tid]) + bytes(bits) + bytes(huffval)
+
+    zz_ql = bytes(ql[_JPEG_ZIGZAG[i]] for i in range(64))
+    zz_qc = bytes(qc[_JPEG_ZIGZAG[i]] for i in range(64))
+    out = bytearray()
+    out += b"\xFF\xD8"  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + zz_ql)
+    out += seg(0xFFDB, b"\x01" + zz_qc)
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        sof += bytes([cid, 0x11, tq])  # 1x1 sampling: 4:4:4
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, _DHT_DC_L))
+    out += seg(0xFFC4, dht(1, 0, _DHT_AC_L))
+    out += seg(0xFFC4, dht(0, 1, _DHT_DC_C))
+    out += seg(0xFFC4, dht(1, 1, _DHT_AC_C))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xFF\xD9"  # EOI
+    return bytes(out)
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline sequential JFIF reader for the subset this engine writes
+    (single scan, 4:4:4, 8-bit): marker walk, Huffman MCU decode,
+    dequantize, IDCT, YCbCr->RGB.  Tables are read from the STREAM (not
+    assumed), so any spec-shaped baseline 4:4:4 JPEG decodes."""
+    import struct
+
+    import numpy as np
+
+    assert payload[:2] == b"\xFF\xD8", "not a JPEG (missing SOI)"
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_spec = []  # (cid, tq)
+    scan_comp = []  # (cid, dc_tid, ac_tid)
+    scan_start = None
+    while pos < len(payload):
+        assert payload[pos] == 0xFF, f"expected marker at {pos}"
+        marker = struct.unpack_from(">H", payload, pos)[0]
+        if marker == 0xFFD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", payload, pos + 2)
+        data = payload[pos + 4 : pos + 2 + length]
+        if marker == 0xFFDB:
+            off = 0
+            while off < len(data):
+                pq_tq = data[off]
+                assert pq_tq >> 4 == 0, "only 8-bit quant tables"
+                tid = pq_tq & 0x0F
+                zz = list(data[off + 1 : off + 65])
+                raster = [0] * 64
+                for i, rpos in enumerate(_JPEG_ZIGZAG):
+                    raster[rpos] = zz[i]
+                qt[tid] = raster
+                off += 65
+        elif marker == 0xFFC0:
+            precision, h, w, nc = struct.unpack_from(">BHHB", data, 0)
+            assert precision == 8 and nc == 3, "only 8-bit 3-component"
+            for c in range(nc):
+                cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
+                assert sampling == 0x11, "only 4:4:4 (1x1 sampling)"
+                comp_spec.append((cid, tq))
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(data):
+                cls_tid = data[off]
+                bits = tuple(data[off + 1 : off + 17])
+                n = sum(bits)
+                huffval = tuple(data[off + 17 : off + 17 + n])
+                codes = _huff_codes(bits, huffval)
+                # decoder-side: (length, code) -> symbol
+                huff[(cls_tid >> 4, cls_tid & 0x0F)] = {
+                    (length, code): sym for sym, (code, length) in codes.items()
+                }
+                off += 17 + n
+        elif marker == 0xFFDA:
+            ns = data[0]
+            for c in range(ns):
+                cid, tids = data[1 + 2 * c], data[2 + 2 * c]
+                scan_comp.append((cid, tids >> 4, tids & 0x0F))
+            scan_start = pos + 2 + length
+            break
+        pos += 2 + length
+    assert w is not None and scan_start is not None, "missing SOF0/SOS"
+
+    def read_symbol(br: _BitReader, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    dctm = _dct_matrix()
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    ycc = np.zeros((ph, pw, 3), dtype=np.float64)
+    br = _BitReader(payload[scan_start : len(payload) - 2])
+    pred = [0, 0, 0]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, (cid, dc_tid, ac_tid) in enumerate(scan_comp):
+                tq = dict(comp_spec)[cid]
+                q = np.array(qt[tq], dtype=np.float64).reshape(8, 8)
+                zz = np.zeros(64, dtype=np.int64)
+                size = read_symbol(br, huff[(0, dc_tid)])
+                diff = _jpeg_extend(br.read(size), size) if size else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = read_symbol(br, huff[(1, ac_tid)])
+                    run, size = rs >> 4, rs & 0x0F
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    assert k < 64, "AC run overflows block"
+                    zz[k] = _jpeg_extend(br.read(size), size)
+                    k += 1
+                quant = np.zeros(64, dtype=np.int64)
+                quant[list(_JPEG_ZIGZAG)] = zz
+                coef = quant.reshape(8, 8) * q
+                block = dctm.T @ coef @ dctm + 128.0
+                ycc[by : by + 8, bx : bx + 8, ci] = block
+    return _ycbcr_to_rgb(ycc[:h, :w, :])
+
+
+def synthesize_jpeg(
+    df: DataFrame, id_col: str = "doc_id", width: int = 13, height: int = 8
+) -> DataFrame:
+    """Deterministic REAL JPEG payloads over the SAME per-pixel formula
+    as :func:`synthesize_bmp` / :func:`synthesize_png` — the source
+    pixels stay SQL-replayable, and the codec's loss envelope is what
+    the bounded check (r7 oracle plan) measures."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                x = np.arange(width, dtype=np.int64)[None, :]
+                y = np.arange(height, dtype=np.int64)[:, None]
+                r = (d * 7 + x * 3 + y * 5) % 256
+                g = (d * 11 + x + y * 2) % 256
+                b = (d * 13 + x * 2 + y) % 256
+                rgb = np.stack(
+                    np.broadcast_arrays(r, g, b), axis=-1
+                ).astype(np.uint8)
+                payloads.append(_encode_jpeg(rgb))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def jpeg_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched JPEG decode to integer channel sums — the same
+    output contract as :func:`bmp_features` / :func:`png_features`, so
+    the r7 bounded oracle can anchor on the SQL-replayable source-pixel
+    sums and bound the codec deviation."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = _decode_jpeg(payload).astype(np.int64)
+                h, w, _ = rgb.shape
+                rows.append(
+                    (
+                        int(d),
+                        w * h,
+                        int(rgb[..., 0].sum()),
+                        int(rgb[..., 1].sum()),
+                        int(rgb[..., 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pixels", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="doc_id long, n_pixels long, sum_r long, sum_g long, sum_b long",
+    )
