@@ -837,9 +837,13 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # clean message on truncated scans instead of a bare IndexError
+        # (same hardening class as _decode_png's chunk-length bound)
+        assert self.pos < len(self.data), "truncated entropy-coded scan"
         byte = self.data[self.pos]
         self.pos += 1
         if byte == 0xFF:  # un-stuff
+            assert self.pos < len(self.data), "truncated byte stuffing"
             nxt = self.data[self.pos]
             assert nxt == 0x00, f"unexpected marker 0xFF{nxt:02X} in scan"
             self.pos += 1
@@ -1014,15 +1018,21 @@ def _decode_jpeg(payload: bytes):
     scan_comp = []  # (cid, dc_tid, ac_tid)
     scan_start = None
     while pos < len(payload):
+        # declared lengths must fit before slicing — truncated or
+        # corrupt streams get a clean message, not struct/IndexError
+        # (the _decode_png chunk-length hardening class, ADVICE r4)
+        assert pos + 4 <= len(payload), "truncated marker segment"
         assert payload[pos] == 0xFF, f"expected marker at {pos}"
         marker = struct.unpack_from(">H", payload, pos)[0]
         if marker == 0xFFD9:  # EOI
             break
         (length,) = struct.unpack_from(">H", payload, pos + 2)
+        assert pos + 2 + length <= len(payload), "segment overruns payload"
         data = payload[pos + 4 : pos + 2 + length]
         if marker == 0xFFDB:
             off = 0
             while off < len(data):
+                assert off + 65 <= len(data), "truncated DQT segment"
                 pq_tq = data[off]
                 assert pq_tq >> 4 == 0, "only 8-bit quant tables"
                 tid = pq_tq & 0x0F
@@ -1035,6 +1045,7 @@ def _decode_jpeg(payload: bytes):
         elif marker == 0xFFC0:
             precision, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             assert precision == 8 and nc == 3, "only 8-bit 3-component"
+            assert len(data) >= 6 + 3 * nc, "truncated SOF0 segment"
             for c in range(nc):
                 cid, sampling, tq = data[6 + 3 * c : 9 + 3 * c]
                 assert sampling == 0x11, "only 4:4:4 (1x1 sampling)"
@@ -1042,9 +1053,11 @@ def _decode_jpeg(payload: bytes):
         elif marker == 0xFFC4:
             off = 0
             while off < len(data):
+                assert off + 17 <= len(data), "truncated DHT segment"
                 cls_tid = data[off]
                 bits = tuple(data[off + 1 : off + 17])
                 n = sum(bits)
+                assert off + 17 + n <= len(data), "truncated DHT symbols"
                 huffval = tuple(data[off + 17 : off + 17 + n])
                 codes = _huff_codes(bits, huffval)
                 # decoder-side: (length, code) -> symbol
@@ -1053,7 +1066,9 @@ def _decode_jpeg(payload: bytes):
                 }
                 off += 17 + n
         elif marker == 0xFFDA:
+            assert len(data) >= 1, "truncated SOS segment"
             ns = data[0]
+            assert len(data) >= 1 + 2 * ns + 3, "truncated SOS components"
             for c in range(ns):
                 cid, tids = data[1 + 2 * c], data[2 + 2 * c]
                 scan_comp.append((cid, tids >> 4, tids & 0x0F))

@@ -78,6 +78,17 @@ def test_roundtrip_shape_determinism_and_loss_envelope(shape) -> None:
     assert err.mean() <= 3.0, err.mean()
 
 
+def test_truncated_and_corrupt_payloads_fail_cleanly() -> None:
+    payload = _encode_jpeg(_formula_rgb(5))
+    with pytest.raises(AssertionError, match="SOI"):
+        _decode_jpeg(b"\x00\x01" + payload[2:])
+    # cuts anywhere in the stream fail with a CLEAN error (assertion or
+    # Huffman ValueError), never a bare IndexError from the bit reader
+    for cut in (len(payload) - 40, len(payload) // 2, 30):
+        with pytest.raises((AssertionError, ValueError)):
+            _decode_jpeg(payload[:cut])
+
+
 def test_flat_block_is_lossless() -> None:
     rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
     assert (_decode_jpeg(_encode_jpeg(rgb)) == rgb).all()
