@@ -89,6 +89,28 @@ def test_truncated_and_corrupt_payloads_fail_cleanly() -> None:
             _decode_jpeg(payload[:cut])
 
 
+def test_magnitude_extend_inverse_property() -> None:
+    """F.1.2 magnitude coding and F.2.2.1 EXTEND are exact inverses over
+    the full baseline coefficient range — the identity every decoded
+    coefficient rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        _jpeg_extend,
+        _jpeg_magnitude,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=-2047, max_value=2047))
+    def roundtrip(v: int) -> None:
+        size, bits = _jpeg_magnitude(v)
+        assert 0 <= size <= 11 and 0 <= bits < (1 << max(size, 1))
+        assert _jpeg_extend(bits, size) == v
+
+    roundtrip()
+
+
 def test_flat_block_is_lossless() -> None:
     rgb = np.full((8, 8, 3), 128, dtype=np.uint8)
     assert (_decode_jpeg(_encode_jpeg(rgb)) == rgb).all()
