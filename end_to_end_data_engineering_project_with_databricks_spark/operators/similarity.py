@@ -213,10 +213,23 @@ def cosine_threshold_pairs_bucketed(
     dotted = corpus.select(
         F.col(id_col).alias("_id"), rp_dots(vec_col, n_planes, dim).alias("_dots")
     )
-    coded = dotted.select(
-        "_id",
-        F.explode(rp_band_structs_from_dots("_dots", bands, rows_per_band)).alias("b"),
-    ).select("_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    # Materialize the band rows BEFORE the self-join: both sides
+    # reference this subtree, and without a materialization point Spark
+    # re-plans (and re-computes) the whole plane-fold pipeline once per
+    # side (the same 2x measured on the MinHash twin,
+    # operators/dedup.lsh_candidate_pairs).  One (id, band, bits) row
+    # per band per vector — the in-plan form of a persisted sign-LSH
+    # index; checkpoint blocks are freed by the context cleaner.
+    coded = (
+        dotted.select(
+            "_id",
+            F.explode(
+                rp_band_structs_from_dots("_dots", bands, rows_per_band)
+            ).alias("b"),
+        )
+        .select("_id", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+        .localCheckpoint(eager=True)
+    )
     left = coded.select(F.col("_id").alias("id_a"), "band", "bv")
     right = coded.select(F.col("_id").alias("id_b"), "band", "bv")
     cands = (
