@@ -480,3 +480,109 @@ def pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r7 (registry frozen this round — VERDICT r5 item 3): the JPEG
+# decode query + bounded oracle, fully validated by
+# tests/test_multimodal_jpeg.py::test_staged_mm_jpeg_decode_vs_oracle at
+# every fixture scale.  r7 registration = wrap with
+# ``@query("mm_jpeg_decode", oracle=MM_JPEG_DECODE_ORACLE, tags=...)`` and
+# give it a driver-window slot.
+# ---------------------------------------------------------------------------
+
+#: Bounded-check oracle for :func:`mm_jpeg_decode` (same pattern as the
+#: dedup accuracy twins): the formula pixel sums and the decoded image
+#: dimensions are replayed EXACTLY; the lossy-codec deviation collapses to
+#: per-channel booleans asserted TRUE.  ``TRUE AS *_ok`` keeps the query
+#: inside tests/test_oracle_bounds.py's bounded-oracle auto-discovery once
+#: registered.
+MM_JPEG_DECODE_ORACLE = """
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.i * 3 + y.i * 5) % 256 AS r,
+             (d.doc_id * 11 + x.i + y.i * 2) % 256 AS g,
+             (d.doc_id * 13 + x.i * 2 + y.i) % 256 AS b
+      FROM docs d, generate_series(0, 12) x(i), generate_series(0, 7) y(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(r) AS BIGINT) AS exact_sum_r,
+           CAST(SUM(g) AS BIGINT) AS exact_sum_g,
+           CAST(SUM(b) AS BIGINT) AS exact_sum_b,
+           TRUE AS r_ok,
+           TRUE AS g_ok,
+           TRUE AS b_ok
+    FROM px GROUP BY doc_id
+"""
+
+
+def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG round-trip (VERDICT r5 stretch 7): deterministic
+    13x8 truecolor images over the SAME per-pixel formula as
+    mm_bmp_decode / mm_png_decode are encoded into spec-shaped baseline
+    sequential 4:4:4 JPEGs (level-shift, 8x8 FDCT, Annex-K quantization
+    at quality 90, zigzag RLE, spec-K Huffman tables — pure numpy +
+    stdlib, operators/multimodal._encode_jpeg) and decoded back by the
+    real marker-walking parser (_decode_jpeg).  Unlike the lossless BMP /
+    PNG twins the codec is LOSSY, so the oracle is the bounded-check
+    pattern: decoded n_pixels (proves SOF0 dimension parsing) and the
+    formula channel sums are hash-anchored exactly, while the decoded
+    channel sums must sit within the measured quantization envelope
+    (|decoded - exact| <= 3 * n_pixels per channel; worst measured mean
+    deviation ~1.6/pixel on the modular-wrap pattern, the hardest content
+    for a DCT codec — tests/test_multimodal_jpeg.py).  Arrow-batched
+    mapInPandas both ways; at scale the codec is embarrassingly parallel
+    and the exact-side anchor is a narrow per-doc equi-join.
+    """
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        jpeg_features,
+        synthesize_jpeg,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    decoded = jpeg_features(synthesize_jpeg(d, "doc_id", width=13, height=8))
+    # Exact formula sums, computed JVM-side (SQL-replayable by the oracle).
+    exact = d.select(
+        "doc_id",
+        F.expr(
+            """
+            aggregate(
+              flatten(transform(sequence(0, 7), y ->
+                transform(sequence(0, 12), x ->
+                  (doc_id * 7 + x * 3 + y * 5) % 256))),
+              0L, (a, v) -> a + v)
+            """
+        ).alias("exact_sum_r"),
+        F.expr(
+            """
+            aggregate(
+              flatten(transform(sequence(0, 7), y ->
+                transform(sequence(0, 12), x ->
+                  (doc_id * 11 + x + y * 2) % 256))),
+              0L, (a, v) -> a + v)
+            """
+        ).alias("exact_sum_g"),
+        F.expr(
+            """
+            aggregate(
+              flatten(transform(sequence(0, 7), y ->
+                transform(sequence(0, 12), x ->
+                  (doc_id * 13 + x * 2 + y) % 256))),
+              0L, (a, v) -> a + v)
+            """
+        ).alias("exact_sum_b"),
+    )
+    joined = decoded.join(exact, "doc_id")
+    envelope = 3 * F.col("n_pixels")
+    return joined.select(
+        "doc_id",
+        "n_pixels",
+        "exact_sum_r",
+        "exact_sum_g",
+        "exact_sum_b",
+        (F.abs(F.col("sum_r") - F.col("exact_sum_r")) <= envelope).alias("r_ok"),
+        (F.abs(F.col("sum_g") - F.col("exact_sum_g")) <= envelope).alias("g_ok"),
+        (F.abs(F.col("sum_b") - F.col("exact_sum_b")) <= envelope).alias("b_ok"),
+    )

@@ -132,3 +132,29 @@ def test_spark_pipeline_channel_sums_within_envelope(spark) -> None:
             exact = int(src[..., ch].sum())
             # channel-sum deviation <= 3 per pixel on average (see above)
             assert abs(getattr(row, col) - exact) <= 3 * n, (d, col)
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_mm_jpeg_decode_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 query hash-matches its bounded DuckDB oracle at every
+    fixture scale — exactly the driver's t2 gate, run early so r7's
+    registration commit is a pure one-liner with pre-validated evidence."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.multimodal import (
+        MM_JPEG_DECODE_ORACLE,
+        mm_jpeg_decode,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(mm_jpeg_decode(spark, scale_dir), con, MM_JPEG_DECODE_ORACLE)
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
