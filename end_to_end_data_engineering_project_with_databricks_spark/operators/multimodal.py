@@ -1043,6 +1043,9 @@ def _decode_jpeg(payload: bytes):
                 qt[tid] = raster
                 off += 65
         elif marker == 0xFFC0:
+            # length check BEFORE the unpack: a corrupt SOF0 length field
+            # otherwise raises struct.error instead of a clean message
+            assert len(data) >= 6, "truncated SOF0 segment"
             precision, h, w, nc = struct.unpack_from(">BHHB", data, 0)
             assert precision == 8 and nc == 3, "only 8-bit 3-component"
             assert len(data) >= 6 + 3 * nc, "truncated SOF0 segment"
@@ -1076,6 +1079,17 @@ def _decode_jpeg(payload: bytes):
             break
         pos += 2 + length
     assert w is not None and scan_start is not None, "missing SOF0/SOS"
+    # Cross-segment reference checks: a corrupt SOS/SOF0 byte can point a
+    # scan component at a Huffman or quant table that no DHT/DQT defined,
+    # which would surface as a bare KeyError mid-entropy-decode (found by
+    # tests/test_multimodal_jpeg.py single-byte corruption sweep).  Fail
+    # clean BEFORE the scan loop instead.
+    frame_tq = dict(comp_spec)
+    for cid, dc_tid, ac_tid in scan_comp:
+        assert cid in frame_tq, f"scan references unknown component {cid}"
+        assert (0, dc_tid) in huff, f"undefined DC Huffman table {dc_tid}"
+        assert (1, ac_tid) in huff, f"undefined AC Huffman table {ac_tid}"
+        assert frame_tq[cid] in qt, f"undefined quant table {frame_tq[cid]}"
 
     def read_symbol(br: _BitReader, table: dict) -> int:
         code = 0
@@ -1098,6 +1112,11 @@ def _decode_jpeg(payload: bytes):
                 q = np.array(qt[tq], dtype=np.float64).reshape(8, 8)
                 zz = np.zeros(64, dtype=np.int64)
                 size = read_symbol(br, huff[(0, dc_tid)])
+                # spec F.1.2.1.1: DC magnitude category <= 11 for 8-bit
+                # baseline (we allow <= 15 slack); a corrupt DHT huffval
+                # can deliver up to 255, whose 255-bit magnitude would
+                # overflow the int64 coefficient array mid-decode
+                assert size <= 15, f"corrupt DC magnitude category {size}"
                 diff = _jpeg_extend(br.read(size), size) if size else 0
                 pred[ci] += diff
                 zz[0] = pred[ci]

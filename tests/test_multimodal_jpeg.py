@@ -158,3 +158,53 @@ def test_staged_mm_jpeg_decode_vs_oracle(spark, scale_dir: str) -> None:
     finally:
         con.close()
     assert not problems, "; ".join(problems)
+
+
+def test_random_image_roundtrip_property() -> None:
+    """Arbitrary uint8 content (not just the formula pattern): shape and
+    dtype survive, encode is bit-deterministic, and the q90 loss envelope
+    holds.  White noise is the worst DCT content — measured worst mean
+    deviation 7.4/pixel, worst absolute 53 over 30 seeded trials — so the
+    bounds here carry ~2x headroom while the formula-pattern envelope the
+    staged oracle asserts stays the tight 3/pixel."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def roundtrip(h: int, w: int, seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+        payload = _encode_jpeg(img)
+        assert payload == _encode_jpeg(img)
+        dec = _decode_jpeg(payload)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+        assert err.mean() <= 15.0, err.mean()
+        assert err.max() <= 110, err.max()
+
+    roundtrip()
+
+
+def test_single_byte_corruption_never_crashes_raw() -> None:
+    """Flip any single byte: the reader either still decodes (entropy
+    bits absorb many flips) or raises a CLEAN AssertionError/ValueError —
+    never IndexError/KeyError/struct.error.  This is the poison-payload
+    guarantee the Spark mapInPandas path relies on: a corrupt shard must
+    surface as a typed per-record failure, not an executor crash."""
+    payload = bytearray(_encode_jpeg(_formula_rgb(7)))
+    rng = np.random.default_rng(42)
+    for _ in range(80):
+        pos = int(rng.integers(2, len(payload) - 2))  # keep SOI/EOI anchors
+        old = payload[pos]
+        payload[pos] = int(rng.integers(0, 256))
+        try:
+            out = _decode_jpeg(bytes(payload))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (AssertionError, ValueError):
+            pass
+        finally:
+            payload[pos] = old
