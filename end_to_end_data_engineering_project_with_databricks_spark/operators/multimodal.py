@@ -210,29 +210,46 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 800,
     return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
 
 
-def wav_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched WAV decode: parse each payload with the stdlib
-    ``wave`` reader (the real RIFF/fmt/data chunk walk, not a length
-    heuristic), vectorize the PCM16 frames with numpy, and emit integer
-    features (count / sum of |s| / max |s|) that stay bit-exact across
-    engines.  The per-batch loop is over ROWS, not samples — numpy does
-    the per-sample work, the mapInPandas contract every real media
-    decoder (PIL, ffmpeg, soundfile) plugs into unchanged."""
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse one WAV payload with the stdlib ``wave`` reader (the real
+    RIFF/fmt/data chunk walk) and reduce the PCM16 frames to integer
+    features ``(n_samples, sample_rate, sum_abs, max_abs)``.
+
+    Failure contract: corrupt payloads raise AssertionError/ValueError
+    like the BMP/PNG/JPEG readers — stdlib wave's failure modes
+    (``wave.Error``, ``EOFError``, and the bare ``RuntimeError`` its
+    chunk seek raises on a corrupt chunk size — found by the
+    tests/test_multimodal_ops.py corruption sweep) are normalized to a
+    typed per-record ValueError, never an executor crash class."""
     import io
     import wave
 
     import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, RuntimeError) as ex:
+        raise ValueError(f"corrupt WAV stream: {ex!r}") from ex
+    s = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
+    return len(s), rate, int(s.sum()), int(s.max()) if len(s) else 0
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode: :func:`_decode_wav` per payload, emitting
+    integer features (count / sum of |s| / max |s|) that stay bit-exact
+    across engines.  The per-batch loop is over ROWS, not samples — numpy
+    does the per-sample work, the mapInPandas contract every real media
+    decoder (PIL, ffmpeg, soundfile) plugs into unchanged."""
     import pandas as pd
 
     def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in it:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                with wave.open(io.BytesIO(payload), "rb") as w:
-                    rate = w.getframerate()
-                    raw = w.readframes(w.getnframes())
-                s = np.abs(np.frombuffer(raw, dtype="<i2").astype(np.int64))
-                rows.append((int(d), len(s), rate, int(s.sum()), int(s.max())))
+            rows = [
+                (int(d), *_decode_wav(payload))
+                for d, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "n_samples", "sample_rate", "sum_abs", "max_abs"],
@@ -397,41 +414,50 @@ def ahash_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema="doc_id long, ahash long")
 
 
-def bmp_features(df: DataFrame) -> DataFrame:
-    """Arrow-batched BMP decode: validate the magic, read the pixel-array
-    offset / dimensions / bit depth from the headers, walk the bottom-up
-    padded rows, and reduce the RGB planes to integer channel sums —
-    bit-exact across engines.  A wrong byte anywhere (header field,
-    row padding, BGR order, bottom-up flip) breaks the value hash."""
+def _decode_bmp_sums(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse one 24-bit BMP payload — validate the magic, read the
+    pixel-array offset / dimensions / bit depth, walk the bottom-up
+    padded rows — and reduce the RGB planes to
+    ``(n_pixels, sum_r, sum_g, sum_b)``.  Same AssertionError/ValueError
+    failure contract as the WAV/PNG/JPEG readers (corruption-swept in
+    tests/test_multimodal_ops.py)."""
     import struct
 
     import numpy as np
+
+    assert len(payload) >= 30, "truncated BMP header"
+    assert payload[:2] == b"BM", "not a BMP container"
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    assert bpp == 24, f"expected 24-bit BMP, got {bpp}"
+    assert h > 0, "top-down (negative-height) BMP not supported"
+    assert w > 0, "non-positive BMP width"
+    padded = (w * 3 + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=padded * h, offset=pix_off
+    ).reshape(h, padded)
+    bgr = raw[::-1, : w * 3].reshape(h, w, 3).astype(np.int64)
+    return (
+        w * h,
+        int(bgr[..., 2].sum()),
+        int(bgr[..., 1].sum()),
+        int(bgr[..., 0].sum()),
+    )
+
+
+def bmp_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched BMP decode: :func:`_decode_bmp_sums` per payload,
+    bit-exact across engines.  A wrong byte anywhere (header field,
+    row padding, BGR order, bottom-up flip) breaks the value hash."""
     import pandas as pd
 
     def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in it:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                assert payload[:2] == b"BM", "not a BMP container"
-                (pix_off,) = struct.unpack_from("<I", payload, 10)
-                w, h = struct.unpack_from("<ii", payload, 18)
-                (bpp,) = struct.unpack_from("<H", payload, 28)
-                assert bpp == 24, f"expected 24-bit BMP, got {bpp}"
-                assert h > 0, "top-down (negative-height) BMP not supported"
-                padded = (w * 3 + 3) & ~3
-                raw = np.frombuffer(
-                    payload, dtype=np.uint8, count=padded * h, offset=pix_off
-                ).reshape(h, padded)
-                bgr = raw[::-1, : w * 3].reshape(h, w, 3).astype(np.int64)
-                rows.append(
-                    (
-                        int(d),
-                        w * h,
-                        int(bgr[..., 2].sum()),
-                        int(bgr[..., 1].sum()),
-                        int(bgr[..., 0].sum()),
-                    )
-                )
+            rows = [
+                (int(d), *_decode_bmp_sums(payload))
+                for d, payload in zip(pdf["doc_id"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 rows, columns=["doc_id", "n_pixels", "sum_r", "sum_g", "sum_b"]
             )

@@ -205,3 +205,86 @@ def test_png_bmp_cross_container_parity(spark, sf_dir):
     png_h = {r["doc_id"]: r["ahash"] for r in png_ahash_features(png).collect()}
     bmp_h = {r["doc_id"]: r["ahash"] for r in ahash_features(bmp).collect()}
     assert png_h == bmp_h
+
+
+def test_codec_corruption_sweep_raises_clean() -> None:
+    """Every decoder honors the clean-error contract under single-byte
+    corruption: flip any byte to several adversarial values and the
+    reader either still decodes or raises AssertionError/ValueError —
+    never struct.error / KeyError / RuntimeError / OverflowError (each of
+    which was a REAL escape found by this sweep: stdlib wave's bare
+    RuntimeError on a corrupt chunk-size seek, the JPEG undefined-table
+    KeyError, SOF0 struct.error, and DC-category OverflowError).  This is
+    the poison-payload guarantee the mapInPandas paths rely on: a corrupt
+    record must surface as a typed per-record failure, not an executor
+    crash."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        _decode_bmp_sums,
+        _decode_jpeg,
+        _decode_png,
+        _decode_wav,
+        _encode_jpeg,
+        _encode_png,
+    )
+
+    x = np.arange(13)[None, :]
+    y = np.arange(8)[:, None]
+    rgb = np.stack(
+        np.broadcast_arrays(
+            (7 * 7 + x * 3 + y * 5) % 256,
+            (7 * 11 + x + y * 2) % 256,
+            (7 * 13 + x * 2 + y) % 256,
+        ),
+        axis=-1,
+    ).astype(np.uint8)
+
+    # BMP payload (same layout synthesize_bmp emits: odd width -> padding)
+    rows = np.zeros((8, 40), dtype=np.uint8)
+    rows[:, :39] = rgb[..., ::-1].reshape(8, 39)
+    bmp = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + 320, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 13, 8, 1, 24, 0, 320, 2835, 2835, 0, 0)
+        + rows[::-1].tobytes()
+    )
+
+    # WAV payload (same layout synthesize_wav emits)
+    i = np.arange(200, dtype=np.int64)
+    samples = ((5 * 31 + i * 7) % 65536 - 32768).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+
+    cases = [
+        ("jpeg", _encode_jpeg(rgb), _decode_jpeg),
+        ("png", _encode_png(rgb), _decode_png),
+        ("bmp", bmp, _decode_bmp_sums),
+        ("wav", buf.getvalue(), _decode_wav),
+    ]
+    for name, payload, decode in cases:
+        mutable = bytearray(payload)
+        for pos in range(len(mutable)):
+            old = mutable[pos]
+            for v in (0x00, 0xFF, old ^ 0x01, old ^ 0x80):
+                if v == old:
+                    continue
+                mutable[pos] = v
+                try:
+                    decode(bytes(mutable))
+                except (AssertionError, ValueError):
+                    pass
+                except Exception as ex:  # pragma: no cover - the assertion
+                    raise AssertionError(
+                        f"{name}: unclean {type(ex).__name__} at byte {pos} "
+                        f"value {v:#x}: {ex!r}"
+                    ) from ex
+                finally:
+                    mutable[pos] = old
