@@ -1227,3 +1227,65 @@ def jpeg_features(df: DataFrame) -> DataFrame:
         batches,
         schema="doc_id long, n_pixels long, sum_r long, sum_g long, sum_b long",
     )
+
+
+def poison_payload_byte(
+    df: DataFrame,
+    byte_pos: int,
+    value: int,
+    when: Column,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Overwrite one byte of ``payload_col`` (1-indexed ``byte_pos``)
+    with ``value`` on the rows matching ``when`` — a deterministic
+    poison-injection harness for the permissive decode path.  Pure
+    JVM-side binary surgery (``substring``/``concat`` work on BinaryType),
+    so the corruption itself costs no Python round-trip."""
+    poisoned = F.concat(
+        F.expr(f"substring({payload_col}, 1, {byte_pos - 1})"),
+        F.lit(bytes([value])),
+        F.expr(f"substring({payload_col}, {byte_pos + 1}, 2147483647)"),
+    )
+    return df.withColumn(payload_col, F.when(when, poisoned).otherwise(F.col(payload_col)))
+
+
+def decode_features_permissive(
+    df: DataFrame,
+    decoder: "Callable[[bytes], tuple]",
+    feature_names: tuple[str, ...],
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Poison-tolerant Arrow-batched decode: apply ``decoder`` (one of
+    the ``_decode_*`` readers, all of which honor the clean-error
+    contract — see the corruption sweep in tests/test_multimodal_ops.py)
+    per record; a clean failure (AssertionError/ValueError) becomes a
+    ``decode_ok = false`` row with null features and the typed message in
+    ``error`` instead of a task-killing exception.  The BinaryType twin
+    of the JSON scan's PERMISSIVE + columnNameOfCorruptRecord mode
+    (queries/sources_sinks.py): at 100 TB a handful of poison records per
+    billion is CERTAIN, and one of them must not kill a 1000-executor
+    job.  Any error class OUTSIDE the contract still propagates — a
+    decoder bug should fail loudly, only corrupt DATA is tolerated."""
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    feats = decoder(bytes(payload))
+                    rows.append((int(d), True, *feats, None))
+                except (AssertionError, ValueError) as ex:
+                    rows.append(
+                        (int(d), False, *([None] * len(feature_names)), str(ex))
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "decode_ok", *feature_names, "error"]
+            )
+
+    feature_schema = ", ".join(f"{n} long" for n in feature_names)
+    return df.mapInPandas(
+        batches,
+        schema=f"{id_col} long, decode_ok boolean, {feature_schema}, error string",
+    )

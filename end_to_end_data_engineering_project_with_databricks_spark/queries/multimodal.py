@@ -586,3 +586,66 @@ def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("sum_g") - F.col("exact_sum_g")) <= envelope).alias("g_ok"),
         (F.abs(F.col("sum_b") - F.col("exact_sum_b")) <= envelope).alias("b_ok"),
     )
+
+
+#: FULL oracle for the staged :func:`mm_decode_permissive` (r7): the
+#: poison pattern, the surviving rows' exact channel sums, AND the typed
+#: error message are all deterministic, so unlike the lossy-JPEG twin
+#: this replay is value-exact end to end.
+MM_DECODE_PERMISSIVE_ORACLE = """
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    px AS (
+      SELECT d.doc_id,
+             (d.doc_id * 7 + x.i * 3 + y.i * 5) % 256 AS r,
+             (d.doc_id * 11 + x.i + y.i * 2) % 256 AS g,
+             (d.doc_id * 13 + x.i * 2 + y.i) % 256 AS b
+      FROM docs d, generate_series(0, 12) x(i), generate_series(0, 7) y(i)
+    ),
+    sums AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS sr, CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(SUM(b) AS BIGINT) AS sb
+      FROM px GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           (d.doc_id % 7 <> 3) AS decode_ok,
+           CASE WHEN d.doc_id % 7 <> 3 THEN s.n END AS n_pixels,
+           CASE WHEN d.doc_id % 7 <> 3 THEN s.sr END AS sum_r,
+           CASE WHEN d.doc_id % 7 <> 3 THEN s.sg END AS sum_g,
+           CASE WHEN d.doc_id % 7 <> 3 THEN s.sb END AS sum_b,
+           CASE WHEN d.doc_id % 7 = 3
+                THEN 'expected 24-bit BMP, got 32' END AS error
+    FROM docs d JOIN sums s USING (doc_id)
+"""
+
+
+def mm_decode_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poison-tolerant media decode (staged for r7, registry frozen this
+    round): synthesize real BMP containers, deterministically corrupt the
+    bit-depth header byte of every ``doc_id % 7 == 3`` payload with
+    JVM-side binary surgery (operators/multimodal.poison_payload_byte),
+    and decode the lot through ``decode_features_permissive`` — corrupt
+    records surface as ``decode_ok = false`` rows carrying the typed
+    parser message, clean records decode to exact channel sums, and no
+    record can kill the task.  The BinaryType twin of the JSON scan's
+    PERMISSIVE mode (source_json_corrupt_records): at 100 TB poison
+    records are certain and must cost one row, not one job.  Unlike the
+    bounded lossy-JPEG oracle this one is value-exact: poison pattern,
+    surviving sums, and error strings all replay in SQL."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        _decode_bmp_sums,
+        decode_features_permissive,
+        poison_payload_byte,
+        synthesize_bmp,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    payloads = synthesize_bmp(d, "doc_id", width=13, height=8)
+    # bpp lives at 0-indexed offset 28 (1-indexed 29): 24 -> 32 makes the
+    # reader fail its bit-depth assertion with a deterministic message
+    poisoned = poison_payload_byte(
+        payloads, byte_pos=29, value=32, when=F.col("doc_id") % 7 == 3
+    )
+    return decode_features_permissive(
+        poisoned, _decode_bmp_sums, ("n_pixels", "sum_r", "sum_g", "sum_b")
+    )

@@ -3,6 +3,7 @@ batches, metadata struct pruning, frame sampling shape."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
@@ -288,3 +289,67 @@ def test_codec_corruption_sweep_raises_clean() -> None:
                     ) from ex
                 finally:
                     mutable[pos] = old
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_mm_decode_permissive_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 permissive-decode query hash-matches its value-exact
+    DuckDB oracle at every fixture scale (driver t2-gate replica, run
+    early so r7's registration commit is a pre-validated one-liner)."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.multimodal import (
+        MM_DECODE_PERMISSIVE_ORACLE,
+        mm_decode_permissive,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(
+            mm_decode_permissive(spark, scale_dir), con, MM_DECODE_PERMISSIVE_ORACLE
+        )
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+
+
+def test_permissive_decode_tolerates_only_clean_errors(spark) -> None:
+    """decode_features_permissive converts AssertionError/ValueError to
+    decode_ok=false rows but lets contract-violating error classes (a
+    decoder BUG, not corrupt data) propagate and fail the task."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        decode_features_permissive,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ok")), (2, bytearray(b"bad"))],
+        "doc_id long, payload binary",
+    )
+
+    def decoder(payload: bytes) -> tuple:
+        if payload == b"bad":
+            raise ValueError("corrupt record")
+        return (len(payload),)
+
+    rows = {
+        r.doc_id: r
+        for r in decode_features_permissive(df, decoder, ("n_bytes",)).collect()
+    }
+    assert rows[1].decode_ok and rows[1].n_bytes == 2 and rows[1].error is None
+    assert not rows[2].decode_ok and rows[2].n_bytes is None
+    assert rows[2].error == "corrupt record"
+
+    def buggy(payload: bytes) -> tuple:
+        raise KeyError("decoder bug")
+
+    import py4j.protocol
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
+        decode_features_permissive(df, buggy, ("n_bytes",)).collect()
