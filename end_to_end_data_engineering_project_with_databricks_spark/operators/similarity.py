@@ -62,6 +62,15 @@ def brute_force_topk(
             cosine_similarity("q_vec", "c_vec").alias("score"),
         )
     )
+    return ranked_topk(scored, k)
+
+
+def _topk_prereduce(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """NARROW per-partition top-k pre-reduction via ``mapInPandas`` over a
+    (query_id, neighbor_id, score) relation — pure row SELECTION, no float
+    math, so exactness is untouched.  Cuts |corpus| x |queries| scored
+    rows down to (partitions x queries x k) candidates before the only
+    shuffle; shared by the brute-force and PQ/ADC scorers."""
 
     def _local_topk(batches):
         import pandas as pd
@@ -70,15 +79,24 @@ def brute_force_topk(
         for pdf in batches:
             cand = pdf if best is None else pd.concat((best, pdf))
             cand = cand.sort_values(
-                ["query_id", "score", "neighbor_id"],
+                ["query_id", score_col, "neighbor_id"],
                 ascending=[True, False, True],
             )
             best = cand.groupby("query_id", sort=False).head(k)
         if best is not None:
             yield best
 
-    candidates = scored.mapInPandas(_local_topk, schema=scored.schema)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.mapInPandas(_local_topk, schema=scored.schema)
+
+
+def ranked_topk(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """Per-partition pre-reduce + final window rank (1..k per query_id,
+    score desc, neighbor_id tie-break) — the two-phase distributed top-k
+    shared by every ANN scorer in this module."""
+    candidates = _topk_prereduce(scored, k, score_col)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(score_col), F.asc("neighbor_id")
+    )
     return (
         candidates.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -494,3 +512,126 @@ def rp_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC): the
+# industry-standard memory-compression path for billion-scale ANN (the "PQ"
+# of FAISS IVF-PQ).  Vectors compress to m sub-codebook indices (m=8,
+# n_codes=16 -> 8 nibbles vs 64 floats, a 64x footprint cut); queries score
+# the COMPRESSED corpus through a per-query lookup table without ever
+# touching raw vectors.  Composable with ivf_assign for cell-restricted
+# IVF-PQ scoring.
+# ---------------------------------------------------------------------------
+
+def _pq_codebook_sql(corpus: DataFrame, n_codes: int, id_col: str, vec_col: str) -> str:
+    """The deterministic PQ codebook (the ``n_codes`` lowest-id vectors,
+    same seeding rationale as :func:`deterministic_centroids` — a k-means
+    fit per subspace plugs in unchanged for a trained codebook) as ONE
+    ``array<array<double>>`` SQL literal, code index = position in id
+    order.  The fit is bounded driver-side — n_codes x dim doubles
+    (16 x 64 here) via a TakeOrderedAndProject, not a corpus collect —
+    and deliberately NOT memoized: it depends on the corpus contents, and
+    16 rows per query construction is free.  ``repr`` renders
+    shortest-roundtrip literals so the float64 values are bit-identical
+    after JVM parse."""
+    rows = (
+        deterministic_centroids(corpus, n_codes, id_col, vec_col)
+        .orderBy("cell_id")
+        .collect()
+    )
+    return (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(w)!r}D" for w in r.centroid) + ")"
+            for r in rows
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    cb_sql: str,
+    m: int,
+    sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its ``m`` nearest-sub-codebook indices
+    (max inner product per subspace, first-max = lowest code on ties).
+
+    Fully NARROW — a single JVM-side projection over the codebook
+    literal, no join, no shuffle, no Python: the subdot matrix
+    (m x n_codes) is computed once into a lambda variable, and each
+    row's output is ``m`` small ints.  At 100 TB this is the pass that
+    rewrites the corpus into its compressed form; everything downstream
+    (ADC scans, re-ranking candidate fetch) reads these codes, not the
+    raw vectors.  Returns (id, codes array<int>)."""
+    encode = (
+        "transform("
+        f"  transform(sequence(0, {m - 1}), s -> transform({cb_sql}, cvec -> "
+        f"    aggregate(zip_with(slice(_v, s*{sub}+1, {sub}), slice(cvec, s*{sub}+1, {sub}),"
+        "      (x, y) -> x * y), 0D, (acc, x) -> acc + x))),"
+        "  sd -> cast(array_position(sd, array_max(sd)) - 1 as int))"
+    )
+    return corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(F.col(id_col), F.expr(encode).alias("codes"))
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_codes: int = 16,
+    m: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ/ADC approximate top-k by inner product: encode the corpus with
+    :func:`pq_encode`, build each query's (m x n_codes) sub-dot lookup
+    table in the SAME JVM fold, and score every compressed vector with
+    ``m`` table lookups — ``score = sum_s lut[s][codes[s]]`` — instead of
+    a ``dim``-wide float dot.
+
+    Scale shape: the corpus-side scan touches only the 8-int code column
+    (the raw embedding prunes away), the query LUTs broadcast (|Q| x m x
+    n_codes doubles), scoring is a narrow codegen fold, and the
+    two-phase :func:`ranked_topk` ships only partitions x queries x k
+    candidate rows into the final shuffle.  The broadcast cartesian is
+    bounded by the QUERY BATCH exactly like brute_force_topk (the
+    allow-listed exact baseline) — corpus x corpus is never formed.
+
+    Determinism/replay: codebook literal + first-max tie-breaks + fixed
+    fold order make the whole index SQL-replayable — the DuckDB oracle
+    (queries/similarity.py) re-derives codebook, codes, LUTs, and ADC
+    sums bit-identically (``list_sum``/``list_dot_product`` fold
+    left-to-right in element order, verified empirically)."""
+    dim = _vector_dim(corpus, vec_col)
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
+    cb_sql = _pq_codebook_sql(corpus, n_codes, id_col, vec_col)
+    codes = pq_encode(corpus, cb_sql, m, sub, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    lut = (
+        "flatten(transform(sequence(0, {m1}), s -> transform({cb}, cvec -> "
+        "aggregate(zip_with(slice(_q, s*{sub}+1, {sub}), slice(cvec, s*{sub}+1, {sub}),"
+        " (x, y) -> x * y), 0D, (acc, x) -> acc + x))))"
+    ).format(m1=m - 1, cb=cb_sql, sub=sub)
+    luts = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    ).select("query_id", F.expr(lut).alias("lut"))
+    score = (
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}),"
+        f" (c, s) -> element_at(lut, s*{n_codes} + c + 1)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(score).alias("adc_score"))
+    )
+    return ranked_topk(scored, k, score_col="adc_score")

@@ -568,3 +568,77 @@ def sim_ivf_kmeans_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, n_cells=16, nprobe=16, k=5, centroids=cents).select(
         "query_id", "neighbor_id", "score", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r7 (registry frozen this round): product quantization + ADC,
+# the billion-scale ANN compression path.  Pre-validated vs DuckDB at all
+# three fixture scales (tests/test_similarity_ops.py).  r7 registration =
+# @query("sim_pq_adc_topk", oracle=SIM_PQ_ADC_TOPK_ORACLE, tags=...), a
+# driver-window slot, AND an _ALLOWED_THETA entry in
+# tests/test_registry_plan_hygiene.py (the scorer shares brute_force_topk's
+# bounded broadcast-8-query cartesian shape).
+# ---------------------------------------------------------------------------
+
+#: FULL index replay: DuckDB re-derives the deterministic codebook (16
+#: lowest-id vectors, code = position in id order), the per-vector codes
+#: (first-max sub-dot per subspace), the per-query LUT sums, and the final
+#: ranking — bit-identically (list_sum / list_dot_product fold
+#: left-to-right in element order, same as the Spark aggregate fold).
+SIM_PQ_ADC_TOPK_ORACLE = """
+    WITH cb AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cbs
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    encoded AS (
+      SELECT c.vec_id,
+             list_transform(range(0, 8), s ->
+               list_position(
+                 list_transform(cb.cbs, cv -> list_dot_product(
+                   (CAST(c.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
+                   cv[s*8+1 : s*8+8])),
+                 list_aggregate(
+                   list_transform(cb.cbs, cv -> list_dot_product(
+                     (CAST(c.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
+                     cv[s*8+1 : s*8+8])), 'max')
+               ) - 1) AS codes
+      FROM embeddings c CROSS JOIN cb
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(range(0, 8), s ->
+               list_dot_product(
+                 (CAST(q.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
+                 (cb.cbs[e.codes[s+1] + 1])[s*8+1 : s*8+8]))) AS adc_score
+      FROM embeddings q
+      CROSS JOIN encoded e
+      CROSS JOIN cb
+      WHERE q.vec_id < 8 AND e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the "PQ" of FAISS IVF-PQ): the corpus
+    compresses to 8 sub-codebook indices per vector (vs 64 floats — the
+    memory dial that makes billion-scale ANN fit), and queries score the
+    COMPRESSED corpus through a broadcast per-query lookup table —
+    ``score = sum_s lut[s][codes[s]]``, 8 lookups instead of a 64-wide
+    dot, never touching raw vectors.  The scorer's broadcast cartesian is
+    bounded by the 8-query batch exactly like the allow-listed
+    sim_topk_bruteforce (r7: add to _ALLOWED_THETA on registration).
+    Everything is deterministic — codebook = 16 lowest-id vectors,
+    first-max tie-breaks, fixed fold order — so unlike typical trained-PQ
+    deployments the full index replays in SQL, value-exact."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(e, queries, n_codes=16, m=8, k=5)

@@ -206,3 +206,86 @@ def test_threshold_pairs_lsh_query_yields_rows_at_fixture_scale(spark, sf_dir):
 
     n = all_specs()["sim_threshold_pairs_lsh"].fn(spark, sf_dir).count()
     assert n > 0
+
+
+def test_pq_encode_and_adc_match_numpy(spark, emb):
+    """PQ codes = per-subspace argmax inner product vs the 16 lowest-id
+    sub-codebooks (first-max tie-break), ADC score = sum of the chosen
+    sub-dots — verified against an independent numpy implementation on
+    the 100x16 fixture (m=4 subspaces of 4 dims)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        _pq_codebook_sql,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    df, vecs = emb
+    m, sub, n_codes, k = 4, 4, 16, 5
+    cb = vecs[:16]  # lowest-id vectors, position = code
+
+    cb_sql = _pq_codebook_sql(df, n_codes, "vec_id", "embedding")
+    codes = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(df, cb_sql, m, sub, "vec_id", "embedding").collect()
+    }
+    assert set(codes) == set(range(100))
+    exp_codes = {}
+    for i in range(100):
+        exp_codes[i] = [
+            int(np.argmax([vecs[i, s * sub:(s + 1) * sub] @ cb[c, s * sub:(s + 1) * sub]
+                           for c in range(n_codes)]))
+            for s in range(m)
+        ]
+    assert codes == exp_codes
+    # every codebook vector's own sub-dot is maximal for SOME subspace
+    # only by luck — but codes must always be dense indices in range
+    assert all(0 <= c < n_codes for cs in codes.values() for c in cs)
+
+    queries = df.filter(F.col("vec_id") < 4)
+    out = pq_adc_topk(df, queries, n_codes=n_codes, m=m, k=k).collect()
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.adc_score) for r in out}
+    assert len(out) == 4 * k
+    for q in range(4):
+        scores = {}
+        for i in range(100):
+            if i == q:
+                continue
+            scores[i] = sum(
+                float(vecs[q, s * sub:(s + 1) * sub] @ cb[exp_codes[i][s], s * sub:(s + 1) * sub])
+                for s in range(m)
+            )
+        order = sorted(scores, key=lambda i: (-scores[i], i))[:k]
+        for rank, nid in enumerate(order, start=1):
+            gnid, gscore = got[(q, rank)]
+            assert gnid == nid
+            assert abs(gscore - scores[nid]) < 1e-9
+    # self never appears
+    assert all(r.query_id != r.neighbor_id for r in out)
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_sim_pq_adc_topk_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 PQ/ADC query hash-matches its full index-replay
+    DuckDB oracle at every fixture scale (driver t2-gate replica run
+    early, same pattern as the staged JPEG/permissive queries)."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
+        SIM_PQ_ADC_TOPK_ORACLE,
+        sim_pq_adc_topk,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(
+            sim_pq_adc_topk(spark, scale_dir), con, SIM_PQ_ADC_TOPK_ORACLE
+        )
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
