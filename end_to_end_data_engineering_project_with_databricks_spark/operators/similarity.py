@@ -557,6 +557,7 @@ def pq_encode(
     sub: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as its ``m`` nearest-sub-codebook indices
     (max inner product per subspace, first-max = lowest code on ties).
@@ -576,8 +577,14 @@ def pq_encode(
         "  sd -> cast(array_position(sd, array_max(sd)) - 1 as int))"
     )
     return corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).select(F.col(id_col), F.expr(encode).alias("codes"))
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        *[F.col(c) for c in extra_cols],
+    ).select(
+        F.col(id_col),
+        F.expr(encode).alias("codes"),
+        *[F.col(c) for c in extra_cols],
+    )
 
 
 def pq_adc_topk(
@@ -631,6 +638,80 @@ def pq_adc_topk(
     )
     scored = (
         codes.crossJoin(F.broadcast(luts))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.expr(score).alias("adc_score"))
+    )
+    return ranked_topk(scored, k, score_col="adc_score")
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_codes: int = 16,
+    m: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full billion-scale ANN composition — IVF cell probing
+    bounds WHICH vectors each query scores (nprobe/n_cells of the
+    corpus), PQ/ADC bounds WHAT each score costs (m table lookups over
+    8-int codes instead of a dim-wide float dot over raw vectors).
+
+    Plan shape: centroid assignment and PQ encoding are each one
+    broadcast/narrow pass done once and amortized across query batches
+    (at 100 TB both land in the persisted index table, bucketed by
+    cell_id); per batch, the probe is a broadcast-bounded |Q| x n_cells
+    ranking and candidate scoring is an EQUI-join on cell_id against the
+    compressed codes — no cartesian anywhere in the per-batch path, and
+    :func:`ranked_topk` ships only partitions x queries x k rows into
+    the final shuffle.
+
+    Same determinism guarantees as :func:`pq_adc_topk` /
+    :func:`ivf_topk`, so the combined index — cells, assignments,
+    codebook, codes, LUT sums, ranking — replays in SQL end to end."""
+    dim = _vector_dim(corpus, vec_col)
+    assert dim % m == 0, f"dim {dim} not divisible into {m} subspaces"
+    sub = dim // m
+    cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    cb_sql = _pq_codebook_sql(corpus, n_codes, id_col, vec_col)
+    codes = pq_encode(
+        assigned, cb_sql, m, sub, id_col, vec_col, extra_cols=("cell_id",)
+    ).withColumnRenamed(id_col, "neighbor_id")
+
+    lut = (
+        "flatten(transform(sequence(0, {m1}), s -> transform({cb}, cvec -> "
+        "aggregate(zip_with(slice(_q, s*{sub}+1, {sub}), slice(cvec, s*{sub}+1, {sub}),"
+        " (x, y) -> x * y), 0D, (acc, x) -> acc + x))))"
+    ).format(m1=m - 1, cb=cb_sql, sub=sub)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    ).select("query_id", "_q", F.expr(lut).alias("lut"))
+    q_scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "lut",
+        "cell_id",
+        cosine_similarity("_q", "centroid").alias("cscore"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cell_id"))
+    probed = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "lut", "cell_id")
+    )
+
+    score = (
+        f"aggregate(zip_with(codes, sequence(0, {m - 1}),"
+        f" (c, s) -> element_at(lut, s*{n_codes} + c + 1)),"
+        " 0D, (acc, x) -> acc + x)"
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(codes, "cell_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", F.expr(score).alias("adc_score"))
     )

@@ -642,3 +642,90 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return pq_adc_topk(e, queries, n_codes=16, m=8, k=5)
+
+
+#: FULL index replay for the staged IVF-PQ composition: cells +
+#: assignment argmax + probe ranking (the sim_ivf_topk replay) AND
+#: codebook + codes + LUT sums (the sim_pq_adc_topk replay), joined on
+#: cell_id exactly as the Spark plan joins them.
+SIM_IVFPQ_TOPK_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_COS_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cbs
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    encoded AS (
+      SELECT c.vec_id,
+             list_transform(range(0, 8), s ->
+               list_position(
+                 list_transform(cb.cbs, cv -> list_dot_product(
+                   (CAST(c.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
+                   cv[s*8+1 : s*8+8])),
+                 list_aggregate(
+                   list_transform(cb.cbs, cv -> list_dot_product(
+                     (CAST(c.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
+                     cv[s*8+1 : s*8+8])), 'max')
+               ) - 1) AS codes
+      FROM embeddings c CROSS JOIN cb
+    ),
+    probed AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_Q_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents ct
+        WHERE q.vec_id < 8
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(0, 8), s ->
+               list_dot_product(
+                 (CAST(p.q_vec AS DOUBLE[]))[s*8+1 : s*8+8],
+                 (cb.cbs[e.codes[s+1] + 1])[s*8+1 : s*8+8]))) AS adc_score
+      FROM probed p
+      JOIN assigned a USING (cell_id)
+      JOIN encoded e ON e.vec_id = a.vec_id
+      CROSS JOIN cb
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (staged for r7): the full billion-scale ANN composition —
+    IVF cell probing bounds WHICH vectors each query scores (4 of 16
+    cells), PQ/ADC bounds WHAT each score costs (8 LUT lookups over
+    compressed codes, raw vectors never touched in the per-batch path).
+    Candidate scoring is an EQUI-join on cell_id, so unlike the
+    brute-force/PQ scorers this per-batch path plans NO cartesian over
+    the corpus; only the bounded |Q| x n_cells probe broadcasts.  The
+    deterministic index (cells + codebook = 16 lowest-id vectors,
+    first-max ties, fixed fold order) replays in SQL end to end."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(e, queries, n_cells=16, nprobe=4, n_codes=16, m=8, k=5)

@@ -289,3 +289,50 @@ def test_staged_sim_pq_adc_topk_vs_oracle(spark, scale_dir: str) -> None:
     finally:
         con.close()
     assert not problems, "; ".join(problems)
+
+
+def test_ivfpq_fullprobe_equals_pq_bruteforce(spark, emb):
+    """nprobe == n_cells makes IVF-PQ score every vector, so it must
+    equal the flat PQ/ADC scorer EXACTLY — pins the composition glue
+    (assignment, cell join, LUT routing) with zero approximation slack."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+
+    df, _ = emb
+    queries = df.filter(F.col("vec_id") < 4)
+    full = ivfpq_topk(
+        df, queries, n_cells=16, nprobe=16, n_codes=16, m=4, k=5
+    )
+    flat = pq_adc_topk(df, queries, n_codes=16, m=4, k=5)
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.adc_score) for r in full.collect()}
+    exp = {(r.query_id, r.rank): (r.neighbor_id, r.adc_score) for r in flat.collect()}
+    assert got == exp and len(got) == 4 * 5
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_sim_ivfpq_topk_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 IVF-PQ query hash-matches its full index-replay
+    DuckDB oracle at every fixture scale."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
+        SIM_IVFPQ_TOPK_ORACLE,
+        sim_ivfpq_topk,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(
+            sim_ivfpq_topk(spark, scale_dir), con, SIM_IVFPQ_TOPK_ORACLE
+        )
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
