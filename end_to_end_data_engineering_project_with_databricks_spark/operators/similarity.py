@@ -428,6 +428,7 @@ def ivf_topk(
 
 __all__ = [
     "brute_force_topk",
+    "ranked_topk",
     "cosine_threshold_pairs",
     "cosine_threshold_pairs_bucketed",
     "rp_dots",
@@ -436,6 +437,9 @@ __all__ = [
     "deterministic_centroids",
     "kmeans_centroids",
     "ivf_topk",
+    "pq_encode",
+    "pq_adc_topk",
+    "ivfpq_topk",
 ]
 
 
