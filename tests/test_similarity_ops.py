@@ -336,3 +336,48 @@ def test_staged_sim_ivfpq_topk_vs_oracle(spark, scale_dir: str) -> None:
     finally:
         con.close()
     assert not problems, "; ".join(problems)
+
+
+def test_pq_plan_shapes(spark, sf_dir):
+    """Plan guards for the staged PQ family, mirroring the registry-wide
+    hygiene the queries will enroll in at r7 registration:
+    - pq_encode is a single NARROW projection — no shuffle (Exchange), no
+      join, no Python in the encode path;
+    - ivfpq_topk plans NO CartesianProduct, and its candidate scoring is
+      a hash/sort-merge EQUI-join on cell_id (the broadcast probe/assign
+      passes are BroadcastNestedLoopJoin over the bounded |Q| x n_cells /
+      |corpus| x n_cells sides — the documented bounded class);
+    - the flat pq_adc_topk scorer's only non-equi node is the bounded
+      broadcast query-batch cartesian it shares with brute_force_topk."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        _pq_codebook_sql,
+        ivfpq_topk,
+        pq_adc_topk,
+        pq_encode,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_sql = _pq_codebook_sql(e, 16, "vec_id", "embedding")
+    enc_plan = formatted_plan(pq_encode(e, cb_sql, 8, 8))
+    assert "Exchange" not in enc_plan, enc_plan
+    assert not any(
+        j in enc_plan for j in ("Join", "CartesianProduct")
+    ), enc_plan
+    assert "Python" not in enc_plan, enc_plan  # no UDF in the encode path
+
+    q = e.filter(F.col("vec_id") < 8)
+    ivfpq_plan = formatted_plan(ivfpq_topk(e, q))
+    assert "CartesianProduct" not in ivfpq_plan
+    assert any(
+        j in ivfpq_plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), ivfpq_plan  # the cell_id candidate join is an equi-join
+
+    flat_plan = formatted_plan(pq_adc_topk(e, q))
+    assert "CartesianProduct" not in flat_plan  # broadcast BNLJ only
