@@ -81,6 +81,15 @@ MINHASH_B = _lcg_stream(0xB0B42, 64, 0, MERSENNE_P)
 #: coefficients keep the combine order-sensitive ("a b c" != "c b a").
 SHINGLE_C = _lcg_stream(0xC0EF5, 3, 1, MERSENNE_P)
 
+#: Position coefficients for the duplicated-SPAN gram hash (8-token
+#: grams — operators/dedup.duplicated_spans).  Same construction and
+#: overflow invariant as SHINGLE_C: each ``C[j] * (h60(tok) % P)``
+#: product stays below 2^62, so the positional combine is exact int64
+#: algebra in both engines.  A distinct seed keeps the 8-gram family
+#: independent of the 3-gram shingle family (a doc whose 3-gram shingle
+#: collides with another's cannot drag the span detector along).
+SPAN_C = _lcg_stream(0x5BA7C, 8, 1, MERSENNE_P)
+
 
 # ---------------------------------------------------------------------------
 # expression builders — Spark SQL (for F.expr) and DuckDB SQL share the

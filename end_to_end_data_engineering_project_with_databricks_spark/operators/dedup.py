@@ -692,3 +692,148 @@ def minhash_lsh_dedup_incremental(
     all_docs = new_df.unionByName(corpus_df)
     cand_docs = all_docs.join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    gram_k: int = 8,
+    min_tokens: int = 10,
+    max_df: int = 64,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the Spark-first form of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): instead of a global suffix
+    array (inherently sequential, memory O(corpus)), every token
+    position emits one ``gram_k``-token positional gram hash, grams
+    appearing in 2..``max_df`` documents equi-join across documents, and
+    per (pair, alignment-diagonal) runs of consecutive matching
+    positions merge into maximal spans via gaps-and-islands — a
+    partitioned window over the (small) match set, never the corpus.
+
+    Matching spans longer than ``gram_k`` tokens produce consecutive
+    matching gram positions on one diagonal (gram ``p`` and ``p+2``
+    matching forces ``p+1`` to match too — its tokens are covered by the
+    union of the two), so islands of consecutive ``pos_a`` ARE the
+    maximal duplicated spans; ``span_tokens = run_length + gram_k - 1``.
+    Hash collisions are squeezed out by an exact token-slice equality
+    verify on the surviving spans (the :func:`jaccard_verify` pattern:
+    two id equi-joins against the semi-filtered corpus).
+
+    Scale shape (100 TB): the gram projection is a narrow map (one md5
+    per token, positional ``SPAN_C`` integer combine — the shingle-hash
+    trick of :func:`_hashed_shingle_docs` at ``k=8``); the document-
+    frequency gate drops every gram that cannot match (df < 2) or is
+    boilerplate-hot (df > ``max_df``, the quadratic-bucket guard —
+    df >= 2 alone shrinks the join input to the duplicated fraction of
+    the corpus); the only corpus-wide shuffles are the df hash-agg and
+    the gram equi-join, both keyed on the gram hash.  The island window
+    partitions by (id_a, id_b, diagonal) — bounded by a document's token
+    count, never corpus-wide.  Returns
+    (id_a, id_b, a_start, b_start, span_tokens) with id_a < id_b,
+    1-based token offsets, spans >= ``min_tokens`` tokens.
+
+    Every step is exact integer algebra on the md5-60 hash family, so a
+    DuckDB oracle replays the whole pipeline value-for-value
+    (queries/dedup.DEDUP_SPAN_NGRAM_ORACLE).
+    """
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        SPAN_C,
+    )
+    from pyspark.sql.window import Window
+
+    # One md5 per token into its own projection (`_th` is referenced
+    # gram_k times by the combine; the projection barrier stops
+    # CollapseProject from re-tokenizing per position — see
+    # _hashed_shingle_docs).  Filter first, on a fresh cheap split.
+    tokh = (
+        scale_out(df)
+        .filter(F.size(tokens(text_col)) >= gram_k)
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.transform(
+                tokens(text_col), lambda t: F.pmod(_h60(t), F.lit(MERSENNE_P))
+            ).alias("_th"),
+        )
+    )
+    combine = " + ".join(
+        f"pmod({SPAN_C[j]} * element_at(_th, i + {j}), {MERSENNE_P})"
+        for j in range(gram_k)
+    )
+    gram_sql = (
+        f"transform(sequence(1, size(_th) - {gram_k - 1}), "
+        f"i -> named_struct('pos', i, 'gh', pmod({combine}, {MERSENNE_P})))"
+    )
+    grams = tokh.select(
+        "_id_", F.explode(F.expr(gram_sql)).alias("_g")
+    ).select("_id_", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+
+    # Document-frequency gate: only grams shared by >= 2 documents can
+    # produce a span; > max_df is boilerplate (a quadratic bucket at
+    # scale) — skip it, as the published pipelines do.  AQE broadcasts
+    # the surviving gram-key set when it is small.
+    eligible = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct("_id_").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("gh")
+    )
+    # Materialize before the self-join: both sides reference this
+    # subtree, and without a materialization point Spark recomputes the
+    # full gram pipeline once per side (the lsh_candidate_pairs lesson).
+    hits = grams.join(eligible, "gh").localCheckpoint(eager=True)
+
+    a = hits.select(F.col("_id_").alias("id_a"), F.col("pos").alias("pos_a"), "gh")
+    b = hits.select(F.col("_id_").alias("id_b"), F.col("pos").alias("pos_b"), "gh")
+    matches = (
+        a.join(b, "gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b")
+    )
+
+    diag = F.col("pos_a") - F.col("pos_b")
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    spans = (
+        matches.withColumn("diag", diag)
+        .withColumn("_isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", "_isl")
+        .agg(F.min("pos_a").alias("a_start"), F.count("*").alias("_n"))
+        .select(
+            "id_a",
+            "id_b",
+            "a_start",
+            (F.col("a_start") - F.col("diag")).alias("b_start"),
+            (F.col("_n") + F.lit(gram_k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+    )
+
+    # Exact verify (hash-collision guard): the claimed token slices must
+    # be equal.  Joins touch only documents that appear in some span.
+    ids = (
+        spans.select(F.col("id_a").alias("_cid"))
+        .union(spans.select("id_b"))
+        .distinct()
+    )
+    toks_df = (
+        scale_out(df)
+        .join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
+        .select(F.col(id_col).alias("_vid"), tokens(text_col).alias("_tk"))
+    )
+    ta = toks_df.select(F.col("_vid").alias("id_a"), F.col("_tk").alias("_tka"))
+    tb = toks_df.select(F.col("_vid").alias("id_b"), F.col("_tk").alias("_tkb"))
+    slice_a = F.expr("slice(_tka, a_start, span_tokens)")
+    slice_b = F.expr("slice(_tkb, b_start, span_tokens)")
+    return (
+        spans.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(slice_a == slice_b)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("a_start").cast("bigint").alias("a_start"),
+            F.col("b_start").cast("bigint").alias("b_start"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+    )

@@ -1186,3 +1186,88 @@ def dedup_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         F.coalesce("j_batch", "j_inc").alias("jaccard"),
         (F.col("j_batch").isNotNull() & F.col("j_inc").isNotNull()).alias("in_both"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r7 (registry frozen this round): cross-document duplicated-
+# span detection — the Spark-first re-expression of suffix-array
+# substring dedup (Lee et al. 2022).  Pre-validated vs DuckDB at all
+# three fixture scales (tests/test_dedup_ops.py).  r7 registration =
+# @query("dedup_span_ngram", oracle=DEDUP_SPAN_NGRAM_ORACLE, tags=...)
+# plus a driver-window slot.  No _ALLOWED_THETA entry needed: every join
+# is an equi-join (gram hash, pair ids) and the island window is
+# partitioned by (id_a, id_b, diag).
+# ---------------------------------------------------------------------------
+
+def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) -> str:
+    """FULL pipeline replay for :func:`dedup_span_ngram`: tokenize,
+    md5-60 positional gram hashes (the SAME SPAN_C constants the Spark
+    operator uses), df gate, cross-doc gram equi-join, gaps-and-islands
+    span merge, exact token-slice verify — value-for-value."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        SPAN_C,
+    )
+
+    combine = " + ".join(
+        f"({SPAN_C[j]} * ({h60_duck(f'toks[i+{j}]')} % {MERSENNE_P})) % {MERSENNE_P}"
+        for j in range(gram_k)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    el AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {gram_k}),
+    pos AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {gram_k - 1})) AS i
+      FROM el
+    ),
+    g AS (SELECT doc_id, i AS pos, ({combine}) % {MERSENNE_P} AS gh FROM pos),
+    elig AS (
+      SELECT gh FROM g GROUP BY gh
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {max_df}
+    ),
+    h AS (SELECT g.doc_id, g.pos, g.gh FROM g JOIN elig USING (gh)),
+    m AS (
+      SELECT a.doc_id AS id_a, a.pos AS pos_a, b.doc_id AS id_b, b.pos AS pos_b
+      FROM h a JOIN h b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a) AS isl
+      FROM m
+    ),
+    sp AS (
+      SELECT id_a, id_b, MIN(pos_a) AS a_start,
+             MIN(pos_a) - diag AS b_start,
+             COUNT(*) + {gram_k - 1} AS span_tokens
+      FROM isl GROUP BY id_a, id_b, diag, isl
+      HAVING COUNT(*) + {gram_k - 1} >= {min_tokens}
+    )
+    SELECT s.id_a, s.id_b,
+           CAST(s.a_start AS BIGINT) AS a_start,
+           CAST(s.b_start AS BIGINT) AS b_start,
+           CAST(s.span_tokens AS BIGINT) AS span_tokens
+    FROM sp s
+    JOIN t ta ON ta.doc_id = s.id_a
+    JOIN t tb ON tb.doc_id = s.id_b
+    WHERE ta.toks[s.a_start : s.a_start + s.span_tokens - 1]
+        = tb.toks[s.b_start : s.b_start + s.span_tokens - 1]
+"""
+
+
+#: FULL replay oracle for the staged span-dedup query (r7).
+DEDUP_SPAN_NGRAM_ORACLE = _span_oracle_sql()
+
+
+def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span detection (staged r7): maximal cross-document
+    duplicated token spans >= 10 tokens, found by a positional 8-gram
+    hash equi-join + per-diagonal gaps-and-islands merge + exact
+    token-slice verify — suffix-array dedup semantics without the
+    suffix array (see operators/dedup.duplicated_spans for the 100 TB
+    shape: df-gated gram join, partitioned island window)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", gram_k=8, min_tokens=10, max_df=64)

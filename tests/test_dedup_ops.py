@@ -164,3 +164,86 @@ def test_incremental_lsh_finds_cross_and_intra_increment_dups(spark, sf_dir):
     assert (300000, 300001) in got         # new-vs-new
     new_ids = {200000, 1, 300000, 300001}
     assert all(a in new_ids or b in new_ids for a, b in got), got
+
+
+# ---------------------------------------------------------------------------
+# STAGED r7: duplicated-span detection (suffix-array dedup semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_finds_planted_span(spark):
+    """A verbatim 20-token block copied between two otherwise-unrelated
+    documents must surface as exactly one maximal span with the right
+    offsets and length; unrelated docs must produce nothing."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    rng = random.Random(11)
+    base = [rng.choice(VOCAB) for _ in range(60)]
+    block = [f"blk{i}" for i in range(20)]  # tokens unique to the block
+    doc_a = base[:10] + block + base[10:40]  # block at 1-based pos 11
+    other = [rng.choice(VOCAB) for _ in range(50)]
+    doc_b = other[:5] + block + other[5:30]  # block at 1-based pos 6
+    doc_c = [rng.choice(VOCAB) for _ in range(60)]
+    df = spark.createDataFrame(
+        [(1, " ".join(doc_a)), (2, " ".join(doc_b)), (3, " ".join(doc_c))],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(df, "doc_id", "text", gram_k=8, min_tokens=10).collect()
+    planted = [r for r in out if (r.id_a, r.id_b) == (1, 2)]
+    assert len(planted) == 1, out
+    r = planted[0]
+    assert (r.a_start, r.b_start, r.span_tokens) == (11, 6, 20)
+    assert all((x.id_a, x.id_b) == (1, 2) for x in out), out
+
+
+def test_duplicated_spans_df_gate_drops_boilerplate(spark):
+    """A gram shared by more than max_df documents is gated out — the
+    quadratic-bucket guard — so a 10-doc boilerplate block with
+    max_df=4 yields no pairs, and raising max_df re-admits it."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    rng = random.Random(13)
+    block = [f"bp{i}" for i in range(12)]
+    rows = []
+    for i in range(10):
+        filler = [rng.choice(VOCAB) for _ in range(30)]
+        rows.append((i, " ".join(filler[:3] + block + filler[3:])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    gated = duplicated_spans(df, "doc_id", "text", gram_k=8, min_tokens=10, max_df=4)
+    assert gated.count() == 0
+    open_df = duplicated_spans(
+        df, "doc_id", "text", gram_k=8, min_tokens=10, max_df=64
+    )
+    assert open_df.count() == 45  # all C(10,2) pairs share the block
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_dedup_span_ngram_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 span-dedup query hash-matches its full pipeline
+    replay DuckDB oracle at every fixture scale (driver gate replica run
+    early, same pattern as the staged PQ/JPEG queries)."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
+        DEDUP_SPAN_NGRAM_ORACLE,
+        dedup_span_ngram,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(
+            dedup_span_ngram(spark, scale_dir), con, DEDUP_SPAN_NGRAM_ORACLE
+        )
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
