@@ -993,3 +993,116 @@ def profile_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY lang, source
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r7 (registry frozen this round): corpus bigram language-model
+# quality score.  Pre-validated vs DuckDB at all three fixture scales
+# (tests/test_text_lm.py).  r7 registration =
+# @query("text_bigram_lm_score", oracle=TEXT_BIGRAM_LM_ORACLE, tags=...)
+# plus a driver-window slot.  No guard entries needed: equi-joins on
+# bigram keys only, no windows.
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for the conditional bigram probability.  The whole
+#: score stays EXACT integer algebra — ``p_fp = (SCALE * cnt_bg) div
+#: cnt_w1`` — instead of the textbook sum-of-log-probs, because log()
+#: doubles are libm-vs-JVM territory where the two engines may differ in
+#: the last ulp; integer division they compute identically.  (Monotone
+#: in the true probability, so ranking/filtering behavior matches an LM
+#: score; docs full of never-repeated word transitions score near 0,
+#: boilerplate scores near SCALE.)
+_LM_FP_SCALE = 1_000_000_000
+
+#: FULL pipeline replay for :func:`text_bigram_lm_score`: tokenize,
+#: adjacent-pair bigrams, corpus counts, integer fixed-point conditional
+#: probabilities, per-document totals — value-for-value.  DuckDB SUM
+#: returns HUGEINT; every emitted aggregate casts to BIGINT (the
+#: oracle-output-types contract).
+TEXT_BIGRAM_LM_ORACLE = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    el AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM el)
+    ),
+    dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+    cbg AS (SELECT w1, w2, SUM(c) AS cnt_bg FROM dbg GROUP BY w1, w2),
+    cw1 AS (SELECT w1, SUM(cnt_bg) AS cnt_w1 FROM cbg GROUP BY w1),
+    probs AS (
+      SELECT cbg.w1, cbg.w2, ({_LM_FP_SCALE} * cnt_bg) // cnt_w1 AS p_fp
+      FROM cbg JOIN cw1 USING (w1)
+    ),
+    sc AS (
+      SELECT doc_id, SUM(c * p_fp) AS lm_fp_sum, SUM(c) AS n_bigrams
+      FROM dbg JOIN probs USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(lm_fp_sum AS BIGINT) AS lm_fp_sum,
+           CAST(lm_fp_sum // n_bigrams AS BIGINT) AS avg_prob_fp
+    FROM sc
+"""
+
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score (staged r7): each document is
+    scored by the average corpus-conditional probability of its adjacent
+    token transitions — the quality-filter stage the published pipelines
+    run a KenLM for, re-expressed as two hash-aggregations and two
+    equi-joins that never shuffle the corpus text, only its bigram
+    VOCABULARY.  The probability is fixed-point integer
+    (``(SCALE * cnt_bg) div cnt_w1``), so both engines agree bit-exactly
+    where sum-of-log doubles could drift (see TEXT_BIGRAM_LM_ORACLE).
+
+    100 TB shape: the bigram projection is a narrow map/explode; the
+    doc-level count agg shuffles doc-distinct bigrams (map-side combined);
+    corpus counts aggregate THAT output (vocabulary-sized); the score join
+    is keyed on the bigram, with AQE free to broadcast the (small)
+    probability table.  Per-doc sums are int64-safe to ~9e9 corpus
+    occurrences of a single bigram and ~9e9 tokens per document; beyond
+    that, widen to DECIMAL(38).
+
+    Overflow envelope aside, ``doc_bigram_counts`` is referenced by both
+    the corpus-count subtree and the scoring join, so it is materialized
+    once (localCheckpoint) — without the barrier Spark recomputes the
+    tokenize+explode pipeline per reference (the lsh_candidate_pairs
+    lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(tokens("text")) >= 2).select(
+        "doc_id", tokens("text").alias("_tk")
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk) - 1), "
+                "i -> struct(element_at(_tk, i) AS w1, element_at(_tk, i + 1) AS w2))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.w1", "_b.w2")
+    dbg = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    cbg = dbg.groupBy("w1", "w2").agg(F.sum("c").alias("cnt_bg"))
+    cw1 = cbg.groupBy("w1").agg(F.sum("cnt_bg").alias("cnt_w1"))
+    probs = cbg.join(cw1, "w1").select(
+        "w1", "w2", F.expr(f"({_LM_FP_SCALE} * cnt_bg) div cnt_w1").alias("p_fp")
+    )
+    return (
+        dbg.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("p_fp")).alias("lm_fp_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "lm_fp_sum",
+            F.expr("lm_fp_sum div n_bigrams").alias("avg_prob_fp"),
+        )
+    )
