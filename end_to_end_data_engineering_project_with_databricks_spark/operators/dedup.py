@@ -259,7 +259,14 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact Jaccard on shingle sets for candidate pairs; keeps pairs with
     similarity >= threshold.  Joins the (small) candidate set back to the
-    corpus twice — both joins are equi-joins on the id."""
+    corpus twice — both joins are equi-joins on the id.
+
+    STRING shingles on purpose: an A/B at sf0.1 (r6) replaced this with
+    md5-60 HASHED shingle sets (int intersect instead of string
+    intersect) and the full pipeline got SLOWER — 1.52 s vs 1.21 s warm
+    steady state — because re-md5-ing every candidate document costs
+    more than concat_ws + string intersects on the semi-filtered
+    candidate set.  Don't retry without re-measuring."""
     sets_df = scale_out(df).select(
         F.col(id_col).alias("_jid"), shingles(text_col, shingle_k).alias("_set")
     )

@@ -247,3 +247,76 @@ def test_staged_dedup_span_ngram_vs_oracle(spark, scale_dir: str) -> None:
     finally:
         con.close()
     assert not problems, "; ".join(problems)
+
+
+def test_duplicated_spans_matches_naive_reference(spark):
+    """Randomized crosscheck: on small corpora with planted copies,
+    repeats, and overlaps, the distributed span detector must emit
+    EXACTLY the spans a naive O(n^2) per-pair reference computes with
+    the same semantics (df-gated grams, per-diagonal maximal runs,
+    min-length filter) — pins the island window's boundary arithmetic
+    (off-by-ones, multi-span pairs, same-block-twice diagonals)."""
+    from collections import defaultdict
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        duplicated_spans,
+    )
+
+    K, MIN_TOKENS, MAX_DF = 3, 4, 64
+    small_vocab = [f"v{i}" for i in range(6)]  # tiny vocab -> accidental matches
+
+    def ref_spans(docs):
+        grams = defaultdict(list)
+        for did, toks in docs.items():
+            for i in range(len(toks) - K + 1):
+                grams[tuple(toks[i : i + K])].append((did, i + 1))
+        allowed = [
+            lst
+            for lst in grams.values()
+            if 2 <= len({d for d, _ in lst}) <= MAX_DF
+        ]
+        match_pos = defaultdict(set)
+        for lst in allowed:
+            for d1, p1 in lst:
+                for d2, p2 in lst:
+                    if d1 < d2:
+                        match_pos[(d1, d2, p1 - p2)].add(p1)
+        out = set()
+        for (a, b, diag), ps_set in match_pos.items():
+            ps = sorted(ps_set)
+            start = prev = ps[0]
+            runs = []
+            for p in ps[1:]:
+                if p == prev + 1:
+                    prev = p
+                else:
+                    runs.append((start, prev))
+                    start = prev = p
+            runs.append((start, prev))
+            for s, e in runs:
+                span = (e - s + 1) + K - 1
+                if span >= MIN_TOKENS:
+                    out.add((a, b, s, s - diag, span))
+        return out
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        docs = {}
+        for did in range(8):
+            docs[did] = [rng.choice(small_vocab) for _ in range(rng.randrange(5, 25))]
+        # plant a copied block, sometimes twice in the same target doc
+        block = [rng.choice(small_vocab) for _ in range(rng.randrange(4, 9))]
+        docs[0] = docs[0][:2] + block + docs[0][2:]
+        docs[1] = block + docs[1][:5] + block
+        df = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in docs.items()],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.id_a, r.id_b, r.a_start, r.b_start, r.span_tokens)
+            for r in duplicated_spans(
+                df, "doc_id", "text", gram_k=K, min_tokens=MIN_TOKENS, max_df=MAX_DF
+            ).collect()
+        }
+        exp = ref_spans(docs)
+        assert got == exp, f"seed {seed}: extra={got - exp} missing={exp - got}"
