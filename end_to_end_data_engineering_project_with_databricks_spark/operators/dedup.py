@@ -844,3 +844,108 @@ def duplicated_spans(
             F.col("span_tokens").cast("bigint").alias("span_tokens"),
         )
     )
+
+
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """EXACT threshold-Jaccard set-similarity self-join via PREFIX
+    FILTERING — the PPJoin/All-Pairs candidate scheme (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08),
+    re-expressed as two DataFrame equi-joins.  Unlike the MinHash-LSH
+    ladder this path is exact: the answer set is IDENTICAL to the naive
+    all-pairs join (crosschecked in tests/test_dedup_ops.py), only the
+    candidate generation shrinks.
+
+    The filter: order every document's shingle set by a single GLOBAL
+    key (ascending document frequency, shingle string as tie-break) and
+    keep only each document's first ``n - ceil(t*n) + 1`` shingles (its
+    "prefix").  Any pair with ``J >= t`` must share at least one prefix
+    shingle of BOTH documents: ``J(A,B) >= t`` implies
+    ``|A∩B| >= t*|A∪B| >= t*|A|``, and a pair sharing nothing in A's
+    prefix can intersect A in at most ``ceil(t*|A|) - 1`` elements.  So
+    the equi-join of prefixes over-generates, never under-generates, and
+    the exact ``array_intersect`` verify finishes the job.
+
+    Scale shape (100 TB): the naive inverted-index join explodes on hub
+    shingles (a gram in 1M docs → 10^12 join rows).  Rarest-first global
+    ordering puts hub shingles LAST, so they fall outside every prefix —
+    candidate volume concentrates on rare grams, the same df-gating
+    economics as :func:`duplicated_spans` but without sacrificing
+    exactness.  Shuffles: the df hash-agg (keyed on shingle), the
+    per-document rank window (partitioned by ``id_col`` — never
+    corpus-wide), the prefix equi-join (keyed on shingle), and two
+    id-equi-joins against per-document shingle arrays for the verify —
+    verify cost is O(candidates), not O(n²).  At higher thresholds the
+    prefix shortens (t=0.9 keeps ~10% of each set), which is exactly
+    when exact joins are wanted over LSH.
+
+    The ``- 1e-9`` guard on ``ceil(t*n)`` keeps a float up-rounding of
+    an exactly-integral ``t*n`` from shortening the prefix below the
+    safe length (shorter prefix = missed pairs; longer = extra
+    candidates only).
+
+    Returns (id_a, id_b, jaccard) with ``id_a < id_b``, ``jaccard >=
+    threshold`` — exact doubles from integer operands, replayed
+    value-for-value by queries/dedup.DEDUP_JACCARD_PREFIX_ORACLE.
+    """
+    sh = (
+        scale_out(df)
+        .select(F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh"))
+    )
+    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id_").orderBy("_dfreq", "sh")
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    # Rank shingles rarest-first within each document, keep the prefix.
+    # Materialize: the prefix relation feeds BOTH sides of the candidate
+    # self-join (the lsh_candidate_pairs lesson — without a barrier the
+    # df-agg + window pipeline re-runs once per side).
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(counts, "_id_")
+        .filter(F.col("_rk") <= prefix_len)
+        .select("_id_", "sh")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        prefix.select(F.col("_id_").alias("id_a"), "sh")
+        .join(prefix.select(F.col("_id_").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # Exact verify on candidates only: per-document sorted shingle
+    # arrays, referenced by both sides -> one materialization.
+    sets = (
+        sh.groupBy("_id_")
+        .agg(F.sort_array(F.collect_list("sh")).alias("_set"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    sa = sets.select(
+        F.col("_id_").alias("id_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
+    )
+    sb = sets.select(
+        F.col("_id_").alias("id_b"), F.col("_set").alias("_sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= float(threshold))
+    )

@@ -1271,3 +1271,66 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return duplicated_spans(d, "doc_id", "text", gram_k=8, min_tokens=10, max_df=64)
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r7 (registry frozen this round): exact threshold-Jaccard
+# set-similarity self-join via prefix filtering (Bayardo et al. WWW'07 /
+# PPJoin, Xiao et al. WWW'08) — the EXACT scale path the LSH ladder
+# approximates.  Pre-validated vs DuckDB at all three fixture scales
+# (tests/test_dedup_ops.py).  r7 registration =
+# @query("dedup_jaccard_prefix", oracle=DEDUP_JACCARD_PREFIX_ORACLE,
+# tags=("dedup", "join")) plus a driver-window slot.  No _ALLOWED_THETA
+# entry needed: candidate generation is a shingle equi-join, verify is
+# two id equi-joins, the rank window is partitioned by doc_id.
+# ---------------------------------------------------------------------------
+
+#: FULL-ANSWER oracle for the staged prefix-filter query: the naive
+#: exact all-pairs inverted-index join at the same threshold.  The
+#: prefix filter only prunes CANDIDATES, so Spark's answer must equal
+#: the unfiltered answer value-for-value — the oracle does not (and
+#: must not) replay the prefix; any under-generation shows up as a
+#: missing row here.
+DEDUP_JACCARD_PREFIX_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+      FROM pos
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) AS jaccard
+    FROM pairs p
+    JOIN counts ca ON p.id_a = ca.doc_id
+    JOIN counts cb ON p.id_b = cb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
+"""
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 near-dup pairs over the FULL documents table
+    (staged r7) via prefix filtering: rarest-first global shingle order,
+    per-document prefix of length n - ceil(t*n) + 1, candidate equi-join
+    on prefix shingles only, exact array_intersect verify.  Same answer
+    as the naive inverted-index join — candidates shrink, the result
+    does not (operators/dedup.jaccard_prefix_filter_pairs for the
+    100 TB shape: hub shingles fall outside every prefix)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_prefix_filter_pairs(d, "doc_id", "text", threshold=0.5, k=3)

@@ -320,3 +320,92 @@ def test_duplicated_spans_matches_naive_reference(spark):
         }
         exp = ref_spans(docs)
         assert got == exp, f"seed {seed}: extra={got - exp} missing={exp - got}"
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_dedup_jaccard_prefix_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 prefix-filter query hash-matches the NAIVE exact
+    all-pairs oracle at every fixture scale — the oracle deliberately
+    skips the prefix, so any candidate the filter wrongly prunes shows
+    up as a missing row."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
+        DEDUP_JACCARD_PREFIX_ORACLE,
+        dedup_jaccard_prefix,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(
+            dedup_jaccard_prefix(spark, scale_dir), con, DEDUP_JACCARD_PREFIX_ORACLE
+        )
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+
+
+def test_jaccard_prefix_filter_matches_naive(spark):
+    """Randomized crosscheck at thresholds the fixtures don't hit
+    (0.3, 0.7, 0.9) and non-integral t*n sizes: the prefix-filtered
+    exact join must equal a brute-force per-pair Python Jaccard over
+    planted near-dup corpora — pins the prefix-length arithmetic
+    (ceil guard, rarest-first ordering) where an off-by-one silently
+    drops borderline pairs."""
+    import itertools
+    import random
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+    )
+
+    vocab = [f"w{i}" for i in range(40)]
+    for seed, threshold in [(1, 0.3), (2, 0.7), (3, 0.9), (4, 0.5)]:
+        rng = random.Random(seed)
+        docs = {}
+        for did in range(10):
+            docs[did] = [rng.choice(vocab) for _ in range(rng.randrange(6, 20))]
+        # plant near-dups: shared suffix after short unique prefixes
+        base = [rng.choice(vocab) for _ in range(14)]
+        docs[10] = base
+        docs[11] = base[:1] + base  # high overlap
+        docs[12] = [rng.choice(vocab)] * 2 + base[3:]
+        df = spark.createDataFrame(
+            [(did, " ".join(toks)) for did, toks in docs.items()],
+            "doc_id long, text string",
+        )
+
+        def shingle_set(toks):
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            } if len(toks) >= 3 else set()
+
+        exp = {}
+        for a, b in itertools.combinations(sorted(docs), 2):
+            sa, sb = shingle_set(docs[a]), shingle_set(docs[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                exp[(a, b)] = j
+        got = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_prefix_filter_pairs(
+                df, "doc_id", "text", threshold=threshold
+            ).collect()
+        }
+        assert set(got) == set(exp), (
+            f"seed {seed} t={threshold}: extra={set(got) - set(exp)} "
+            f"missing={set(exp) - set(got)}"
+        )
+        for pair, j in exp.items():
+            assert abs(got[pair] - j) < 1e-12
