@@ -1289,3 +1289,113 @@ def decode_features_permissive(
         batches,
         schema=f"{id_col} long, decode_ok boolean, {feature_schema}, error string",
     )
+
+
+#: Schema produced by video_frame_features: one row per SAMPLED frame.
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, fps int, "
+    "sum_bytes bigint, max_byte int"
+)
+
+#: Magic prefix of the deterministic fake video container ("fake video
+#: container v1") — the stand-in for MP4/MKV, which need ffmpeg.
+_FVC_MAGIC = b"FVC1"
+_FVC_HEADER_LEN = 16
+
+
+def synthesize_video(
+    df: DataFrame, id_col: str = "doc_id", frame_size: int = 64, fps: int = 12
+) -> DataFrame:
+    """Deterministic fake VIDEO containers into a binary column: a
+    16-byte header (magic ``FVC1`` + little-endian uint32 n_frames /
+    frame_size / fps) followed by ``n_frames`` fixed-size frames where
+    byte ``j`` of frame ``f`` for doc ``d`` is ``(d*7 + f*13 + j*3) %
+    256`` — the same integer-arithmetic convention as the WAV/BMP/PNG
+    synthesizers, so a SQL oracle regenerates every byte.  ``n_frames =
+    24 + d % 40`` varies per doc to exercise variable-length streams.
+
+    Real video needs ffmpeg (not in this container); per the multimodal
+    contract the CONTAINER is the deterministic fake while the Spark
+    plumbing — binary column, Arrow batches, header parse, frame slicing
+    — is real and is exactly what an ffmpeg demuxer drops into."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            payloads = []
+            for d in pdf[id_col]:
+                d = int(d)
+                n_frames = 24 + d % 40
+                f = np.arange(n_frames, dtype=np.int64)[:, None]
+                j = np.arange(frame_size, dtype=np.int64)[None, :]
+                frames = ((d * 7 + f * 13 + j * 3) % 256).astype(np.uint8)
+                payloads.append(
+                    _FVC_MAGIC
+                    + struct.pack("<III", n_frames, frame_size, fps)
+                    + frames.tobytes()
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(batches, schema="doc_id long, payload binary")
+
+
+def _decode_video_frames(
+    payload: bytes, every_n: int = 5
+) -> list[tuple[int, int, int, int, int]]:
+    """Parse one FVC container and extract every ``every_n``-th frame,
+    reduced to integer features ``(frame_idx, n_frames, fps, sum_bytes,
+    max_byte)`` — the frame-SAMPLING read path: only sampled frames are
+    touched, the rest of the payload is skipped by offset arithmetic
+    exactly as a real demuxer seeks keyframes.
+
+    Failure contract (the codec-wide clean-error rule, enforced by the
+    tests/test_multimodal_ops.py corruption sweep): corrupt payloads
+    raise AssertionError/ValueError only — header shorter than 16
+    bytes, wrong magic, zero/over-size fields, or a payload length that
+    disagrees with ``n_frames * frame_size`` all fail cleanly before
+    any slicing."""
+    import struct
+
+    import numpy as np
+
+    assert len(payload) >= _FVC_HEADER_LEN, "FVC: truncated header"
+    assert payload[:4] == _FVC_MAGIC, "FVC: bad magic"
+    n_frames, frame_size, fps = struct.unpack("<III", payload[4:_FVC_HEADER_LEN])
+    assert 0 < n_frames <= 1 << 20, "FVC: implausible n_frames"
+    assert 0 < frame_size <= 1 << 24, "FVC: implausible frame_size"
+    assert 0 < fps <= 1000, "FVC: implausible fps"
+    body = len(payload) - _FVC_HEADER_LEN
+    assert body == n_frames * frame_size, "FVC: length mismatch"
+    out = []
+    for f in range(0, n_frames, every_n):
+        start = _FVC_HEADER_LEN + f * frame_size
+        frame = np.frombuffer(payload, dtype=np.uint8, count=frame_size, offset=start)
+        out.append((f, n_frames, fps, int(frame.astype(np.int64).sum()), int(frame.max())))
+    return out
+
+
+def video_frame_features(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Arrow-batched frame-sample + feature-extract: one output row per
+    SAMPLED frame (explode happens Python-side inside the batch, the
+    declared schema keeps it a single mapInPandas stage — no shuffle).
+    The per-batch loop is over rows; numpy does the per-byte work."""
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = [
+                (int(d), *feat)
+                for d, payload in zip(pdf["doc_id"], pdf["payload"])
+                for feat in _decode_video_frames(payload, every_n)
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "fps", "sum_bytes", "max_byte",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

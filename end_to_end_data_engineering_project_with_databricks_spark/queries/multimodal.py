@@ -649,3 +649,63 @@ def mm_decode_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features_permissive(
         poisoned, _decode_bmp_sums, ("n_pixels", "sum_r", "sum_g", "sum_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r7 (registry frozen this round): byte-level video
+# frame-sampling — upgrades the mm_frame_sample plumbing (index explode
+# only) to a REAL container round trip like WAV/BMP/PNG: synthesized FVC
+# containers, header parse, offset-seek frame slicing, integer frame
+# features.  Pre-validated vs DuckDB at all three fixture scales
+# (tests/test_multimodal_ops.py).  r7 registration =
+# @query("mm_video_frames", oracle=MM_VIDEO_FRAMES_ORACLE,
+# tags=("multimodal", "video", "pandas")) plus a driver-window slot.
+# ---------------------------------------------------------------------------
+
+#: FULL value oracle for :func:`mm_video_frames`: regenerates every
+#: sampled frame's bytes arithmetically (byte j of frame f of doc d is
+#: (d*7 + f*13 + j*3) % 256; n_frames = 24 + d % 40) and reduces them to
+#: the same integer features — one wrong byte anywhere in the container
+#: write, header walk, or frame seek breaks the value hash.
+MM_VIDEO_FRAMES_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, 24 + doc_id % 40 AS n_frames
+      FROM documents WHERE doc_id < 150
+    ),
+    fr AS (
+      SELECT doc_id, n_frames,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS frame_idx
+      FROM docs
+    ),
+    px AS (
+      SELECT f.doc_id, f.n_frames, f.frame_idx,
+             (f.doc_id * 7 + f.frame_idx * 13 + j.i * 3) % 256 AS byte
+      FROM fr f, generate_series(0, 63) j(i)
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(12 AS INT) AS fps,
+           CAST(SUM(byte) AS BIGINT) AS sum_bytes,
+           CAST(MAX(byte) AS INT) AS max_byte
+    FROM px GROUP BY doc_id, frame_idx, n_frames
+"""
+
+
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling round trip (staged r7): deterministic FVC
+    containers (16-byte header + variable n_frames fixed-size frames)
+    synthesized into a binary column, then every 5th frame extracted by
+    offset seek — never a full-stream scan — and reduced to integer
+    features.  The container is the documented deterministic fake (no
+    ffmpeg in this container); the binary schema, Arrow batching, header
+    parse, and sampled-seek read path are real
+    (operators/multimodal.synthesize_video / video_frame_features)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        synthesize_video,
+        video_frame_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    vids = synthesize_video(d, "doc_id", frame_size=64, fps=12)
+    return video_frame_features(vids, every_n=5)

@@ -353,3 +353,88 @@ def test_permissive_decode_tolerates_only_clean_errors(spark) -> None:
 
     with pytest.raises((PythonException, py4j.protocol.Py4JJavaError)):
         decode_features_permissive(df, buggy, ("n_bytes",)).collect()
+
+
+@pytest.mark.parametrize(
+    "scale_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ],
+)
+def test_staged_mm_video_frames_vs_oracle(spark, scale_dir: str) -> None:
+    """The STAGED r7 video frame-sampling query hash-matches its full
+    byte-regeneration DuckDB oracle at every fixture scale (driver gate
+    replica run early, same pattern as the other staged queries)."""
+    from tests.oracle import duckdb_connection, compare
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.multimodal import (
+        MM_VIDEO_FRAMES_ORACLE,
+        mm_video_frames,
+    )
+
+    con = duckdb_connection(scale_dir)
+    try:
+        problems = compare(
+            mm_video_frames(spark, scale_dir), con, MM_VIDEO_FRAMES_ORACLE
+        )
+    finally:
+        con.close()
+    assert not problems, "; ".join(problems)
+
+
+def test_fvc_corruption_sweep_raises_clean() -> None:
+    """The FVC video parser honors the same clean-error contract as the
+    other codecs: single-byte corruption anywhere in the header either
+    still decodes or raises AssertionError/ValueError — never
+    struct.error or a numpy bounds error.  (Body bytes can't fail — any
+    byte value is a valid frame byte — so the sweep covers the header
+    plus a truncation ladder.)"""
+    import struct
+
+    import numpy as np
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        _decode_video_frames,
+    )
+
+    d, n_frames, frame_size = 9, 7, 16
+    f = np.arange(n_frames, dtype=np.int64)[:, None]
+    j = np.arange(frame_size, dtype=np.int64)[None, :]
+    frames = ((d * 7 + f * 13 + j * 3) % 256).astype(np.uint8)
+    payload = b"FVC1" + struct.pack("<III", n_frames, frame_size, 12) + frames.tobytes()
+
+    # sanity: intact payload decodes and samples frames 0, 5
+    got = _decode_video_frames(payload, every_n=5)
+    assert [t[0] for t in got] == [0, 5]
+    assert all(t[1] == n_frames and t[2] == 12 for t in got)
+
+    mutable = bytearray(payload)
+    for pos in range(16):  # full header sweep
+        old = mutable[pos]
+        for v in (0x00, 0xFF, old ^ 0x01, old ^ 0x80):
+            if v == old:
+                continue
+            mutable[pos] = v
+            try:
+                _decode_video_frames(bytes(mutable), every_n=5)
+            except (AssertionError, ValueError):
+                pass
+            except Exception as ex:
+                raise AssertionError(
+                    f"FVC: unclean {type(ex).__name__} at byte {pos} "
+                    f"value {v:#x}: {ex!r}"
+                ) from ex
+        mutable[pos] = old
+    # truncation ladder: every strict prefix fails cleanly
+    for cut in range(len(payload)):
+        try:
+            _decode_video_frames(payload[:cut], every_n=5)
+        except (AssertionError, ValueError):
+            pass
+        except Exception as ex:
+            raise AssertionError(
+                f"FVC: unclean {type(ex).__name__} at truncation {cut}: {ex!r}"
+            ) from ex
+        else:
+            raise AssertionError(f"FVC: truncated payload ({cut}B) decoded")
