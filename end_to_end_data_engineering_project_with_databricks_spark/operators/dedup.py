@@ -20,6 +20,21 @@ equi-join on a computed key (band hash), so Catalyst shuffles both sides
 on that key — no cross join ever materializes.  At 100 TB the shingle
 explode dominates; it is a narrow map (no shuffle) and the first groupBy
 (signature agg) is the only wide op per document.
+
+Materialization caveat (ADVICE r6): operators whose signature/prefix
+relation feeds BOTH sides of a self-join materialize it with
+``localCheckpoint(eager=True)``.  That is a deliberate trade: without the
+barrier the whole upstream pipeline re-executes once per join side
+(measured 2x on the LSH path).  The costs to know about on a real
+cluster: (a) the checkpoint runs a Spark job at DataFrame-CONSTRUCTION
+time, so merely building the plan executes the signature pipeline; and
+(b) ``localCheckpoint`` truncates lineage WITHOUT replication, so losing
+an executor mid-query makes the cached blocks unrecoverable and fails
+the query (rerun from source).  On a long-running 1000-executor job
+prefer ``df.persist(StorageLevel.MEMORY_AND_DISK)`` + a reliable
+``checkpoint()`` to a replicated store, or simply re-submit on the rare
+executor loss — the eager-local form here optimizes for the
+single-process test/bench envelope where neither failure mode exists.
 """
 
 from __future__ import annotations
@@ -54,10 +69,19 @@ def shingles(text_col: Column | str, k: int = 3) -> Column:
 
     ``sequence(1, n-k+1)`` positions -> ``concat_ws`` of the k tokens from
     each position; 1-based ``element_at``.  Pure JVM higher-order
-    functions; no explode needed until the caller wants rows."""
+    functions; no explode needed until the caller wants rows.
+
+    Documents shorter than ``k`` tokens yield an EMPTY array (matching
+    DuckDB's empty ``generate_series``): the naive ``sequence(1, n-k+1)``
+    would be ``sequence(1, 0)`` = ``[1, 0]`` (Spark sequences step
+    DOWNWARD when stop < start), and ``element_at(toks, 0)`` then throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a whole-job crash on one short
+    row (ADVICE r6)."""
     toks = tokens(text_col)
     n = F.size(toks)
-    pos = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    pos = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         pos,
         lambda i: F.concat_ws(

@@ -376,6 +376,12 @@ def test_jaccard_prefix_filter_matches_naive(spark):
         docs[10] = base
         docs[11] = base[:1] + base  # high overlap
         docs[12] = [rng.choice(vocab)] * 2 + base[3:]
+        # short docs (< k tokens): must yield NO shingles and NO crash —
+        # the naive sequence(1, n-k+1) form was sequence(1,0)=[1,0] and
+        # element_at(toks, 0) threw INVALID_ARRAY_INDEX (ADVICE r6).
+        docs[13] = [rng.choice(vocab)]
+        docs[14] = [rng.choice(vocab), rng.choice(vocab)]
+        docs[15] = []  # empty text
         df = spark.createDataFrame(
             [(did, " ".join(toks)) for did, toks in docs.items()],
             "doc_id long, text string",
