@@ -1189,14 +1189,11 @@ def dedup_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r7 (registry frozen this round): cross-document duplicated-
-# span detection — the Spark-first re-expression of suffix-array
-# substring dedup (Lee et al. 2022).  Pre-validated vs DuckDB at all
-# three fixture scales (tests/test_dedup_ops.py).  r7 registration =
-# @query("dedup_span_ngram", oracle=DEDUP_SPAN_NGRAM_ORACLE, tags=...)
-# plus a driver-window slot.  No _ALLOWED_THETA entry needed: every join
-# is an equi-join (gram hash, pair ids) and the island window is
-# partitioned by (id_a, id_b, diag).
+# Cross-document duplicated-span detection — the Spark-first
+# re-expression of suffix-array substring dedup (Lee et al. 2022).
+# Staged in r6 under the registry freeze, registered r7.  No
+# _ALLOWED_THETA entry needed: every join is an equi-join (gram hash,
+# pair ids) and the island window is partitioned by (id_a, id_b, diag).
 # ---------------------------------------------------------------------------
 
 def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) -> str:
@@ -1258,8 +1255,13 @@ def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) ->
 DEDUP_SPAN_NGRAM_ORACLE = _span_oracle_sql()
 
 
+@query(
+    "dedup_span_ngram",
+    oracle=DEDUP_SPAN_NGRAM_ORACLE,
+    tags=("dedup", "window", "join"),
+)
 def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicated-span detection (staged r7): maximal cross-document
+    """Duplicated-span detection: maximal cross-document
     duplicated token spans >= 10 tokens, found by a positional 8-gram
     hash equi-join + per-diagonal gaps-and-islands merge + exact
     token-slice verify — suffix-array dedup semantics without the
@@ -1274,15 +1276,12 @@ def dedup_span_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r7 (registry frozen this round): exact threshold-Jaccard
-# set-similarity self-join via prefix filtering (Bayardo et al. WWW'07 /
-# PPJoin, Xiao et al. WWW'08) — the EXACT scale path the LSH ladder
-# approximates.  Pre-validated vs DuckDB at all three fixture scales
-# (tests/test_dedup_ops.py).  r7 registration =
-# @query("dedup_jaccard_prefix", oracle=DEDUP_JACCARD_PREFIX_ORACLE,
-# tags=("dedup", "join")) plus a driver-window slot.  No _ALLOWED_THETA
-# entry needed: candidate generation is a shingle equi-join, verify is
-# two id equi-joins, the rank window is partitioned by doc_id.
+# Exact threshold-Jaccard set-similarity self-join via prefix filtering
+# (Bayardo et al. WWW'07 / PPJoin, Xiao et al. WWW'08) — the EXACT scale
+# path the LSH ladder approximates.  Staged in r6 under the registry
+# freeze, registered r7.  No _ALLOWED_THETA entry needed: candidate
+# generation is a shingle equi-join, verify is two id equi-joins, the
+# rank window is partitioned by doc_id.
 # ---------------------------------------------------------------------------
 
 #: FULL-ANSWER oracle for the staged prefix-filter query: the naive
@@ -1320,9 +1319,14 @@ DEDUP_JACCARD_PREFIX_ORACLE = """
 """
 
 
+@query(
+    "dedup_jaccard_prefix",
+    oracle=DEDUP_JACCARD_PREFIX_ORACLE,
+    tags=("dedup", "join"),
+)
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.5 near-dup pairs over the FULL documents table
-    (staged r7) via prefix filtering: rarest-first global shingle order,
+    via prefix filtering: rarest-first global shingle order,
     per-document prefix of length n - ceil(t*n) + 1, candidate equi-join
     on prefix shingles only, exact array_intersect verify.  Same answer
     as the naive inverted-index join — candidates shrink, the result

@@ -483,12 +483,10 @@ def pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r7 (registry frozen this round — VERDICT r5 item 3): the JPEG
-# decode query + bounded oracle, fully validated by
+# The JPEG decode query + bounded oracle, validated by
 # tests/test_multimodal_jpeg.py::test_staged_mm_jpeg_decode_vs_oracle at
-# every fixture scale.  r7 registration = wrap with
-# ``@query("mm_jpeg_decode", oracle=MM_JPEG_DECODE_ORACLE, tags=...)`` and
-# give it a driver-window slot.
+# every fixture scale.  Staged in r6 under the registry freeze,
+# registered r7.
 # ---------------------------------------------------------------------------
 
 #: Bounded-check oracle for :func:`mm_jpeg_decode` (same pattern as the
@@ -518,6 +516,11 @@ MM_JPEG_DECODE_ORACLE = """
 """
 
 
+@query(
+    "mm_jpeg_decode",
+    oracle=MM_JPEG_DECODE_ORACLE,
+    tags=("multimodal", "image", "pandas"),
+)
 def mm_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG round-trip (VERDICT r5 stretch 7): deterministic
     13x8 truecolor images over the SAME per-pixel formula as
@@ -619,9 +622,14 @@ MM_DECODE_PERMISSIVE_ORACLE = """
 """
 
 
+@query(
+    "mm_decode_permissive",
+    oracle=MM_DECODE_PERMISSIVE_ORACLE,
+    tags=("multimodal", "image", "pandas"),
+)
 def mm_decode_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poison-tolerant media decode (staged for r7, registry frozen this
-    round): synthesize real BMP containers, deterministically corrupt the
+    """Poison-tolerant media decode: synthesize real BMP containers,
+    deterministically corrupt the
     bit-depth header byte of every ``doc_id % 7 == 3`` payload with
     JVM-side binary surgery (operators/multimodal.poison_payload_byte),
     and decode the lot through ``decode_features_permissive`` — corrupt
@@ -652,14 +660,11 @@ def mm_decode_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r7 (registry frozen this round): byte-level video
-# frame-sampling — upgrades the mm_frame_sample plumbing (index explode
-# only) to a REAL container round trip like WAV/BMP/PNG: synthesized FVC
-# containers, header parse, offset-seek frame slicing, integer frame
-# features.  Pre-validated vs DuckDB at all three fixture scales
-# (tests/test_multimodal_ops.py).  r7 registration =
-# @query("mm_video_frames", oracle=MM_VIDEO_FRAMES_ORACLE,
-# tags=("multimodal", "video", "pandas")) plus a driver-window slot.
+# Byte-level video frame-sampling — upgrades the mm_frame_sample
+# plumbing (index explode only) to a REAL container round trip like
+# WAV/BMP/PNG: synthesized FVC containers, header parse, offset-seek
+# frame slicing, integer frame features.  Staged in r6 under the
+# registry freeze, registered r7.
 # ---------------------------------------------------------------------------
 
 #: FULL value oracle for :func:`mm_video_frames`: regenerates every
@@ -692,8 +697,13 @@ MM_VIDEO_FRAMES_ORACLE = """
 """
 
 
+@query(
+    "mm_video_frames",
+    oracle=MM_VIDEO_FRAMES_ORACLE,
+    tags=("multimodal", "video", "pandas"),
+)
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling round trip (staged r7): deterministic FVC
+    """Video frame-sampling round trip: deterministic FVC
     containers (16-byte header + variable n_frames fixed-size frames)
     synthesized into a binary column, then every 5th frame extracted by
     offset seek — never a full-stream scan — and reduced to integer

@@ -48,22 +48,20 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-6 FINAL rotation (VERDICT r5 items 2+3) ========
-    # This window closes the attestation backlog to ZERO: all 36
-    # never-driver-checked queries plus the 5 stale `no_oracle` rows
-    # whose full index-replay oracles landed post-r4 (commit 4524d7b)
-    # occupy 41 slots; 4 more go to the r6 md5-hash-family conversion
-    # (VERDICT r5 item 4): dedup_minhash_lsh / dedup_simhash /
-    # dedup_minhash_oph / dedup_minhash_incremental gained full DuckDB
-    # replay oracles this round, so their rows-only driver records are
-    # stale and they re-window immediately.  The remaining 5 are the
-    # policy anchors (3 §2.1 refs + q1 + pipeline_corpus_curation).
-    # Families with no slot this round (multimodal, streaming,
-    # pandas/UDTF) are 100% driver-attested r1-r5 — the family test
-    # enforces exactly that condition.  After this round every registry
-    # query has a driver row (green or declared rows-only); the
-    # registry is FROZEN until then — any new query must take a window
-    # slot immediately (VERDICT r5 item 3).
+    # ======== round-7 rotation (VERDICT r6 items 1-3) ========
+    # The r6 window closed the attestation backlog to zero and ended the
+    # registry freeze.  This round: (a) the 8 queries staged under the
+    # freeze register and take immediate slots (VERDICT r6 item 1 —
+    # span dedup, PPJoin, PQ/ADC, IVF-PQ, JPEG, permissive decode,
+    # video frames, bigram LM); (b) sim_ivf_kmeans_topk re-windows with
+    # its NEW full replay oracle (fixed-point Lloyd codebook — VERDICT
+    # r6 item 2 retires the last rows-only row); (c) the remaining 36
+    # slots begin the STANDING oldest-green-first re-attestation policy
+    # (VERDICT r6 item 3): every slot below the staged tier is a query
+    # whose latest driver row is r1 — the oldest record in the registry
+    # — so no query's attestation ages past 4 rounds.  Families with no
+    # slot this round are 100% driver-attested r1-r6 (family test
+    # enforces exactly that).
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -72,65 +70,55 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- dedup signature pipelines: rows-only -> full replay oracles
-    #    this round (md5-derived hash family, functions/hashfamily.py) --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_minhash_oph",
-    "dedup_minhash_incremental",
-    # -- aggregations (2 never-checked + 2 stale-no_oracle w/ new oracles) --
-    "agg_approx_percentile",
-    "agg_skew_resistant_distinct",
-    "agg_approx_count_distinct",
-    "agg_hll_sketch_union",
-    # -- similarity: the 3 stale rows whose full DuckDB index-replay
-    #    oracles (planes/centroid literals) have never had a driver slot --
-    "sim_ivf_topk",
-    "sim_rp_lsh_topk",
-    "sim_threshold_pairs_lsh",
-    # -- joins (never-checked) --
-    "join_bloom_prefilter",
-    "join_null_safe_dim",
-    "join_range_binned",
-    # -- generators / scalar surface (never-checked) --
-    "explode_outer_empty",
-    "explode_with_position",
-    "stat_crosstab",
-    # -- events analytics (never-checked) --
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "events_ewma_bounded",
-    "events_mad_outliers",
-    "events_scd2_user_state",
-    "events_zscore_outliers",
-    # -- text analysis (never-checked) --
-    "text_boilerplate_ngrams",
-    "text_chunk_windows",
-    "text_fingerprints",
-    "text_lang_confusion",
-    "text_language_profile",
-    "text_term_frequency",
-    # -- audits / profiling / observability (never-checked) --
-    "audit_k_anonymity",
-    "audit_observe_metrics",
-    "audit_referential_integrity",
-    "profile_corpus_datasheet",
-    "profile_numeric_columns",
-    # -- sampling (never-checked) --
-    "sample_bottom_k_uniform",
-    "sample_language_temperature",
-    "sample_weighted_systematic",
-    # -- embeddings / arrow (never-checked) --
-    "emb_whitening_quality",
-    "arrow_batch_audit",
-    # -- sources / sinks (never-checked) --
-    "source_binaryfile_images",
-    "sink_versioned_restore",
-    # -- modern SQL surface (never-checked) --
-    "sql_collation_lcase",
-    "sql_execute_immediate",
-    "sql_group_order_by_all",
-    "sql_pipe_syntax",
+    # -- r6-staged tier: first driver attestation (VERDICT r6 item 1) --
+    "dedup_span_ngram",
+    "dedup_jaccard_prefix",
+    "sim_pq_adc_topk",
+    "sim_ivfpq_topk",
+    "text_bigram_lm_score",
+    "mm_jpeg_decode",
+    "mm_decode_permissive",
+    "mm_video_frames",
+    # -- last rows-only row retired: full fixed-point-Lloyd replay
+    #    oracle (VERDICT r6 item 2) --
+    "sim_ivf_kmeans_topk",
+    # -- oldest-first re-attestation (latest driver row = r1) --
+    "agg_count_distinct",
+    "agg_cube_flags",
+    "agg_having",
+    "agg_rollup_year_status",
+    "agg_segment_stats",
+    "distinct_status_priority",
+    "global_topk_orders",
+    "join_full_outer_nation_presence",
+    "join_inner_brand_volume",
+    "join_left_anti_customers_without_orders",
+    "join_left_outer_nation_suppliers",
+    "join_left_semi_active_customers",
+    "join_right_outer_part_lines",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "scalar_subquery_above_avg",
+    "set_except_nations",
+    "set_intersect_nations",
+    "window_lag_lead",
+    "window_rank_customers",
+    "window_running_total",
 )
 
 

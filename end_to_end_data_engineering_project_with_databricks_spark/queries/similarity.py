@@ -4,9 +4,13 @@ DuckDB (same left-to-right double fold — functions/vectors.py), so the
 exact paths are fully oracle-checked — and because the deterministic-
 centroid IVF codebook and the ±1 LSH planes are reproducible constants,
 the DuckDB oracles REPLAY those indexes end-to-end too (assignment,
-probing, banding, ranking).  Only the trained-codebook partial-probe
-path (sim_ivf_kmeans_topk — k-means float noise is not run-reproducible)
-keeps the rows-only gate, backed by the full-probe equivalence oracle
+probing, banding, ranking).  Since r7 even the TRAINED-codebook
+partial-probe path is fully replayable: sim_ivf_kmeans_topk trains via
+exact fixed-point Lloyd iterations (operators/similarity.
+lloyd_kmeans_fixed), so its oracle re-derives the training loop itself
+and the registry carries ZERO rows-only queries.  The float k-means||
+path (pyspark.ml) remains as kmeans_centroids, checked through the
+codebook-independent full-probe equivalence oracle
 (sim_ivf_kmeans_fullprobe) and consistency tests
 (tests/test_similarity_ops.py).
 """
@@ -386,29 +390,137 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lloyd_ivf_oracle_sql(
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_bound: int = 256,
+    scale: int = 10_000,
+    nprobe: int = 4,
+    k: int = 5,
+) -> str:
+    """DuckDB replay of the COMPLETE trained-codebook IVF pipeline
+    (VERDICT r6 item 2 — retires the registry's last rows-only row).
+
+    Unlike a float k-means fit, the fixed-point Lloyd trainer
+    (operators/similarity.lloyd_kmeans_fixed) is exact-integer at every
+    step, so the oracle re-derives the TRAINING too, not just the probe:
+    quantize -> ``iters`` unrolled assign/update CTE rounds (integer
+    squared-L2 argmin via the dot-product identity — exact in doubles at
+    this scale — and ``FLOOR(SUM/COUNT)`` centroid updates, bit-identical
+    IEEE-754 division in both engines) -> full-corpus assignment ->
+    probe -> cosine rank, all matching the Spark plan decision for
+    decision."""
+    def dist(a: str, b: str) -> str:
+        return (
+            f"(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
+            f" + list_dot_product({b},{b}))"
+        )
+
+    ctes = [
+        f"""fixed AS (
+      SELECT vec_id, embedding,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * {scale}.0) AS BIGINT)) AS fx
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT vec_id AS cell_id, fx AS cfx FROM fixed
+      ORDER BY vec_id LIMIT {n_cells}
+    )""",
+        f"samp AS (SELECT vec_id AS sid, fx FROM fixed WHERE vec_id < {sample_bound})",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+      SELECT cell_id, fx FROM (
+        SELECT s.sid, c.cell_id, s.fx,
+               ROW_NUMBER() OVER (PARTITION BY s.sid
+                 ORDER BY {dist("s.fx", "c.cfx")} ASC, c.cell_id ASC) AS rn
+        FROM samp s CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""n{i} AS (
+      SELECT cell_id, list(m ORDER BY dim) AS nfx FROM (
+        SELECT cell_id, dim, CAST(FLOOR(SUM(val) / COUNT(*)) AS BIGINT) AS m
+        FROM (SELECT cell_id, unnest(fx) AS val,
+                     generate_subscripts(fx, 1) AS dim FROM a{i})
+        GROUP BY cell_id, dim
+      ) GROUP BY cell_id
+    )""")
+        ctes.append(f"""c{i} AS (
+      SELECT p.cell_id, COALESCE(n.nfx, p.cfx) AS cfx
+      FROM {prev} p LEFT JOIN n{i} n USING (cell_id)
+    )""")
+        prev = f"c{i}"
+    ctes.append(f"""cents AS (
+      SELECT cell_id,
+             list_transform(cfx, v -> CAST(v AS DOUBLE) / {scale}.0) AS centroid
+      FROM {prev}
+    )""")
+    ctes.append(f"""assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_COS_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    )""")
+    ctes.append(f"""probed AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_Q_CENT} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents ct
+        WHERE q.vec_id < 8
+      ) WHERE rn <= {nprobe}
+    )""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {_COS_P_A} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {_COS_P_A} DESC, a.vec_id
+             ) AS BIGINT) AS rank
+      FROM probed p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= {k}
+    """
+
+
 @query(
     "sim_ivf_kmeans_topk",
-    oracle=None,  # trained codebook -> cell contents are model-dependent
+    oracle=_lloyd_ivf_oracle_sql(),
     tags=("similarity", "topk", "approx", "ml"),
 )
 def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-5 over a TRAINED codebook: seeded k-means|| centroids
-    (pyspark.ml, fit on a bounded deterministic sample —
-    operators/similarity.kmeans_centroids) instead of the deterministic
-    id-seed.  The probe/assign/rank plan is identical to ``sim_ivf_topk``
-    (equi-join on cell_id, no theta node); training only changes which
-    vectors share a cell — on real clustered embeddings that is what
-    raises recall at a fixed nprobe (the fixture's embeddings are random
-    noise, so neither seeding has a structural recall edge there).
-    Companion test checks mechanism correctness: the result equals brute
-    force restricted to the probed cells."""
+    """IVF top-5 over a TRAINED codebook — since r7 the exact fixed-point
+    Lloyd trainer (operators/similarity.lloyd_kmeans_fixed) replaces the
+    seeded pyspark.ml k-means||, which retires the registry's last
+    rows-only driver row (VERDICT r6 item 2): integer quantization, exact
+    integer argmin assignment, and floor(sum/count) centroid updates are
+    partition-order-independent AND ANSI-SQL-replayable, so the DuckDB
+    oracle re-derives the full training loop, the corpus assignment, the
+    probe ranking, and the bit-reproducible cosine top-k.  The
+    probe/assign/rank plan is identical to ``sim_ivf_topk``; training
+    only changes which vectors share a cell — on real clustered
+    embeddings that is what raises recall at a fixed nprobe.  The
+    pyspark.ml k-means|| path remains available as
+    operators/similarity.kmeans_centroids (exercised by
+    sim_ivf_kmeans_fullprobe, whose exhaustive-probe oracle is
+    codebook-independent).  Companion test checks mechanism correctness:
+    the result equals brute force restricted to the probed cells."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
-        kmeans_centroids,
+        lloyd_kmeans_fixed,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
-    cents = kmeans_centroids(e, n_cells=16)
+    cents = lloyd_kmeans_fixed(e, n_cells=16, iters=2, sample_bound=256)
     return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5, centroids=cents)
 
 
@@ -571,13 +683,11 @@ def sim_ivf_kmeans_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r7 (registry frozen this round): product quantization + ADC,
-# the billion-scale ANN compression path.  Pre-validated vs DuckDB at all
-# three fixture scales (tests/test_similarity_ops.py).  r7 registration =
-# @query("sim_pq_adc_topk", oracle=SIM_PQ_ADC_TOPK_ORACLE, tags=...), a
-# driver-window slot, AND an _ALLOWED_THETA entry in
-# tests/test_registry_plan_hygiene.py (the scorer shares brute_force_topk's
-# bounded broadcast-8-query cartesian shape).
+# Product quantization + ADC, the billion-scale ANN compression path.
+# Staged in r6 under the registry freeze, registered r7 with an
+# _ALLOWED_THETA entry in tests/test_registry_plan_hygiene.py (the
+# scorer shares brute_force_topk's bounded broadcast-8-query cartesian
+# shape).
 # ---------------------------------------------------------------------------
 
 #: FULL index replay: DuckDB re-derives the deterministic codebook (16
@@ -623,6 +733,11 @@ SIM_PQ_ADC_TOPK_ORACLE = """
 """
 
 
+@query(
+    "sim_pq_adc_topk",
+    oracle=SIM_PQ_ADC_TOPK_ORACLE,
+    tags=("similarity", "ann"),
+)
 def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the "PQ" of FAISS IVF-PQ): the corpus
     compresses to 8 sub-codebook indices per vector (vs 64 floats — the
@@ -631,7 +746,7 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``score = sum_s lut[s][codes[s]]``, 8 lookups instead of a 64-wide
     dot, never touching raw vectors.  The scorer's broadcast cartesian is
     bounded by the 8-query batch exactly like the allow-listed
-    sim_topk_bruteforce (r7: add to _ALLOWED_THETA on registration).
+    sim_topk_bruteforce (adjudicated in _ALLOWED_THETA).
     Everything is deterministic — codebook = 16 lowest-id vectors,
     first-max tie-breaks, fixed fold order — so unlike typical trained-PQ
     deployments the full index replays in SQL, value-exact."""
@@ -712,8 +827,13 @@ SIM_IVFPQ_TOPK_ORACLE = f"""
 """
 
 
+@query(
+    "sim_ivfpq_topk",
+    oracle=SIM_IVFPQ_TOPK_ORACLE,
+    tags=("similarity", "ann", "join"),
+)
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (staged for r7): the full billion-scale ANN composition —
+    """IVF-PQ: the full billion-scale ANN composition —
     IVF cell probing bounds WHICH vectors each query scores (4 of 16
     cells), PQ/ADC bounds WHAT each score costs (8 LUT lookups over
     compressed codes, raw vectors never touched in the per-batch path).

@@ -996,12 +996,9 @@ def profile_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r7 (registry frozen this round): corpus bigram language-model
-# quality score.  Pre-validated vs DuckDB at all three fixture scales
-# (tests/test_text_lm.py).  r7 registration =
-# @query("text_bigram_lm_score", oracle=TEXT_BIGRAM_LM_ORACLE, tags=...)
-# plus a driver-window slot.  No guard entries needed: equi-joins on
-# bigram keys only, no windows.
+# Corpus bigram language-model quality score.  Staged in r6 under the
+# registry freeze, registered r7.  No guard entries needed: equi-joins
+# on bigram keys only, no windows.
 # ---------------------------------------------------------------------------
 
 #: Fixed-point scale for the conditional bigram probability.  The whole
@@ -1046,8 +1043,13 @@ TEXT_BIGRAM_LM_ORACLE = f"""
 """
 
 
+@query(
+    "text_bigram_lm_score",
+    oracle=TEXT_BIGRAM_LM_ORACLE,
+    tags=("text", "agg", "join"),
+)
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram language-model quality score (staged r7): each document is
+    """Bigram language-model quality score: each document is
     scored by the average corpus-conditional probability of its adjacent
     token transitions — the quality-filter stage the published pipelines
     run a KenLM for, re-expressed as two hash-aggregations and two

@@ -173,18 +173,14 @@ def test_window_rotates_in_never_checked_queries() -> None:
 
 
 def test_window_minimizes_rows_only_checks() -> None:
-    """Rows-only (no-oracle) slots are reserved for the one genuinely
-    non-replayable query left: sim_ivf_kmeans_topk (trained k-means||
-    codebook at partial nprobe — centroid floats are not
-    run-reproducible; its fullprobe twin is oracled).  The r6 md5
-    hash-family conversion (functions/hashfamily.py) gave the entire
-    MinHash/SimHash/OPH tier full DuckDB replay oracles, so every other
-    slot must carry one."""
+    """EVERY registered query carries a DuckDB oracle — zero rows-only
+    slots.  The last holdout fell in r7: sim_ivf_kmeans_topk's trained
+    codebook moved from float k-means|| (partial sums not
+    run-reproducible) to exact fixed-point Lloyd
+    (operators/similarity.lloyd_kmeans_fixed), whose training loop
+    replays in ANSI SQL.  The r6 md5 hash-family conversion
+    (functions/hashfamily.py) had already oracled the whole
+    MinHash/SimHash/OPH tier."""
     specs = all_specs()
-    rows_only = {n for n in _DRIVER_WINDOW if specs[n].oracle is None}
-    allowed = {"sim_ivf_kmeans_topk"}
-    assert rows_only <= allowed, f"unexpected rows-only slots: {rows_only - allowed}"
-    registry_rows_only = {n for n, s in all_specs().items() if s.oracle is None}
-    assert registry_rows_only <= allowed, (
-        f"registry rows-only grew: {registry_rows_only - allowed}"
-    )
+    rows_only = {n for n, s in specs.items() if s.oracle is None}
+    assert not rows_only, f"rows-only queries reappeared: {rows_only}"

@@ -37,6 +37,15 @@ _ALLOWED_THETA = {
     # sim_topk_bruteforce; each docstring names the bounded side)
     "sim_rp_lsh_recall",
     "sim_ivf_kmeans_fullprobe",
+    # PQ/ADC scorer: broadcast-8-query bounded cartesian over compressed
+    # codes (same class as sim_topk_bruteforce; docstring names the
+    # bounded side)
+    "sim_pq_adc_topk",
+    # IVF-PQ: candidate SCORING is an equi-join on cell_id (the
+    # companion plan test pins that), but the amortized assignment pass
+    # and the |Q| x n_cells probe are broadcast crossJoins against the
+    # 16-row centroid table — the same bounded class as sim_ivf_topk
+    "sim_ivfpq_topk",
     # broadcast crossJoin against a tiny literal spine/dim side
     "events_forward_fill",
     "events_linear_interpolation",
