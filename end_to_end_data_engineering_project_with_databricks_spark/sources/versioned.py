@@ -559,6 +559,88 @@ def delete_where(
     raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
 
 
+def delete_where_keys(
+    spark: SparkSession,
+    root: str,
+    keys: "DataFrame",
+    key_col: str,
+    max_commit_retries: int = 10,
+) -> int:
+    """Copy-on-write DELETE by key SET: remove every row whose ``key_col``
+    appears in the ``keys`` DataFrame; returns the committed version.
+
+    The distributed twin of :func:`delete_where` for relation-shaped
+    predicates (VERDICT r6 item 3): a key-set delete expressed as
+    ``col.isin([...collect()...])`` funnels the keys through the driver
+    and inflates the plan with one literal per key — fine for bounded
+    churn, a driver bottleneck under adversarial churn (mass group
+    deletion).  Here the key relation stays distributed end to end:
+    touched-file discovery is a LEFT SEMI join (keys x the key+file_path
+    projection of the snapshot — Catalyst broadcasts whichever side is
+    small), the remainder rewrite is a LEFT ANTI join, and only the
+    touched FILE PATHS (file-granularity, bounded by the manifest) are
+    ever collected.  NULL keys never match (SQL join semantics), so NULL
+    rows are kept — same contract as delete_where's NULL-predicate rule.
+    Same file-granularity CoW: untouched files carry over by path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    root = os.path.abspath(root)
+    keys = keys.select(F.col(key_col)).distinct()
+    for _ in range(max_commit_retries):
+        versions = list_versions(root)
+        if not versions:
+            raise FileNotFoundError(f"no committed versions at {root}")
+        head_v = versions[-1]
+        head = _read_manifest(root, head_v)
+        st = StructType.fromJson(json.loads(head["schema"]))
+        cols = [f.name for f in st.fields]
+        touched: set[str] = set()
+        if head["files"]:
+            from urllib.parse import urlparse
+
+            snap = spark.read.schema(st).parquet(*head["files"])
+            paths = (
+                snap.select(
+                    F.col(key_col), F.col("_metadata.file_path").alias("_path")
+                )
+                .join(keys, key_col, "left_semi")
+                .select("_path")
+                .distinct()
+                .collect()
+            )
+            touched = {urlparse(r._path).path for r in paths}
+        survivors = [f for f in head["files"] if f not in touched]
+        new_files: list[str] = []
+        if touched:
+            remainder = (
+                spark.read.schema(st)
+                .parquet(*sorted(touched))
+                .join(keys, key_col, "left_anti")
+                .select(*cols)
+            )
+            if not remainder.isEmpty():
+                batch_dir = os.path.join(root, _DATA_DIR, uuid.uuid4().hex)
+                remainder.write.mode("errorifexists").parquet(batch_dir)
+                new_files = sorted(
+                    os.path.join(batch_dir, f)
+                    for f in os.listdir(batch_dir)
+                    if f.endswith(".parquet")
+                )
+        manifest = {
+            "version": head_v + 1,
+            "operation": "DELETE",
+            "schema": head["schema"],
+            "files": survivors + new_files,
+            "stats": {
+                f: s for f, s in head.get("stats", {}).items() if f in set(survivors)
+            },
+        }
+        if _try_commit(root, head_v + 1, manifest):
+            return head_v + 1
+    raise RuntimeError(f"could not commit to {root} after {max_commit_retries} retries")
+
+
 def compact(
     spark: SparkSession,
     root: str,

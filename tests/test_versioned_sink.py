@@ -115,6 +115,31 @@ def test_delete_where_rewrites_only_touched_files(spark, root):
     assert V.read(spark, root, version=2).count() == 4
 
 
+def test_delete_where_keys_distributed_anti_join(spark, root):
+    """delete_where_keys matches delete_where semantics with the key set
+    as a DataFrame (VERDICT r6 item 3 — no driver collect / isin
+    literals): same file-granularity CoW, NULL keys never match, and a
+    key absent from the table is a no-op for every row."""
+    V.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1), root)
+    V.append(_df(spark, [("c", 3), ("d", 4)]).coalesce(1), root)
+    keys = spark.createDataFrame([("c",), ("zz",), (None,)], "k string")
+    v = V.delete_where_keys(spark, root, keys, key_col="k")
+    assert v == 3
+    rows = {r.k: r.n for r in V.read(spark, root).collect()}
+    assert rows == {"a": 1, "b": 2, "d": 4}
+    # commit 1's file untouched (its keys don't appear in the key set)
+    commit1 = set(V._read_manifest(root, 1)["files"])
+    after = set(V._read_manifest(root, 3)["files"])
+    assert commit1 <= after
+    # deleting every remaining key of a file drops it with no rewrite
+    V.delete_where_keys(
+        spark, root, spark.createDataFrame([("a",), ("b",)], "k string"), key_col="k"
+    )
+    assert {r.k for r in V.read(spark, root).collect()} == {"d"}
+    # pre-delete snapshots still readable (time travel intact)
+    assert V.read(spark, root, version=2).count() == 4
+
+
 def test_delete_where_null_predicate_keeps_rows(spark, root):
     df = spark.createDataFrame([("a", 1), ("b", None)], "k string, n int")
     V.append(df, root)
