@@ -258,6 +258,67 @@ def wav_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, schema=WAV_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, win_id long, n_samples long, energy_sum long, "
+    "peak_abs long, is_silent boolean"
+)
+
+
+def audio_energy_windows(
+    df: DataFrame, win: int = 160, silence_rms: int = 1000
+) -> DataFrame:
+    """Windowed audio energy / silence detection over decoded PCM16 WAV
+    payloads — the VAD-shaped front gate of a speech-data curation
+    pipeline (silence trimming, dead-air filtering) expressed with the
+    same Arrow-batched mapInPandas contract as :func:`wav_features`.
+
+    Each payload's frames split into fixed ``win``-sample windows (20 ms
+    at 8 kHz with the default 160; a trailing partial window keeps its
+    true ``n_samples``); per window the operator emits the INTEGER
+    energy sum (sum of squared samples — int64-exact: 160 x 32768^2 ~
+    1.7e11), the peak magnitude, and an ``is_silent`` flag from the pure
+    integer comparison ``energy_sum < n * silence_rms^2`` (mean square
+    below silence_rms^2, i.e. RMS below ``silence_rms``) — no float
+    ever, so a SQL oracle replays every value exactly.
+
+    Scale shape: one narrow Arrow pass, rows out = rows in x
+    windows-per-clip; numpy does the per-sample work (reshape + square +
+    sum per batch), the Python loop is per ROW.  A real resampler or
+    soundfile decoder drops into the same batch function unchanged."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        thresh = silence_rms * silence_rms
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "win_id": [], "n_samples": [],
+                "energy_sum": [], "peak_abs": [], "is_silent": [],
+            }
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                        raw = w.readframes(w.getnframes())
+                except (wave.Error, EOFError, RuntimeError) as ex:
+                    raise ValueError(f"corrupt WAV stream: {ex!r}") from ex
+                s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+                for wid in range(0, (len(s) + win - 1) // win):
+                    chunk = s[wid * win : (wid + 1) * win]
+                    e = int((chunk * chunk).sum())
+                    out["doc_id"].append(int(d))
+                    out["win_id"].append(wid)
+                    out["n_samples"].append(len(chunk))
+                    out["energy_sum"].append(e)
+                    out["peak_abs"].append(int(np.abs(chunk).max()) if len(chunk) else 0)
+                    out["is_silent"].append(e < len(chunk) * thresh)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def synthesize_bmp(
     df: DataFrame, id_col: str = "doc_id", width: int = 13, height: int = 8
 ) -> DataFrame:

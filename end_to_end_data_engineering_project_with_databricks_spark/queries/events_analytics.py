@@ -1018,3 +1018,78 @@ def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         types.crossJoin(spine)
         .join(observed, ["event_type", "bucket_start"], "left_anti")
     )
+
+
+@query(
+    "events_ohlc_resample",
+    oracle=f"""
+    WITH ev AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bar_start_sec,
+             event_type, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    ranked AS (
+      SELECT bar_start_sec, event_type, value,
+             ROW_NUMBER() OVER w_asc AS rn_a,
+             ROW_NUMBER() OVER w_desc AS rn_d
+      FROM ev
+      WINDOW w_asc AS (PARTITION BY bar_start_sec, event_type
+                       ORDER BY es ASC, event_id ASC),
+             w_desc AS (PARTITION BY bar_start_sec, event_type
+                        ORDER BY es DESC, event_id DESC)
+    )
+    SELECT bar_start_sec, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS volume
+    FROM ranked
+    GROUP BY bar_start_sec, event_type
+    """,
+    tags=("events", "window-agg", "resample"),
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series bar resampling (OHLC downsample): hourly bars per
+    event type with open/high/low/close/volume — the standard
+    downsampling shape for metric and market-data pipelines, where raw
+    ticks compress to bars before long-horizon analytics.
+
+    Open/close are SELECTIONS (first/last value in deterministic
+    (ts, event_id) order), never arithmetic, so the raw doubles pass
+    through bit-identically; volume uses the exact fixed-point dsum.
+    Plan shape: one shuffle total — the two row_number windows and the
+    final aggregate all key on (bar_start_sec, event_type), so Catalyst
+    plans a single Exchange feeding two Sorts and a partial-merge
+    HashAggregate.  At 100 TB bars parallelize by (bar, type) key —
+    there is no per-series sequential dependency (unlike EWMA), so the
+    operator scales with the bucket count, and a day's ticks never meet
+    another day's in the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    es = _epoch()
+    base = e.select(
+        ((es / F.lit(3600)).cast("long") * F.lit(3600)).alias("bar_start_sec"),
+        "event_type",
+        "event_id",
+        "value",
+        es.alias("es"),
+    )
+    w_asc = Window.partitionBy("bar_start_sec", "event_type").orderBy(
+        F.asc("es"), F.asc("event_id")
+    )
+    w_desc = Window.partitionBy("bar_start_sec", "event_type").orderBy(
+        F.desc("es"), F.desc("event_id")
+    )
+    ranked = base.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    return ranked.groupBy("bar_start_sec", "event_type").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("volume"),
+    )

@@ -418,3 +418,61 @@ def sql_collation_lcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY pr
         """
     )
+
+
+@query(
+    "sql_scripting",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS c FROM orders),
+    cand AS (
+      SELECT CAST(1 AS BIGINT) << k AS t
+      FROM generate_series(0, 40) AS g(k)
+    ),
+    scored AS (
+      SELECT c.t,
+             (SELECT COUNT(*) FROM orders o WHERE o.o_totalprice <= c.t) AS hit
+      FROM cand c
+    ),
+    chosen AS (
+      SELECT MIN(t) AS t FROM scored, n WHERE hit * 10 >= n.c * 9
+    )
+    SELECT o_orderstatus,
+           (SELECT t FROM chosen) AS threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_totalprice <= (SELECT t FROM chosen)
+    GROUP BY o_orderstatus
+    """,
+    tags=("sql", "modern", "scripting", "control-flow"),
+)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4.0 ANSI SQL/PSM blocks — ``BEGIN``,
+    ``DECLARE``, ``WHILE``): an iterative-search control flow expressed
+    ENTIRELY in SQL — find the smallest power-of-two price threshold
+    covering >= 90% of orders by doubling a local variable, each probe a
+    distributed COUNT, then report order counts under the converged
+    threshold.  This is the scripting twin of a driver-side Python loop
+    around spark.sql(): state lives in script-local variables, the data
+    never leaves the cluster, and each iteration is a full Catalyst-
+    optimized query.  The DuckDB oracle replays the search declaratively
+    (min over the power-of-two candidate spine — same fixpoint, no
+    procedural features needed)."""
+    _register(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t BIGINT DEFAULT 1;
+          DECLARE n BIGINT;
+          DECLARE hit BIGINT;
+          SET n = (SELECT COUNT(*) FROM orders);
+          SET hit = (SELECT COUNT(*) FROM orders WHERE o_totalprice <= t);
+          WHILE hit * 10 < n * 9 DO
+            SET t = t * 2;
+            SET hit = (SELECT COUNT(*) FROM orders WHERE o_totalprice <= t);
+          END WHILE;
+          SELECT o_orderstatus, t AS threshold, COUNT(*) AS n_orders
+          FROM orders WHERE o_totalprice <= t GROUP BY o_orderstatus;
+        END
+        """
+    )

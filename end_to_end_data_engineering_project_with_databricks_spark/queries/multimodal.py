@@ -719,3 +719,43 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     vids = synthesize_video(d, "doc_id", frame_size=64, fps=12)
     return video_frame_features(vids, every_n=5)
+
+
+@query(
+    "mm_audio_energy_windows",
+    oracle="""
+    WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    samp AS (
+      SELECT d.doc_id, t.i // 160 AS win_id,
+             ((d.doc_id * 31 + t.i * 7) % 65536) - 32768 AS s
+      FROM docs d, generate_series(0, 799) t(i)
+    )
+    SELECT doc_id, win_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy_sum,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak_abs,
+           SUM(s * s) < COUNT(*) * 1000000 AS is_silent
+    FROM samp GROUP BY doc_id, win_id
+    """,
+    tags=("multimodal", "audio", "pandas"),
+)
+def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy / silence detection (the VAD-shaped front
+    gate of speech-data curation): synthesize REAL PCM16 WAV containers,
+    decode them back through the stdlib RIFF parser, and split each
+    clip's frames into 20 ms windows (160 samples at 8 kHz) with integer
+    energy sums, peak magnitudes, and a pure-integer silence flag
+    (``energy_sum < n * 1000^2``, i.e. window RMS < 1000) —
+    operators/multimodal.audio_energy_windows.  The oracle regenerates
+    the int16 samples arithmetically and replays every window value
+    exactly: one wrong byte in the container write, chunk walk, window
+    split, or energy fold breaks the hash.  Same Arrow batch contract a
+    real soundfile/ffmpeg decoder plugs into."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        audio_energy_windows,
+        synthesize_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wavs = synthesize_wav(d, "doc_id", n_samples=800, sample_rate=8000)
+    return audio_energy_windows(wavs, win=160, silence_rms=1000)

@@ -55,11 +55,14 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # span dedup, PPJoin, PQ/ADC, IVF-PQ, JPEG, permissive decode,
     # video frames, bigram LM); (b) sim_ivf_kmeans_topk re-windows with
     # its NEW full replay oracle (fixed-point Lloyd codebook — VERDICT
-    # r6 item 2 retires the last rows-only row); (c) the remaining 36
-    # slots begin the STANDING oldest-green-first re-attestation policy
-    # (VERDICT r6 item 3): every slot below the staged tier is a query
-    # whose latest driver row is r1 — the oldest record in the registry
-    # — so no query's attestation ages past 4 rounds.  Families with no
+    # r6 item 2 retires the last rows-only row); (c) the four queries
+    # ADDED in r7 (OHLC resample, key-skew diagnostic, SQL scripting,
+    # audio energy windows) take slots immediately per the standing
+    # rule; (d) the remaining 32 slots begin the STANDING
+    # oldest-green-first re-attestation policy (VERDICT r6 item 3):
+    # every slot below the staged tier is a query whose latest driver
+    # row is r1 — the oldest record in the registry — so no query's
+    # attestation ages past a handful of rounds.  Families with no
     # slot this round are 100% driver-attested r1-r6 (family test
     # enforces exactly that).
     # -- §2.1 reference parity anchors (never rotate out) --
@@ -79,6 +82,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mm_jpeg_decode",
     "mm_decode_permissive",
     "mm_video_frames",
+    # -- new in r7 (a new query takes a slot immediately) --
+    "events_ohlc_resample",
+    "profile_key_skew",
+    "sql_scripting",
+    "mm_audio_energy_windows",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -114,11 +122,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     "scalar_subquery_above_avg",
-    "set_except_nations",
-    "set_intersect_nations",
     "window_lag_lead",
-    "window_rank_customers",
-    "window_running_total",
 )
 
 

@@ -1084,3 +1084,69 @@ def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@query(
+    "profile_key_skew",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey, COUNT(*) AS key_rows FROM lineitem GROUP BY l_partkey
+    ),
+    banded AS (
+      SELECT CAST(length(printf('%b', key_rows)) - 1 AS BIGINT) AS band,
+             key_rows
+      FROM freq
+    )
+    SELECT band,
+           CAST(1 AS BIGINT) << band AS band_min_rows,
+           COUNT(*) AS n_keys,
+           CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+           MAX(key_rows) AS max_key_rows
+    FROM banded
+    GROUP BY band
+    """,
+    tags=("profiling", "agg", "skew", "ops"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the operational pre-check before
+    choosing a shuffle strategy (plain hash join vs salting vs AQE skew
+    split): per-key row counts for ``lineitem.l_partkey`` summarized
+    into power-of-two frequency bands (band = floor(log2(rows)),
+    computed by INTEGER binary-string length on both engines — no float
+    log).  A healthy uniform key shows one or two adjacent bands; a
+    heavy-hitter key surfaces as a lone populated high band whose
+    ``max_key_rows`` quantifies the straggler partition a naive shuffle
+    would produce (rule of thumb: salt when max_key_rows exceeds
+    rows/shuffle-partitions by ~10x).
+
+    Scale shape: first aggregate is the standard map-side-combining
+    hash-agg keyed on the join key (the only corpus-wide shuffle —
+    identical cost to the join's own shuffle it diagnoses); the band
+    rollup runs over key-cardinality-sized input.  Used at 100 TB as a
+    sampled pre-pass or over the join's own partial-agg output."""
+    freq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("key_rows"))
+    )
+    band = (F.length(F.conv(F.col("key_rows").cast("string"), 10, 2)) - 1).cast(
+        "long"
+    )
+    return (
+        freq.select(band.alias("band"), "key_rows")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("key_rows").alias("n_rows"),
+            F.max("key_rows").alias("max_key_rows"),
+        )
+        .select(
+            "band",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(band AS INT))").alias(
+                "band_min_rows"
+            ),
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+        )
+    )
