@@ -178,14 +178,20 @@ WAV_SCHEMA = (
 
 
 def synthesize_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 800,
-                   sample_rate: int = 8000) -> DataFrame:
+                   sample_rate: int = 8000, dead_air: bool = False) -> DataFrame:
     """Deterministic REAL WAV payloads (RIFF header + PCM16 frames via the
     stdlib ``wave`` module): sample ``i`` of doc ``d`` is the int16
     ``((d*31 + i*7) mod 65536) - 32768`` — integer arithmetic a SQL
     oracle can reproduce exactly, unlike a sine (cross-engine float
     transcendentals are not bit-stable).  Unlike the image decode stub
     (no image libs in this environment), the audio path is exercised
-    END-TO-END: real container bytes out, real parser back in."""
+    END-TO-END: real container bytes out, real parser back in.
+
+    ``dead_air=True`` zeroes every odd 160-sample window of every
+    ``d % 4 == 1`` clip — deterministic silence so the VAD gate
+    (:func:`audio_energy_windows` + the curation capstone) has REAL
+    dead air to detect instead of a vacuously-false flag; the oracle
+    reproduces the gate as a CASE over ``(i // 160) % 2``."""
     import io
     import wave
 
@@ -198,6 +204,9 @@ def synthesize_wav(df: DataFrame, id_col: str = "doc_id", n_samples: int = 800,
             for d in pdf[id_col]:
                 i = np.arange(n_samples, dtype=np.int64)
                 samples = ((int(d) * 31 + i * 7) % 65536 - 32768).astype("<i2")
+                if dead_air and int(d) % 4 == 1:
+                    samples = samples.copy()
+                    samples[(i // 160) % 2 == 1] = 0
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as w:
                     w.setnchannels(1)

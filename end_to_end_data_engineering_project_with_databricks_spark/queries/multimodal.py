@@ -759,3 +759,78 @@ def mm_audio_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     wavs = synthesize_wav(d, "doc_id", n_samples=800, sample_rate=8000)
     return audio_energy_windows(wavs, win=160, silence_rms=1000)
+
+
+@query(
+    "pipeline_audio_curation",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, source FROM documents WHERE doc_id < 300
+    ),
+    samp AS (
+      SELECT d.doc_id, t.i // 160 AS win_id,
+             CASE WHEN d.doc_id % 4 = 1 AND (t.i // 160) % 2 = 1 THEN 0
+                  ELSE ((d.doc_id * 31 + t.i * 7) % 65536) - 32768
+             END AS s
+      FROM docs d, generate_series(0, 799) t(i)
+    ),
+    wins AS (
+      SELECT doc_id, win_id,
+             SUM(s * s) AS energy,
+             MAX(ABS(s)) AS peak,
+             SUM(s * s) < COUNT(*) * 1000000 AS is_silent
+      FROM samp GROUP BY doc_id, win_id
+    ),
+    clips AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_windows,
+             CAST(SUM(CASE WHEN is_silent THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent,
+             CAST(MAX(peak) AS BIGINT) AS peak_abs,
+             CAST(SUM(energy) AS BIGINT) AS total_energy
+      FROM wins GROUP BY doc_id
+    )
+    SELECT c.doc_id, d.lang, d.source,
+           c.n_windows, c.n_silent, c.peak_abs, c.total_energy
+    FROM clips c JOIN docs d USING (doc_id)
+    WHERE c.n_silent * 4 <= c.n_windows
+    """,
+    tags=("multimodal", "audio", "pipeline", "pandas"),
+)
+def pipeline_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO CAPSTONE — the speech-data curation front gate as one plan:
+    synthesize REAL PCM16 WAV clips (with deterministic dead-air windows
+    injected into every ``doc_id % 4 == 1`` clip), decode through the
+    stdlib RIFF parser, split into 20 ms energy windows
+    (operators/multimodal.audio_energy_windows), roll windows up to
+    clip-level features (window/silence counts, peak, total energy —
+    all integers), DROP clips with more than 25% silent windows (the
+    pure-integer gate ``4 * n_silent > n_windows`` — exactly the gated
+    clips, so the filter provably discriminates), and join survivors
+    back to document metadata.  Every stage replays arithmetically in
+    the DuckDB oracle — synthesis gate, window split, energy folds,
+    silence flags, the curation filter, and the metadata join.
+
+    Scale shape: one narrow Arrow decode pass (rows = clips x windows),
+    one hash-agg keyed on doc_id (windows -> clips), one equi-join back
+    to metadata; nothing corpus-wide shuffles except on doc_id."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        audio_energy_windows,
+        synthesize_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    wavs = synthesize_wav(d, "doc_id", n_samples=800, sample_rate=8000, dead_air=True)
+    wins = audio_energy_windows(wavs, win=160, silence_rms=1000)
+    clips = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("is_silent").cast("long")).alias("n_silent"),
+        F.max("peak_abs").alias("peak_abs"),
+        F.sum("energy_sum").alias("total_energy"),
+    )
+    kept = clips.filter(F.col("n_silent") * 4 <= F.col("n_windows"))
+    return kept.join(
+        d.select("doc_id", "lang", "source"), "doc_id"
+    ).select(
+        "doc_id", "lang", "source", "n_windows", "n_silent", "peak_abs", "total_energy"
+    )

@@ -55,10 +55,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # span dedup, PPJoin, PQ/ADC, IVF-PQ, JPEG, permissive decode,
     # video frames, bigram LM); (b) sim_ivf_kmeans_topk re-windows with
     # its NEW full replay oracle (fixed-point Lloyd codebook — VERDICT
-    # r6 item 2 retires the last rows-only row); (c) the four queries
+    # r6 item 2 retires the last rows-only row); (c) the five queries
     # ADDED in r7 (OHLC resample, key-skew diagnostic, SQL scripting,
-    # audio energy windows) take slots immediately per the standing
-    # rule; (d) the remaining 32 slots begin the STANDING
+    # audio energy windows, the audio-curation capstone) take slots
+    # immediately per the standing rule; (d) the remaining 31 slots
+    # begin the STANDING
     # oldest-green-first re-attestation policy (VERDICT r6 item 3):
     # every slot below the staged tier is a query whose latest driver
     # row is r1 — the oldest record in the registry — so no query's
@@ -87,6 +88,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "profile_key_skew",
     "sql_scripting",
     "mm_audio_energy_windows",
+    "pipeline_audio_curation",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -121,7 +123,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
-    "scalar_subquery_above_avg",
     "window_lag_lead",
 )
 
