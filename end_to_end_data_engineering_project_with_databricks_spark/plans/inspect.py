@@ -105,5 +105,13 @@ def window_partition_spec_sizes(df: DataFrame) -> list[int]:
 
 def shuffle_count(df: DataFrame) -> int:
     """Number of hash-partition exchanges (the operations that cost at
-    scale); broadcast exchanges are counted separately by plan review."""
-    return formatted_plan(df).count("Exchange hashpartitioning")
+    scale); broadcast / single-partition / range exchanges are counted
+    separately by plan review.  Formatted explain puts the node name and
+    its arguments on separate lines (``(3) Exchange`` ...
+    ``Arguments: hashpartitioning(...)``), so count the argument lines —
+    one per Exchange detail section."""
+    return sum(
+        1
+        for line in formatted_plan(df).splitlines()
+        if line.strip().startswith("Arguments: hashpartitioning")
+    )

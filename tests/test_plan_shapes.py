@@ -370,3 +370,49 @@ def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
     kinds = join_kinds(df)
     assert "BroadcastHashJoin" in kinds, kinds
     assert not has_cartesian(df)
+
+
+def test_ohlc_resample_single_exchange(spark, sf_dir):
+    """events_ohlc_resample: the two rank windows and the final
+    aggregate all key on (bar_start_sec, event_type), so the WHOLE bar
+    pipeline must ride ONE shuffle — a second Exchange between the
+    windows and the aggregate would mean the partitioning reuse
+    regressed (the load-bearing claim in the query docstring and
+    docs/SCALE.md)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "events_ohlc_resample")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "partial" in plan  # map-side combine before the final agg
+
+
+def test_key_skew_profile_two_level_aggregate(spark, sf_dir):
+    """profile_key_skew: first aggregate must combine map-side on the
+    join key (that shuffle IS the diagnostic's cost model) and the band
+    rollup must run over key-cardinality-sized input — two exchanges
+    total, no joins, no windows."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "profile_key_skew")
+    assert shuffle_count(df) == 2, formatted_plan(df)
+    assert join_kinds(df) == []
+    assert "partial_count" in formatted_plan(df)
+
+
+def test_audio_energy_is_single_arrow_pass(spark, sf_dir):
+    """mm_audio_energy_windows: synthesis and windowed-energy decode
+    must FUSE into narrow Arrow stages with zero shuffles — a shuffle
+    between synthesis and decode would ship raw payload bytes across
+    the cluster for no reason."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "mm_audio_energy_windows")
+    assert shuffle_count(df) == 0, formatted_plan(df)
+    assert not has_cartesian(df)
