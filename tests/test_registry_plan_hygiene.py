@@ -41,6 +41,10 @@ _ALLOWED_THETA = {
     # codes (same class as sim_topk_bruteforce; docstring names the
     # bounded side)
     "sim_pq_adc_topk",
+    # SemDeDup: the only theta node is ivf_assign's broadcast crossJoin
+    # against the 16-row centroid table (sim_ivf_topk class); the pair
+    # join is an equi-join on cell_id
+    "dedup_semdedup_clustered",
     # IVF-PQ: candidate SCORING is an equi-join on cell_id (the
     # companion plan test pins that), but the amortized assignment pass
     # and the |Q| x n_cells probe are broadcast crossJoins against the
