@@ -1093,3 +1093,71 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("volume"),
     )
+
+
+@query(
+    "events_asof_tolerance",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT c.user_id, c.es AS click_sec, c.click_id,
+             p.es AS p_es, p.purchase_id AS p_id
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.es >= c.es
+    )
+    SELECT user_id, click_sec, click_id,
+           CASE WHEN p_es - click_sec <= 1800 THEN p_es END AS purchase_sec,
+           CASE WHEN p_es - click_sec <= 1800 THEN p_id END AS purchase_id,
+           CASE WHEN p_es - click_sec <= 1800 THEN p_es - click_sec END
+             AS gap_sec
+    FROM m
+    """,
+    tags=("events", "join", "asof", "tolerance"),
+)
+def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join WITH TOLERANCE (pandas ``merge_asof``'s
+    ``tolerance`` parameter, distributed): every click matched to the
+    user's next purchase only if it happens within 30 minutes —
+    attribution windows, stale-quote rejection in market data, sensor
+    staleness gates.  The match beyond tolerance NULLIFIES the payload
+    (left row kept — how='left' semantics); operators/asof.py applies
+    the gap test on the already-computed window match, so tolerance
+    adds ZERO extra shuffle or join — same one-shuffle union+window
+    plan as the untolerated twin (events_asof_next_purchase).  The
+    oracle states it as DuckDB ASOF LEFT JOIN + a CASE nullification."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", _epoch().alias("es"), F.col("event_id").alias("click_id")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _epoch().alias("es"))
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="es",
+        right_payload=["purchase_id"],
+        direction="forward",
+        tolerance=1800,
+    )
+    return joined.select(
+        "user_id",
+        F.col("es").alias("click_sec"),
+        "click_id",
+        F.col("matched_es").alias("purchase_sec"),
+        "purchase_id",
+        (F.col("matched_es") - F.col("es")).alias("gap_sec"),
+    )

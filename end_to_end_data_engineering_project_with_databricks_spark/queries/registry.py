@@ -55,10 +55,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # span dedup, PPJoin, PQ/ADC, IVF-PQ, JPEG, permissive decode,
     # video frames, bigram LM); (b) sim_ivf_kmeans_topk re-windows with
     # its NEW full replay oracle (fixed-point Lloyd codebook — VERDICT
-    # r6 item 2 retires the last rows-only row); (c) the six queries
+    # r6 item 2 retires the last rows-only row); (c) the seven queries
     # ADDED in r7 (OHLC resample, key-skew diagnostic, SQL scripting,
-    # audio energy windows, the audio-curation capstone, SemDeDup) take
-    # slots immediately per the standing rule; (d) the remaining 30 slots
+    # audio energy windows, the audio-curation capstone, SemDeDup,
+    # as-of-with-tolerance) take slots immediately per the standing
+    # rule; (d) the remaining 29 slots
     # begin the STANDING
     # oldest-green-first re-attestation policy (VERDICT r6 item 3):
     # every slot below the staged tier is a query whose latest driver
@@ -90,13 +91,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mm_audio_energy_windows",
     "pipeline_audio_curation",
     "dedup_semdedup_clustered",
+    "events_asof_tolerance",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
     # -- oldest-first re-attestation (latest driver row = r1) --
     "agg_count_distinct",
     "agg_cube_flags",
-    "agg_having",
     "agg_rollup_year_status",
     "agg_segment_stats",
     "global_topk_orders",
