@@ -973,3 +973,64 @@ def jaccard_prefix_filter_pairs(
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= float(threshold))
     )
+
+
+def drop_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rewrite a corpus by DELETING every duplicated token span from the
+    higher-id document of each pair — the "drop all but one occurrence"
+    rewrite of suffix-array substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"), applied to the output
+    of :func:`duplicated_spans`.
+
+    Policy: ``spans`` rows carry ``id_a < id_b`` (canonicalized by the
+    detector), and the rewrite keeps the ``id_a`` copy — tokens
+    ``b_start .. b_start + span_tokens - 1`` are dropped from ``id_b``.
+    Overlapping spans in one document (from different partners or
+    different diagonals) union naturally: the drop set is DISTINCT
+    (document, position).
+
+    Scale shape (100 TB): the drop set is proportional to the
+    DUPLICATED text volume, not the corpus — ``explode(sequence(...))``
+    over span rows, one distinct + one per-document array agg, then a
+    single equi-join back to the corpus keyed on the document id.  The
+    rewrite itself is a narrow JVM ``filter`` lambda over each token
+    array (cost O(tokens x drops-per-doc), drops bounded by the
+    document's own length); unaffected documents pass through the left
+    join untouched.  No window, no cross join, no Python.
+
+    Returns one row per input document:
+    ``(id_col, tokens_before, rewritten array<string>, tokens_after,
+    affected boolean)``.
+    """
+    drops = (
+        spans.select(
+            F.col("id_b").alias("_did"),
+            F.explode(
+                F.expr("sequence(b_start, b_start + span_tokens - 1)")
+            ).alias("_dpos"),
+        )
+        .dropDuplicates()
+    )
+    drop_arr = drops.groupBy("_did").agg(
+        F.sort_array(F.collect_list("_dpos")).alias("_drop")
+    )
+    base = scale_out(df).select(F.col(id_col), tokens(text_col).alias("_tk"))
+    return (
+        base.join(drop_arr, F.col(id_col) == F.col("_did"), "left")
+        .select(
+            id_col,
+            F.size("_tk").cast("bigint").alias("tokens_before"),
+            F.when(F.col("_drop").isNull(), F.col("_tk"))
+            .otherwise(
+                F.expr("filter(_tk, (tok, i) -> NOT array_contains(_drop, i + 1))")
+            )
+            .alias("rewritten"),
+            F.col("_drop").isNotNull().alias("affected"),
+        )
+        .withColumn("tokens_after", F.size("rewritten").cast("bigint"))
+    )

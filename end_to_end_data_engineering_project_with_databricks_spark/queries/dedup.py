@@ -1196,11 +1196,16 @@ def dedup_incremental_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
 # pair ids) and the island window is partitioned by (id_a, id_b, diag).
 # ---------------------------------------------------------------------------
 
-def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) -> str:
-    """FULL pipeline replay for :func:`dedup_span_ngram`: tokenize,
-    md5-60 positional gram hashes (the SAME SPAN_C constants the Spark
-    operator uses), df gate, cross-doc gram equi-join, gaps-and-islands
-    span merge, exact token-slice verify — value-for-value."""
+def span_cte_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) -> str:
+    """CTE chain replaying :func:`operators.dedup.duplicated_spans` —
+    tokenize, md5-60 positional gram hashes (the SAME SPAN_C constants
+    the Spark operator uses), df gate, cross-doc gram equi-join,
+    gaps-and-islands span merge, exact token-slice verify — ending at
+    ``vsp(id_a, id_b, a_start, b_start, span_tokens)`` (verified spans)
+    with ``t(doc_id, toks)`` still in scope.  Shared by the span-dedup
+    oracle below and the pipeline_span_dedup_rewrite capstone oracle
+    (queries/llm_curation.py), which continues the chain with the
+    span-drop rewrite and the bigram-LM quality gate."""
     from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
         SPAN_C,
     )
@@ -1209,8 +1214,7 @@ def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) ->
         f"({SPAN_C[j]} * ({h60_duck(f'toks[i+{j}]')} % {MERSENNE_P})) % {MERSENNE_P}"
         for j in range(gram_k)
     )
-    return f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    return f"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     el AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {gram_k}),
     pos AS (
       SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {gram_k - 1})) AS i
@@ -1238,16 +1242,27 @@ def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) ->
              COUNT(*) + {gram_k - 1} AS span_tokens
       FROM isl GROUP BY id_a, id_b, diag, isl
       HAVING COUNT(*) + {gram_k - 1} >= {min_tokens}
-    )
-    SELECT s.id_a, s.id_b,
-           CAST(s.a_start AS BIGINT) AS a_start,
-           CAST(s.b_start AS BIGINT) AS b_start,
-           CAST(s.span_tokens AS BIGINT) AS span_tokens
-    FROM sp s
-    JOIN t ta ON ta.doc_id = s.id_a
-    JOIN t tb ON tb.doc_id = s.id_b
-    WHERE ta.toks[s.a_start : s.a_start + s.span_tokens - 1]
-        = tb.toks[s.b_start : s.b_start + s.span_tokens - 1]
+    ),
+    vsp AS (
+      SELECT s.id_a, s.id_b, s.a_start, s.b_start, s.span_tokens
+      FROM sp s
+      JOIN t ta ON ta.doc_id = s.id_a
+      JOIN t tb ON tb.doc_id = s.id_b
+      WHERE ta.toks[s.a_start : s.a_start + s.span_tokens - 1]
+          = tb.toks[s.b_start : s.b_start + s.span_tokens - 1]
+    )"""
+
+
+def _span_oracle_sql(gram_k: int = 8, min_tokens: int = 10, max_df: int = 64) -> str:
+    """FULL pipeline replay for :func:`dedup_span_ngram` (the shared
+    :func:`span_cte_sql` chain plus the output projection)."""
+    return f"""
+    WITH {span_cte_sql(gram_k, min_tokens, max_df)}
+    SELECT id_a, id_b,
+           CAST(a_start AS BIGINT) AS a_start,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(span_tokens AS BIGINT) AS span_tokens
+    FROM vsp
 """
 
 

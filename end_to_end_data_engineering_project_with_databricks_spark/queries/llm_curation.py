@@ -1189,3 +1189,165 @@ def sample_per_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 15)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-dedup -> rewrite -> LM-quality-gate capstone (VERDICT r6 stretch
+# item 7): the Lee et al. "dedup then score" pipeline shape, end to end.
+# Chains duplicated_spans (suffix-array dedup semantics) -> span-drop
+# rewrite (drop the id_b copy of every duplicated span) -> corpus bigram
+# LM trained on the REWRITTEN corpus -> fixed-point quality gate, with a
+# FULL DuckDB pipeline-replay oracle composed from the span CTE chain
+# (queries/dedup.span_cte_sql) plus the rewrite + LM replay below.
+# ---------------------------------------------------------------------------
+
+#: Fixed-point gate on the rewritten document's average corpus bigram
+#: probability (scale 1e9 — functions beyond repair score near 0,
+#: boilerplate near 1e9).  A rewritten doc keeps only if its REMAINING
+#: text still reads like the corpus; docs reduced below 2 tokens have no
+#: bigrams and are dropped outright.
+LM_KEEP_THRESHOLD_FP = 30_000_000
+
+
+def _span_rewrite_oracle_sql() -> str:
+    """FULL pipeline replay for :func:`pipeline_span_dedup_rewrite`:
+    the verified-span CTE chain, the DISTINCT (doc, position) drop set,
+    the positional token rewrite, the bigram LM retrained on the
+    rewritten corpus, and the fixed-point keep gate — value-for-value.
+    DuckDB ``//`` truncates where Spark ``div`` floors, but every
+    operand here is non-negative, so the two agree."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
+        span_cte_sql,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.text_analysis import (
+        _LM_FP_SCALE,
+    )
+
+    return f"""
+    WITH {span_cte_sql()},
+    drops AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT id_b AS doc_id,
+               unnest(generate_series(b_start, b_start + span_tokens - 1)) AS pos
+        FROM vsp)
+    ),
+    tokpos AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t
+    ),
+    keptt AS (
+      SELECT tp.doc_id, tp.tok, tp.pos FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM drops dr
+        WHERE dr.doc_id = tp.doc_id AND dr.pos = tp.pos)
+    ),
+    rw AS (SELECT doc_id, list(tok ORDER BY pos) AS toks2 FROM keptt GROUP BY doc_id),
+    el2 AS (SELECT doc_id, toks2 FROM rw WHERE len(toks2) >= 2),
+    bg AS (
+      SELECT doc_id, toks2[i] AS w1, toks2[i + 1] AS w2
+      FROM (SELECT doc_id, toks2,
+                   unnest(generate_series(1, len(toks2) - 1)) AS i FROM el2)
+    ),
+    dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2),
+    cbg AS (SELECT w1, w2, SUM(c) AS cnt_bg FROM dbg GROUP BY w1, w2),
+    cw1 AS (SELECT w1, SUM(cnt_bg) AS cnt_w1 FROM cbg GROUP BY w1),
+    probs AS (
+      SELECT cbg.w1, cbg.w2, ({_LM_FP_SCALE} * cnt_bg) // cnt_w1 AS p_fp
+      FROM cbg JOIN cw1 USING (w1)
+    ),
+    sc AS (
+      SELECT doc_id, SUM(c * p_fp) AS lm_fp_sum, SUM(c) AS n_bigrams
+      FROM dbg JOIN probs USING (w1, w2) GROUP BY doc_id
+    ),
+    aff AS (
+      SELECT id_a AS doc_id FROM vsp
+      UNION
+      SELECT id_b AS doc_id FROM vsp
+    )
+    SELECT a.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS tokens_before,
+           CAST(COALESCE(len(rw.toks2), 0) AS BIGINT) AS tokens_after,
+           CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(sc.lm_fp_sum // sc.n_bigrams, 0) AS BIGINT) AS avg_prob_fp,
+           CAST(CASE WHEN COALESCE(sc.lm_fp_sum // sc.n_bigrams, 0)
+                          >= {LM_KEEP_THRESHOLD_FP}
+                     THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM aff a
+    JOIN t ON t.doc_id = a.doc_id
+    LEFT JOIN rw ON rw.doc_id = a.doc_id
+    LEFT JOIN sc ON sc.doc_id = a.doc_id
+"""
+
+
+PIPELINE_SPAN_DEDUP_REWRITE_ORACLE = _span_rewrite_oracle_sql()
+
+
+@query(
+    "pipeline_span_dedup_rewrite",
+    oracle=PIPELINE_SPAN_DEDUP_REWRITE_ORACLE,
+    tags=("pipeline", "dedup", "text", "join", "window"),
+)
+def pipeline_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-dedup rewrite capstone — the "dedup then score"
+    shape of Lee et al.: (1) duplicated_spans finds maximal cross-
+    document duplicated token spans (positional 8-gram equi-join +
+    per-diagonal islands + exact slice verify — suffix-array semantics,
+    operators/dedup.duplicated_spans); (2) drop_duplicated_spans deletes
+    the id_b copy of every span (DISTINCT positions, narrow array-filter
+    rewrite); (3) a corpus bigram LM retrains on the REWRITTEN corpus
+    and scores every rewritten document in exact fixed-point integers
+    (queries/text_analysis.bigram_lm_scores); (4) every span-TOUCHED
+    document (the kept id_a copy and the rewritten id_b copy alike)
+    keeps only if its remaining text still clears the quality gate —
+    fixture duplicates are near-total, so rewritten id_b docs empty out
+    (kept=0) while their id_a partners score on intact text.
+
+    100 TB shape: each stage's only corpus-wide shuffles are keyed
+    equi-joins/hash-aggs (gram hash, document id, bigram vocabulary);
+    the drop set and the island window scale with DUPLICATED text, not
+    the corpus; the rewrite is a narrow per-row lambda.  Returns one row
+    per span-touched document: (doc_id, tokens_before, tokens_after,
+    n_bigrams, avg_prob_fp, kept)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        drop_duplicated_spans,
+        duplicated_spans,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    # spans feed both the drop set and the touched-id set; rw feeds the
+    # LM corpus, the touched filter, and the output join — materialize
+    # each once or the span pipeline re-executes per reference (the
+    # lsh_candidate_pairs lesson)
+    spans = duplicated_spans(
+        d, "doc_id", "text", gram_k=8, min_tokens=10, max_df=64
+    ).localCheckpoint(eager=True)
+    rw = drop_duplicated_spans(d, spans, "doc_id", "text").localCheckpoint(eager=True)
+    scores = bigram_lm_scores(
+        rw.filter(F.size("rewritten") >= 2).select(
+            "doc_id", F.col("rewritten").alias("_tk")
+        )
+    )
+    touched = (
+        spans.select(F.col("id_a").alias("doc_id"))
+        .union(spans.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    avg = F.coalesce(F.col("avg_prob_fp"), F.lit(0)).cast("bigint")
+    return (
+        rw.join(touched, "doc_id", "left_semi")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            "tokens_before",
+            "tokens_after",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+            avg.alias("avg_prob_fp"),
+            F.when(avg >= LM_KEEP_THRESHOLD_FP, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )

@@ -1043,38 +1043,14 @@ TEXT_BIGRAM_LM_ORACLE = f"""
 """
 
 
-@query(
-    "text_bigram_lm_score",
-    oracle=TEXT_BIGRAM_LM_ORACLE,
-    tags=("text", "agg", "join"),
-)
-def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bigram language-model quality score: each document is
-    scored by the average corpus-conditional probability of its adjacent
-    token transitions — the quality-filter stage the published pipelines
-    run a KenLM for, re-expressed as two hash-aggregations and two
-    equi-joins that never shuffle the corpus text, only its bigram
-    VOCABULARY.  The probability is fixed-point integer
-    (``(SCALE * cnt_bg) div cnt_w1``), so both engines agree bit-exactly
-    where sum-of-log doubles could drift (see TEXT_BIGRAM_LM_ORACLE).
-
-    100 TB shape: the bigram projection is a narrow map/explode; the
-    doc-level count agg shuffles doc-distinct bigrams (map-side combined);
-    corpus counts aggregate THAT output (vocabulary-sized); the score join
-    is keyed on the bigram, with AQE free to broadcast the (small)
-    probability table.  Per-doc sums are int64-safe to ~9e9 corpus
-    occurrences of a single bigram and ~9e9 tokens per document; beyond
-    that, widen to DECIMAL(38).
-
-    Overflow envelope aside, ``doc_bigram_counts`` is referenced by both
-    the corpus-count subtree and the scoring join, so it is materialized
-    once (localCheckpoint) — without the barrier Spark recomputes the
-    tokenize+explode pipeline per reference (the lsh_candidate_pairs
-    lesson)."""
-    d = load_table(spark, sf_dir, "documents")
-    base = d.filter(F.size(tokens("text")) >= 2).select(
-        "doc_id", tokens("text").alias("_tk")
-    )
+def bigram_lm_scores(base: DataFrame) -> DataFrame:
+    """Score every document of a tokenized corpus by the corpus-
+    conditional bigram LM of :func:`text_bigram_lm_score` (which see for
+    the fixed-point rationale and the 100 TB shape).  ``base`` must be
+    ``(doc_id, _tk array<string>)`` with ``size(_tk) >= 2``; returns
+    ``(doc_id, n_bigrams, lm_fp_sum, avg_prob_fp)``.  Factored out so
+    the span-dedup-rewrite capstone (queries/llm_curation.py) can train
+    and score the SAME model on a REWRITTEN corpus."""
     bg = base.select(
         "doc_id",
         F.explode(
@@ -1108,3 +1084,38 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("lm_fp_sum div n_bigrams").alias("avg_prob_fp"),
         )
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=TEXT_BIGRAM_LM_ORACLE,
+    tags=("text", "agg", "join"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: each document is
+    scored by the average corpus-conditional probability of its adjacent
+    token transitions — the quality-filter stage the published pipelines
+    run a KenLM for, re-expressed as two hash-aggregations and two
+    equi-joins that never shuffle the corpus text, only its bigram
+    VOCABULARY.  The probability is fixed-point integer
+    (``(SCALE * cnt_bg) div cnt_w1``), so both engines agree bit-exactly
+    where sum-of-log doubles could drift (see TEXT_BIGRAM_LM_ORACLE).
+
+    100 TB shape: the bigram projection is a narrow map/explode; the
+    doc-level count agg shuffles doc-distinct bigrams (map-side combined);
+    corpus counts aggregate THAT output (vocabulary-sized); the score join
+    is keyed on the bigram, with AQE free to broadcast the (small)
+    probability table.  Per-doc sums are int64-safe to ~9e9 corpus
+    occurrences of a single bigram and ~9e9 tokens per document; beyond
+    that, widen to DECIMAL(38).
+
+    Overflow envelope aside, ``doc_bigram_counts`` is referenced by both
+    the corpus-count subtree and the scoring join, so it is materialized
+    once (localCheckpoint) — without the barrier Spark recomputes the
+    tokenize+explode pipeline per reference (the lsh_candidate_pairs
+    lesson)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(tokens("text")) >= 2).select(
+        "doc_id", tokens("text").alias("_tk")
+    )
+    return bigram_lm_scores(base)

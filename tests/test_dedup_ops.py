@@ -415,3 +415,37 @@ def test_jaccard_prefix_filter_matches_naive(spark):
         )
         for pair, j in exp.items():
             assert abs(got[pair] - j) < 1e-12
+
+
+def test_drop_duplicated_spans_rewrite_semantics(spark):
+    """The span-drop rewrite deletes exactly the id_b positions of every
+    span, unions overlapping spans, leaves id_a and untouched docs
+    intact, and keeps empty-rewrite docs as rows (empty array, not a
+    dropped row)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        drop_duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),   # id_a everywhere: untouched
+            (2, "a b c d e f g h"),   # two overlapping spans: union drop 1..6
+            (3, "x y z"),             # untouched entirely
+            (4, "p q r s"),           # whole doc dropped -> empty rewrite
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 1, 1, 4),  # drop 2's tokens 1-4
+            (1, 2, 3, 3, 4),  # drop 2's tokens 3-6 (overlaps)
+            (1, 4, 1, 1, 4),  # drop 4's tokens 1-4 (all of them)
+        ],
+        "id_a long, id_b long, a_start long, b_start long, span_tokens long",
+    )
+    out = {r.doc_id: r for r in drop_duplicated_spans(docs, spans).collect()}
+    assert out[1].rewritten == list("abcdefgh") and not out[1].affected
+    assert out[2].rewritten == ["g", "h"] and out[2].affected
+    assert (out[2].tokens_before, out[2].tokens_after) == (8, 2)
+    assert out[3].rewritten == ["x", "y", "z"] and not out[3].affected
+    assert out[4].rewritten == [] and out[4].tokens_after == 0 and out[4].affected
