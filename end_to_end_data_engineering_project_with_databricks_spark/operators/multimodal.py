@@ -1469,3 +1469,62 @@ def video_frame_features(df: DataFrame, every_n: int = 5) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+def video_frame_descriptors(
+    df: DataFrame, every_n: int = 5, n_chunks: int = 8
+) -> DataFrame:
+    """Arrow-batched keyframe DESCRIPTOR extraction: every ``every_n``-th
+    frame of each FVC container reduces to an ``n_chunks``-dim embedding
+    (sum of the bytes in each equal frame slice — the integer stand-in
+    for the pooled CNN feature a real pipeline would emit), keyed by a
+    globally unique ``vec_id = doc_id * 1024 + frame_idx`` so the frame
+    corpus drops straight into the ANN operators
+    (operators/similarity.ivfpq_topk and friends).
+
+    Same single-stage mapInPandas shape as :func:`video_frame_features`
+    (decode + explode happen Python-side inside the batch, no shuffle),
+    same clean-error contract (corrupt containers raise
+    AssertionError/ValueError from the shared header walk).  Descriptor
+    values are small integers carried as float64, so every downstream
+    dot product is EXACT and the whole ANN index replays in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                payload = bytes(payload)
+                assert len(payload) >= _FVC_HEADER_LEN, "FVC: truncated header"
+                assert payload[:4] == _FVC_MAGIC, "FVC: bad magic"
+                import struct
+
+                n_frames, frame_size, fps = struct.unpack(
+                    "<III", payload[4:_FVC_HEADER_LEN]
+                )
+                assert 0 < n_frames <= 1 << 20, "FVC: implausible n_frames"
+                assert 0 < frame_size <= 1 << 24, "FVC: implausible frame_size"
+                assert frame_size % n_chunks == 0, "FVC: frame not chunkable"
+                assert n_frames < 1024, "FVC: frame_idx would collide vec_id"
+                body = len(payload) - _FVC_HEADER_LEN
+                assert body == n_frames * frame_size, "FVC: length mismatch"
+                sub = frame_size // n_chunks
+                for f in range(0, n_frames, every_n):
+                    start = _FVC_HEADER_LEN + f * frame_size
+                    frame = np.frombuffer(
+                        payload, dtype=np.uint8, count=frame_size, offset=start
+                    ).astype(np.int64)
+                    desc = frame.reshape(n_chunks, sub).sum(axis=1)
+                    rows.append(
+                        (d * 1024 + f, d, f, [float(x) for x in desc])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["vec_id", "doc_id", "frame_idx", "descriptor"]
+            )
+
+    return df.mapInPandas(
+        batches,
+        schema="vec_id long, doc_id long, frame_idx int, descriptor array<double>",
+    )

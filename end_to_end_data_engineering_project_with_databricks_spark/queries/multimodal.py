@@ -834,3 +834,164 @@ def pipeline_audio_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", "lang", "source", "n_windows", "n_silent", "peak_abs", "total_energy"
     )
+
+
+# ---------------------------------------------------------------------------
+# Video keyframe ANN capstone (VERDICT r6 stretch item 8): wire the FVC
+# frame pipeline into the IVF-PQ index — the multimodal-similarity loop
+# closed.  Sampled frames reduce to integer chunk-sum descriptors
+# (operators/multimodal.video_frame_descriptors), and the frame corpus
+# drops into operators/similarity.ivfpq_topk unchanged: cells + codebook
+# = 16 lowest-vec_id frames, 4-of-16 cell probe, 4x2 PQ subspaces, ADC
+# scoring over compressed codes via a cell_id EQUI-join.  Descriptor
+# values are small integers carried as doubles, so every dot product is
+# exact and the oracle below replays container synthesis, frame
+# sampling, descriptor pooling, AND the entire ANN index in SQL.
+# ---------------------------------------------------------------------------
+
+
+def _video_keyframe_ann_oracle_sql() -> str:
+    """FULL replay for :func:`mm_video_keyframe_ann`: regenerate every
+    sampled frame's bytes arithmetically (the MM_VIDEO_FRAMES_ORACLE
+    formula), pool them into chunk-sum descriptors, then replay the
+    IVF-PQ index — centroid assignment argmax, 16-vector codebook, PQ
+    encoding, nprobe cell ranking, ADC scoring, top-k — exactly as
+    SIM_IVFPQ_TOPK_ORACLE does over the embeddings table, with m=4
+    subspaces of 2 dims over the 8-dim descriptors."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+        sql_cosine,
+    )
+
+    cos_cent = sql_cosine("c.embedding", "ct.centroid")
+    cos_q_cent = sql_cosine("q.embedding", "ct.centroid")
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, 24 + doc_id % 40 AS n_frames
+      FROM documents WHERE doc_id < 120
+    ),
+    fr AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 5)) AS frame_idx
+      FROM docs
+    ),
+    px AS (
+      SELECT f.doc_id, f.frame_idx, j.i // 8 AS chunk,
+             (f.doc_id * 7 + f.frame_idx * 13 + j.i * 3) % 256 AS byte
+      FROM fr f, generate_series(0, 63) j(i)
+    ),
+    ch AS (
+      SELECT doc_id, frame_idx, chunk, SUM(byte) AS s
+      FROM px GROUP BY doc_id, frame_idx, chunk
+    ),
+    emb AS (
+      SELECT doc_id * 1024 + frame_idx AS vec_id,
+             list(CAST(s AS DOUBLE) ORDER BY chunk) AS embedding
+      FROM ch GROUP BY doc_id, frame_idx
+    ),
+    cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid
+      FROM emb ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, cell_id FROM (
+        SELECT c.vec_id, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {cos_cent} DESC, ct.cell_id
+               ) AS rn
+        FROM emb c CROSS JOIN cents ct
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT list(embedding ORDER BY vec_id) AS cbs
+      FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 16)
+    ),
+    encoded AS (
+      SELECT c.vec_id,
+             list_transform(range(0, 4), s ->
+               list_position(
+                 list_transform(cb.cbs, cv -> list_dot_product(
+                   c.embedding[s*2+1 : s*2+2], cv[s*2+1 : s*2+2])),
+                 list_aggregate(
+                   list_transform(cb.cbs, cv -> list_dot_product(
+                     c.embedding[s*2+1 : s*2+2], cv[s*2+1 : s*2+2])), 'max')
+               ) - 1) AS codes
+      FROM emb c CROSS JOIN cb
+    ),
+    probed AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos_q_cent} DESC, ct.cell_id
+               ) AS rn
+        FROM emb q CROSS JOIN cents ct
+        WHERE q.vec_id < 1024
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             list_sum(list_transform(range(0, 4), s ->
+               list_dot_product(
+                 p.q_vec[s*2+1 : s*2+2],
+                 (cb.cbs[e.codes[s+1] + 1])[s*2+1 : s*2+2]))) AS adc_score
+      FROM probed p
+      JOIN assigned a USING (cell_id)
+      JOIN encoded e ON e.vec_id = a.vec_id
+      CROSS JOIN cb
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, adc_score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+MM_VIDEO_KEYFRAME_ANN_ORACLE = _video_keyframe_ann_oracle_sql()
+
+
+@query(
+    "mm_video_keyframe_ann",
+    oracle=MM_VIDEO_KEYFRAME_ANN_ORACLE,
+    tags=("multimodal", "video", "similarity", "ann", "join", "pandas"),
+)
+def mm_video_keyframe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe ANN capstone: sampled FVC frames become
+    8-dim chunk-sum descriptors (one Arrow-batched mapInPandas stage,
+    operators/multimodal.video_frame_descriptors), and the frame corpus
+    feeds the IVF-PQ composition unchanged — cell probing bounds WHICH
+    frames each query scores, PQ/ADC bounds WHAT each score costs, and
+    candidate scoring is an equi-join on cell_id.  Queries are document
+    0's keyframes, so the answer surfaces each frame's near-duplicate
+    twins across the corpus (FVC frame bytes cycle mod 256, so cross-
+    video duplicate frames exist by construction — the
+    intro/outro-card reuse that video dedup hunts at scale).
+
+    100 TB shape: the decode+descriptor pass is one narrow Arrow stage
+    over the binary column; the descriptor corpus materializes ONCE
+    (localCheckpoint) and then the amortized-index rules of
+    sim_ivfpq_topk apply verbatim — no cartesian in the per-batch path
+    (the |Q| x 16 probe and the 16-row codebook broadcasts are the
+    adjudicated bounded cases)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        synthesize_video,
+        video_frame_descriptors,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    vids = synthesize_video(d, "doc_id", frame_size=64, fps=12)
+    frames = video_frame_descriptors(vids, every_n=5, n_chunks=8)
+    # the index build (centroids + codebook collects, assignment,
+    # encoding) references the corpus several times — materialize the
+    # decoded descriptors once so the Python decode runs once
+    corpus = (
+        frames.select("vec_id", F.col("descriptor").alias("embedding"))
+        .localCheckpoint(eager=True)
+    )
+    queries = corpus.filter(F.col("vec_id") < 1024)
+    return ivfpq_topk(corpus, queries, n_cells=16, nprobe=4, n_codes=16, m=4, k=5)

@@ -50,6 +50,11 @@ _ALLOWED_THETA = {
     # and the |Q| x n_cells probe are broadcast crossJoins against the
     # 16-row centroid table — the same bounded class as sim_ivf_topk
     "sim_ivfpq_topk",
+    # video keyframe ANN: the same ivfpq_topk composition over the FVC
+    # frame-descriptor corpus — identical adjudication (assignment +
+    # probe vs the 16-row centroid/codebook tables; scoring stays an
+    # equi-join on cell_id)
+    "mm_video_keyframe_ann",
     # broadcast crossJoin against a tiny literal spine/dim side
     "events_forward_fill",
     "events_linear_interpolation",

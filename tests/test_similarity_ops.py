@@ -446,3 +446,21 @@ def test_lloyd_kmeans_fixed_deterministic_and_trains(spark, emb):
     e = {(r.query_id, r.rank): r.neighbor_id for r in exact.collect()}
     g = {(r.query_id, r.rank): r.neighbor_id for r in approx.collect()}
     assert e == g
+
+
+def test_video_keyframe_ann_plan_shape(spark, sf_dir):
+    """The video keyframe ANN capstone inherits ivfpq_topk's plan
+    guarantees over the frame-descriptor corpus: no CartesianProduct
+    anywhere, and candidate scoring stays an equi-join on cell_id."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        formatted_plan,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.multimodal import (
+        mm_video_keyframe_ann,
+    )
+
+    plan = formatted_plan(mm_video_keyframe_ann(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert any(
+        j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    ), plan
