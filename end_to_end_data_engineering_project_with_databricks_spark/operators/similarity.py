@@ -803,3 +803,56 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id", F.expr(score).alias("adc_score"))
     )
     return ranked_topk(scored, k, score_col="adc_score")
+
+
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_codes: int = 16,
+    m: int = 8,
+    k_cand: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the production ANN serving
+    pattern (FAISS/ScaNN deployments): :func:`ivfpq_topk` retrieves a
+    WIDE candidate cut (``k_cand`` per query) from the compressed index,
+    then only those |Q| x k_cand candidates fetch their RAW vectors for
+    an exact cosine re-rank down to ``k``.  ADC error affects which
+    candidates surface, never their final order — the rerank score is
+    exact.
+
+    Scale shape: stage 1 is the audited IVF-PQ path (equi-join scoring
+    over compressed codes); stage 2's raw-vector fetch is an EQUI-join
+    of the tiny candidate list (broadcast) against the corpus by id —
+    the corpus's raw vectors are touched for k_cand rows per query, not
+    scanned.  At 100 TB this is why the compressed index exists: the
+    full-width vectors stream through exactly one narrow join probe.
+
+    Deterministic end to end (ADC ties and cosine ties both break on
+    neighbor_id), so the SQL oracle replays both stages value-for-value.
+    Returns (query_id, neighbor_id, score, rank) with the EXACT cosine
+    as score."""
+    cands = ivfpq_topk(
+        corpus, queries, n_cells, nprobe, n_codes, m, k_cand, id_col, vec_col
+    ).select("query_id", "neighbor_id")
+    nb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_nv")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        F.broadcast(cands)
+        .join(nb, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity("_qv", "_nv").alias("score"),
+        )
+    )
+    return ranked_topk(scored, k)

@@ -94,6 +94,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_tolerance",
     "pipeline_span_dedup_rewrite",
     "mm_video_keyframe_ann",
+    "sim_ivfpq_rerank",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -124,7 +125,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "q20_excess_suppliers",
-    "q21_waiting_suppliers",
 )
 
 

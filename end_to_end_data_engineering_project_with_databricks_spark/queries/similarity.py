@@ -852,8 +852,10 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: assignment argmax + probe ranking (the sim_ivf_topk replay) AND
 #: codebook + codes + LUT sums (the sim_pq_adc_topk replay), joined on
 #: cell_id exactly as the Spark plan joins them.
-SIM_IVFPQ_TOPK_ORACLE = f"""
-    WITH cents AS (
+#: CTE chain ending at ``scored(query_id, neighbor_id, adc_score)`` —
+#: shared by the plain IVF-PQ top-k oracle and the retrieve-then-rerank
+#: oracle below (which widens the candidate cut and re-scores exactly).
+_IVFPQ_SCORED_CTES = f"""cents AS (
       SELECT vec_id AS cell_id, embedding AS centroid
       FROM embeddings ORDER BY vec_id LIMIT 16
     ),
@@ -907,7 +909,10 @@ SIM_IVFPQ_TOPK_ORACLE = f"""
       JOIN encoded e ON e.vec_id = a.vec_id
       CROSS JOIN cb
       WHERE a.vec_id <> p.query_id
-    )
+    )"""
+
+SIM_IVFPQ_TOPK_ORACLE = f"""
+    WITH {_IVFPQ_SCORED_CTES}
     SELECT query_id, neighbor_id, adc_score, CAST(rn AS BIGINT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn
@@ -938,3 +943,56 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return ivfpq_topk(e, queries, n_cells=16, nprobe=4, n_codes=16, m=8, k=5)
+
+
+#: Retrieve-then-rerank replay: the shared IVF-PQ scored chain with a
+#: WIDE rn <= 20 candidate cut, then an exact-cosine re-rank over the
+#: candidates' RAW vectors (the same sql_cosine fold as every cosine
+#: oracle in this module) down to the final 5.
+SIM_IVFPQ_RERANK_ORACLE = f"""
+    WITH {_IVFPQ_SCORED_CTES},
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn <= 20
+    ),
+    rer AS (
+      SELECT c.query_id, c.neighbor_id,
+             {sql_cosine("q.embedding", "nb.embedding")} AS score
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings nb ON nb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM rer
+    ) WHERE rn <= 5
+"""
+
+
+@query(
+    "sim_ivfpq_rerank",
+    oracle=SIM_IVFPQ_RERANK_ORACLE,
+    tags=("similarity", "ann", "join"),
+)
+def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieve-then-rerank ANN — the production
+    serving pattern the compressed index exists for: IVF-PQ retrieves a
+    wide 20-candidate cut per query from 8-int codes (equi-join scoring,
+    raw vectors untouched), then ONLY those candidates fetch raw vectors
+    through a broadcast id equi-join for an exact-cosine re-rank to the
+    final 5.  ADC approximation error affects which candidates surface,
+    never their final order (operators/similarity.ivfpq_rerank_topk for
+    the 100 TB shape)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivfpq_rerank_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return ivfpq_rerank_topk(
+        e, queries, n_cells=16, nprobe=4, n_codes=16, m=8, k_cand=20, k=5
+    )

@@ -50,6 +50,9 @@ _ALLOWED_THETA = {
     # and the |Q| x n_cells probe are broadcast crossJoins against the
     # 16-row centroid table — the same bounded class as sim_ivf_topk
     "sim_ivfpq_topk",
+    # retrieve-then-rerank: stage 1 IS ivfpq_topk (same adjudication);
+    # stage 2 is broadcast equi-joins of the |Q| x k_cand candidate list
+    "sim_ivfpq_rerank",
     # video keyframe ANN: the same ivfpq_topk composition over the FVC
     # frame-descriptor corpus — identical adjudication (assignment +
     # probe vs the 16-row centroid/codebook tables; scoring stays an
