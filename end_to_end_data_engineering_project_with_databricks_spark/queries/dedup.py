@@ -1353,3 +1353,95 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return jaccard_prefix_filter_pairs(d, "doc_id", "text", threshold=0.5, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-LEVEL overlap profiling: source-to-source shingle Jaccard
+# estimated from a bucketed-min (one-permutation-hashing) sketch — the
+# corpus-mixing diagnostic ("how much does crawl B re-crawl A?") that
+# runs BEFORE any pairwise doc dedup is priced.  One narrow shingle
+# explode + one (source, bucket) hash-agg reduce the whole corpus to
+# n_sources x 64 integers; every downstream comparison is on the sketch.
+# ---------------------------------------------------------------------------
+
+PROFILE_SOURCE_OVERLAP_ORACLE = f"""
+    WITH docs AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    pos AS (
+      SELECT source, toks,
+             unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+      FROM docs
+    ),
+    hs AS (
+      SELECT source,
+             {h60_duck("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")} AS h
+      FROM pos
+    ),
+    mins AS (
+      SELECT source, h % 64 AS bucket, MIN(h) AS mh
+      FROM hs GROUP BY source, h % 64
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS matching_buckets,
+           CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) / 64.0
+             AS est_jaccard
+    FROM mins a JOIN mins b ON a.bucket = b.bucket AND a.source < b.source
+    GROUP BY a.source, b.source
+"""
+
+
+@query(
+    "profile_source_overlap",
+    oracle=PROFILE_SOURCE_OVERLAP_ORACLE,
+    tags=("profile", "dedup", "sketch", "agg"),
+)
+def profile_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-source content overlap, sketched: every source's
+    shingle stream reduces to 64 bucketed minima of the md5-60 hash (the
+    stochastic-averaging form of one-permutation MinHash — Li et al.,
+    "One Permutation Hashing"), and each source pair's Jaccard is
+    estimated by the fraction of buckets whose minima AGREE.  The
+    corpus-mixing diagnostic that prices cross-source dedup before
+    running it: estimates near 0 mean disjoint crawls, near 1 a
+    re-crawl.
+
+    100 TB shape: the shingle explode is narrow (no distinct needed —
+    MIN is duplicate-blind); the ONLY corpus-wide shuffle is the
+    (source, bucket) hash-agg, map-side combined down to
+    n_sources x 64 rows; the pair comparison is an equi-join on bucket
+    over that tiny sketch table.  Estimator bias from sparse buckets is
+    the documented OPH trade; at corpus granularity every bucket is
+    dense.  Fully replayed by the DuckDB oracle (same hash family, same
+    bucketing)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _h60,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.select(
+        "source", F.explode(shingles("text", 3)).alias("_sh")
+    ).select("source", _h60(F.col("_sh")).alias("h"))
+    mins = hs.groupBy("source", F.pmod("h", F.lit(64)).alias("bucket")).agg(
+        F.min("h").alias("mh")
+    )
+    a = mins.select(
+        F.col("source").alias("source_a"), "bucket", F.col("mh").alias("ma")
+    )
+    b = mins.select(
+        F.col("source").alias("source_b"), "bucket", F.col("mh").alias("mb")
+    )
+    matches = F.sum(
+        F.when(F.col("ma") == F.col("mb"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(matches.alias("matching_buckets"))
+        .select(
+            "source_a",
+            "source_b",
+            "matching_buckets",
+            (F.col("matching_buckets") / F.lit(64.0)).alias("est_jaccard"),
+        )
+    )

@@ -95,6 +95,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_span_dedup_rewrite",
     "mm_video_keyframe_ann",
     "sim_ivfpq_rerank",
+    "profile_source_overlap",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -124,7 +125,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
 )
 
 
