@@ -96,6 +96,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "mm_video_keyframe_ann",
     "sim_ivfpq_rerank",
     "profile_source_overlap",
+    "stream_ann_lookup",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -124,7 +125,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
 )
 
 

@@ -394,3 +394,134 @@ def stream_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return run_to_memory(bmp_features(payloads), output_mode="append")
+
+
+def _stream_ann_oracle_sql() -> str:
+    """DuckDB replay of the streamed IVF lookups: the micro-batched
+    answer is provably the batch answer (each query vector's top-k
+    depends only on the static index, never on which micro-batch carried
+    it), so the oracle is the sim_ivf_topk replay with the corpus
+    restricted to the indexed 90% and the queries to the streamed 10%."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+        sql_cosine,
+    )
+
+    cos_cent = sql_cosine("c.embedding", "ct.centroid")
+    cos_q_cent = sql_cosine("q.embedding", "ct.centroid")
+    cos_p_a = sql_cosine("p.q_vec", "a.embedding")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cell_id, embedding AS centroid
+      FROM embeddings WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT c.vec_id, c.embedding, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {cos_cent} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings c CROSS JOIN cents ct
+        WHERE c.vec_id % 10 <> 0
+      ) WHERE rn = 1
+    ),
+    probed AS (
+      SELECT query_id, q_vec, cell_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {cos_q_cent} DESC, ct.cell_id
+               ) AS rn
+        FROM embeddings q CROSS JOIN cents ct
+        WHERE q.vec_id % 10 = 0 AND q.vec_id < 80
+      ) WHERE rn <= 4
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_p_a} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id
+               ORDER BY {cos_p_a} DESC, a.vec_id
+             ) AS BIGINT) AS rank
+      FROM probed p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ) WHERE rank <= 5
+"""
+
+
+STREAM_ANN_LOOKUP_ORACLE = _stream_ann_oracle_sql()
+
+
+@query(
+    "stream_ann_lookup",
+    oracle=STREAM_ANN_LOOKUP_ORACLE,
+    tags=("streaming", "similarity", "ann", "join"),
+)
+def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving: query vectors arrive as a file
+    stream (maxFilesPerTrigger=1, so the run really exercises multiple
+    micro-batches) and each micro-batch runs the audited IVF lookup
+    against the STATIC indexed corpus inside foreachBatch — the
+    continuous form of embedding-similarity serving, where the index is
+    built once and every arriving vector pays only its own probe.
+    Results append to a parquet sink; because each query vector's top-k
+    depends only on the static index, the drained stream's union equals
+    the one-shot batch answer and the full index-replay oracle applies.
+
+    100 TB shape: per micro-batch cost is the IVF per-query path
+    (broadcast 16-row centroid probe + equi-join on cell_id over the
+    probed cells); nothing scales with how much has already streamed —
+    the streaming twin of dedup_minhash_incremental's
+    cost-independent-of-history contract."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdir, outdir, ckpt = (
+        _tmp("ann_stream_queries"),
+        _tmp("ann_stream_results"),
+        _tmp("ann_stream_ckpt"),
+    )
+    for p in (qdir, outdir, ckpt):
+        shutil.rmtree(p, ignore_errors=True)  # fresh stream per run
+    (
+        e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 80))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(qdir)
+    )
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        corpus = load_table(batch_df.sparkSession, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 != 0
+        )
+        ivf_topk(corpus, batch_df, n_cells=16, nprobe=4, k=5).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(outdir)
