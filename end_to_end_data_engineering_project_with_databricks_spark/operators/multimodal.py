@@ -1471,6 +1471,44 @@ def video_frame_features(df: DataFrame, every_n: int = 5) -> DataFrame:
     return df.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
 
 
+def _decode_video_descriptors(
+    payload: bytes, every_n: int = 5, n_chunks: int = 8
+) -> "list[tuple[int, list[float]]]":
+    """Parse one FVC container and pool every ``every_n``-th frame into
+    an ``n_chunks``-dim chunk-sum descriptor — ``(frame_idx,
+    descriptor)`` pairs.  Same header walk and clean-error contract as
+    :func:`_decode_video_frames` (corrupt payloads raise
+    AssertionError/ValueError only — covered by the corruption sweep in
+    tests/test_multimodal_ops.py), plus two descriptor-specific gates:
+    the frame must split into equal chunks, and ``n_frames`` must stay
+    below the 1024 stride that keeps ``doc_id * 1024 + frame_idx``
+    collision-free."""
+    import struct
+
+    import numpy as np
+
+    assert len(payload) >= _FVC_HEADER_LEN, "FVC: truncated header"
+    assert payload[:4] == _FVC_MAGIC, "FVC: bad magic"
+    n_frames, frame_size, fps = struct.unpack("<III", payload[4:_FVC_HEADER_LEN])
+    assert 0 < n_frames <= 1 << 20, "FVC: implausible n_frames"
+    assert 0 < frame_size <= 1 << 24, "FVC: implausible frame_size"
+    assert 0 < fps <= 1000, "FVC: implausible fps"
+    assert frame_size % n_chunks == 0, "FVC: frame not chunkable"
+    assert n_frames < 1024, "FVC: frame_idx would collide vec_id"
+    body = len(payload) - _FVC_HEADER_LEN
+    assert body == n_frames * frame_size, "FVC: length mismatch"
+    sub = frame_size // n_chunks
+    out = []
+    for f in range(0, n_frames, every_n):
+        start = _FVC_HEADER_LEN + f * frame_size
+        frame = np.frombuffer(
+            payload, dtype=np.uint8, count=frame_size, offset=start
+        ).astype(np.int64)
+        desc = frame.reshape(n_chunks, sub).sum(axis=1)
+        out.append((f, [float(x) for x in desc]))
+    return out
+
+
 def video_frame_descriptors(
     df: DataFrame, every_n: int = 5, n_chunks: int = 8
 ) -> DataFrame:
@@ -1488,38 +1526,17 @@ def video_frame_descriptors(
     AssertionError/ValueError from the shared header walk).  Descriptor
     values are small integers carried as float64, so every downstream
     dot product is EXACT and the whole ANN index replays in SQL."""
-    import numpy as np
     import pandas as pd
 
     def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in it:
-            rows = []
-            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
-                d = int(d)
-                payload = bytes(payload)
-                assert len(payload) >= _FVC_HEADER_LEN, "FVC: truncated header"
-                assert payload[:4] == _FVC_MAGIC, "FVC: bad magic"
-                import struct
-
-                n_frames, frame_size, fps = struct.unpack(
-                    "<III", payload[4:_FVC_HEADER_LEN]
+            rows = [
+                (int(d) * 1024 + f, int(d), f, desc)
+                for d, payload in zip(pdf["doc_id"], pdf["payload"])
+                for f, desc in _decode_video_descriptors(
+                    bytes(payload), every_n, n_chunks
                 )
-                assert 0 < n_frames <= 1 << 20, "FVC: implausible n_frames"
-                assert 0 < frame_size <= 1 << 24, "FVC: implausible frame_size"
-                assert frame_size % n_chunks == 0, "FVC: frame not chunkable"
-                assert n_frames < 1024, "FVC: frame_idx would collide vec_id"
-                body = len(payload) - _FVC_HEADER_LEN
-                assert body == n_frames * frame_size, "FVC: length mismatch"
-                sub = frame_size // n_chunks
-                for f in range(0, n_frames, every_n):
-                    start = _FVC_HEADER_LEN + f * frame_size
-                    frame = np.frombuffer(
-                        payload, dtype=np.uint8, count=frame_size, offset=start
-                    ).astype(np.int64)
-                    desc = frame.reshape(n_chunks, sub).sum(axis=1)
-                    rows.append(
-                        (d * 1024 + f, d, f, [float(x) for x in desc])
-                    )
+            ]
             yield pd.DataFrame(
                 rows, columns=["vec_id", "doc_id", "frame_idx", "descriptor"]
             )

@@ -438,3 +438,59 @@ def test_fvc_corruption_sweep_raises_clean() -> None:
             ) from ex
         else:
             raise AssertionError(f"FVC: truncated payload ({cut}B) decoded")
+
+
+def test_fvc_descriptor_corruption_sweep_raises_clean() -> None:
+    """The keyframe-DESCRIPTOR parser honors the same clean-error
+    contract as _decode_video_frames (same header walk), including its
+    two extra gates: an un-chunkable frame_size and a vec_id-colliding
+    n_frames must fail as AssertionError, not divide/reshape errors."""
+    import struct
+
+    import numpy as np
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.multimodal import (
+        _decode_video_descriptors,
+    )
+
+    d, n_frames, frame_size = 9, 7, 16
+    f = np.arange(n_frames, dtype=np.int64)[:, None]
+    j = np.arange(frame_size, dtype=np.int64)[None, :]
+    frames = ((d * 7 + f * 13 + j * 3) % 256).astype(np.uint8)
+    payload = b"FVC1" + struct.pack("<III", n_frames, frame_size, 12) + frames.tobytes()
+
+    # sanity: intact payload pools frames 0 and 5 into 8 chunk sums
+    got = _decode_video_descriptors(payload, every_n=5, n_chunks=8)
+    assert [t[0] for t in got] == [0, 5]
+    assert all(len(t[1]) == 8 for t in got)
+    expect0 = frames[0].astype(np.int64).reshape(8, 2).sum(axis=1)
+    assert got[0][1] == [float(x) for x in expect0]
+
+    mutable = bytearray(payload)
+    for pos in range(16):  # full header sweep
+        old = mutable[pos]
+        for v in (0x00, 0xFF, old ^ 0x01, old ^ 0x80):
+            if v == old:
+                continue
+            mutable[pos] = v
+            try:
+                _decode_video_descriptors(bytes(mutable), every_n=5, n_chunks=8)
+            except (AssertionError, ValueError):
+                pass
+            except Exception as ex:
+                raise AssertionError(
+                    f"FVC desc: unclean {type(ex).__name__} at byte {pos} "
+                    f"value {v:#x}: {ex!r}"
+                ) from ex
+        mutable[pos] = old
+    for cut in range(len(payload)):  # truncation ladder
+        try:
+            _decode_video_descriptors(payload[:cut], every_n=5, n_chunks=8)
+        except (AssertionError, ValueError):
+            pass
+        except Exception as ex:
+            raise AssertionError(
+                f"FVC desc: unclean {type(ex).__name__} at truncation {cut}: {ex!r}"
+            ) from ex
+        else:
+            raise AssertionError(f"FVC desc: truncated payload ({cut}B) decoded")
