@@ -416,3 +416,21 @@ def test_audio_energy_is_single_arrow_pass(spark, sf_dir):
     df = _df(spark, sf_dir, "mm_audio_energy_windows")
     assert shuffle_count(df) == 0, formatted_plan(df)
     assert not has_cartesian(df)
+
+
+def test_source_overlap_single_corpus_shuffle(spark, sf_dir):
+    """profile_source_overlap's only CORPUS-sized shuffle is the
+    (source, bucket) sketch aggregation; the remaining two exchanges
+    (the bucket self-join + the pair rollup) operate on the
+    n_sources x 64 sketch table.  Pin the total so a rewrite cannot
+    silently add a corpus-wide shuffle."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
+        profile_source_overlap,
+    )
+
+    df = profile_source_overlap(spark, sf_dir)
+    assert shuffle_count(df) == 3, formatted_plan(df)

@@ -464,3 +464,39 @@ def test_video_keyframe_ann_plan_shape(spark, sf_dir):
     assert any(
         j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     ), plan
+
+
+def test_rerank_recall_dominates_adc(spark, sf_dir):
+    """Exact re-ranking of the ADC top-20 can only help: every true
+    top-5 neighbor that survives candidate generation is kept by the
+    exact cosine re-rank, while plain IVF-PQ may misorder it out on ADC
+    error — so recall@5(rerank) >= recall@5(plain IVF-PQ), query by
+    query (plain's picks are a subset of rerank's candidate set)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_rerank_topk,
+        ivfpq_topk,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return out
+
+    truth = sets(brute_force_topk(e, queries, k=5))
+    adc = sets(ivfpq_topk(e, queries, k=5))
+    rer = sets(ivfpq_rerank_topk(e, queries, k_cand=20, k=5))
+    assert set(rer) == set(truth)
+    for qid, true_nb in truth.items():
+        r_adc = len(adc.get(qid, set()) & true_nb)
+        r_rer = len(rer.get(qid, set()) & true_nb)
+        assert r_rer >= r_adc, (qid, r_rer, r_adc)
