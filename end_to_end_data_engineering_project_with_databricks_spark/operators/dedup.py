@@ -1004,8 +1004,8 @@ def drop_duplicated_spans(
     join untouched.  No window, no cross join, no Python.
 
     Returns one row per input document:
-    ``(id_col, tokens_before, rewritten array<string>, tokens_after,
-    affected boolean)``.
+    ``(id_col, tokens_before, rewritten array<string>, affected boolean,
+    tokens_after)``.
     """
     drops = (
         spans.select(
@@ -1016,9 +1016,7 @@ def drop_duplicated_spans(
         )
         .dropDuplicates()
     )
-    drop_arr = drops.groupBy("_did").agg(
-        F.sort_array(F.collect_list("_dpos")).alias("_drop")
-    )
+    drop_arr = drops.groupBy("_did").agg(F.collect_list("_dpos").alias("_drop"))
     base = scale_out(df).select(F.col(id_col), tokens(text_col).alias("_tk"))
     return (
         base.join(drop_arr, F.col(id_col) == F.col("_did"), "left")

@@ -460,6 +460,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest cells per query and
     rank only vectors assigned to those cells.
@@ -468,13 +469,18 @@ def ivf_topk(
     Catalyst) — the only place corpus rows meet query rows, and it carries
     |corpus| * (nprobe/n_cells) rows instead of |corpus| x |queries|.
     ``centroids`` swaps in a trained codebook (:func:`kmeans_centroids`);
-    the default is the deterministic seed."""
+    the default is the deterministic seed.  ``assigned`` swaps in a
+    PRECOMPUTED cell assignment (must be :func:`ivf_assign` of this
+    corpus under these centroids) so repeated lookups — micro-batches,
+    query batches — amortize the corpus-wide assignment pass instead of
+    re-planning it per call (stream_ann_lookup does exactly this)."""
     cents = (
         centroids
         if centroids is not None
         else deterministic_centroids(corpus, n_cells, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if assigned is None:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_scored = q.crossJoin(F.broadcast(cents)).select(

@@ -854,18 +854,14 @@ def _video_keyframe_ann_oracle_sql() -> str:
     """FULL replay for :func:`mm_video_keyframe_ann`: regenerate every
     sampled frame's bytes arithmetically (the MM_VIDEO_FRAMES_ORACLE
     formula), pool them into chunk-sum descriptors, then replay the
-    IVF-PQ index — centroid assignment argmax, 16-vector codebook, PQ
-    encoding, nprobe cell ranking, ADC scoring, top-k — exactly as
-    SIM_IVFPQ_TOPK_ORACLE does over the embeddings table, with m=4
+    SHARED IVF-PQ scored chain (queries/similarity.ivfpq_scored_ctes —
+    the same SQL sim_ivfpq_topk runs) over the descriptor CTE, with m=4
     subspaces of 2 dims over the 8-dim descriptors."""
-    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
-        sql_cosine,
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
+        ivfpq_scored_ctes,
     )
 
-    cos_cent = sql_cosine("c.embedding", "ct.centroid")
-    cos_q_cent = sql_cosine("q.embedding", "ct.centroid")
-    return f"""
-    WITH docs AS (
+    descriptor_ctes = """docs AS (
       SELECT doc_id, 24 + doc_id % 40 AS n_frames
       FROM documents WHERE doc_id < 120
     ),
@@ -888,59 +884,16 @@ def _video_keyframe_ann_oracle_sql() -> str:
              list(CAST(s AS DOUBLE) ORDER BY chunk) AS embedding
       FROM ch GROUP BY doc_id, frame_idx
     ),
-    cents AS (
-      SELECT vec_id AS cell_id, embedding AS centroid
-      FROM emb ORDER BY vec_id LIMIT 16
-    ),
-    assigned AS (
-      SELECT vec_id, cell_id FROM (
-        SELECT c.vec_id, ct.cell_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY c.vec_id
-                 ORDER BY {cos_cent} DESC, ct.cell_id
-               ) AS rn
-        FROM emb c CROSS JOIN cents ct
-      ) WHERE rn = 1
-    ),
-    cb AS (
-      SELECT list(embedding ORDER BY vec_id) AS cbs
-      FROM (SELECT vec_id, embedding FROM emb ORDER BY vec_id LIMIT 16)
-    ),
-    encoded AS (
-      SELECT c.vec_id,
-             list_transform(range(0, 4), s ->
-               list_position(
-                 list_transform(cb.cbs, cv -> list_dot_product(
-                   c.embedding[s*2+1 : s*2+2], cv[s*2+1 : s*2+2])),
-                 list_aggregate(
-                   list_transform(cb.cbs, cv -> list_dot_product(
-                     c.embedding[s*2+1 : s*2+2], cv[s*2+1 : s*2+2])), 'max')
-               ) - 1) AS codes
-      FROM emb c CROSS JOIN cb
-    ),
-    probed AS (
-      SELECT query_id, q_vec, cell_id FROM (
-        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {cos_q_cent} DESC, ct.cell_id
-               ) AS rn
-        FROM emb q CROSS JOIN cents ct
-        WHERE q.vec_id < 1024
-      ) WHERE rn <= 4
-    ),
-    scored AS (
-      SELECT p.query_id, a.vec_id AS neighbor_id,
-             list_sum(list_transform(range(0, 4), s ->
-               list_dot_product(
-                 p.q_vec[s*2+1 : s*2+2],
-                 (cb.cbs[e.codes[s+1] + 1])[s*2+1 : s*2+2]))) AS adc_score
-      FROM probed p
-      JOIN assigned a USING (cell_id)
-      JOIN encoded e ON e.vec_id = a.vec_id
-      CROSS JOIN cb
-      WHERE a.vec_id <> p.query_id
+    """
+    ctes = ivfpq_scored_ctes(
+        table="emb",
+        m=4,
+        sub=2,
+        query_where="q.vec_id < 1024",
+        prefix=descriptor_ctes,
     )
+    return f"""
+    WITH {ctes}
     SELECT query_id, neighbor_id, adc_score, CAST(rn AS BIGINT) AS rank FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rn

@@ -181,13 +181,20 @@ _COS_CENT = sql_cosine("c.embedding", "ct.centroid")
 _COS_Q_CENT = sql_cosine("q.embedding", "ct.centroid")
 _COS_P_A = sql_cosine("p.q_vec", "a.embedding")
 
-#: DuckDB replay of the deterministic-centroid IVF index (16 lowest-id
-#: vectors as the codebook, nearest-cell assignment, nprobe-cell probe
-#: per query) — shared by the raw top-k oracle and the recall oracle.
-_IVF_REPLAY_CTES = f"""
+def ivf_replay_ctes(
+    corpus_where: str = "TRUE", query_where: str = "q.vec_id < 8"
+) -> str:
+    """DuckDB replay of the deterministic-centroid IVF index (16
+    lowest-id vectors as the codebook, nearest-cell assignment,
+    nprobe-cell probe per query) — shared by the raw top-k oracle, the
+    recall oracle, and (with corpus/query predicates) the streaming ANN
+    oracle (queries/streaming_queries.py).  Parameterized so the chain
+    exists ONCE; predicates are unqualified for the cents/assigned
+    scans and ``q.``-qualified for the probe."""
+    return f"""
     WITH cents AS (
       SELECT vec_id AS cell_id, embedding AS centroid
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      FROM embeddings WHERE {corpus_where} ORDER BY vec_id LIMIT 16
     ),
     assigned AS (
       SELECT vec_id, embedding, cell_id FROM (
@@ -196,7 +203,8 @@ _IVF_REPLAY_CTES = f"""
                  PARTITION BY c.vec_id
                  ORDER BY {_COS_CENT} DESC, ct.cell_id
                ) AS rn
-        FROM embeddings c CROSS JOIN cents ct
+        FROM (SELECT * FROM embeddings WHERE {corpus_where}) c
+        CROSS JOIN cents ct
       ) WHERE rn = 1
     ),
     probed AS (
@@ -207,15 +215,18 @@ _IVF_REPLAY_CTES = f"""
                  ORDER BY {_COS_Q_CENT} DESC, ct.cell_id
                ) AS rn
         FROM embeddings q CROSS JOIN cents ct
-        WHERE q.vec_id < 8
+        WHERE {query_where}
       ) WHERE rn <= 4
     )"""
 
 
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
-    {_IVF_REPLAY_CTES}
+def ivf_topk_oracle_sql(
+    corpus_where: str = "TRUE", query_where: str = "q.vec_id < 8"
+) -> str:
+    """Full :func:`operators.similarity.ivf_topk` replay — the shared
+    CTE chain plus the candidate top-5 projection."""
+    return f"""
+    {ivf_replay_ctes(corpus_where, query_where)}
     SELECT query_id, neighbor_id, score, rank FROM (
       SELECT p.query_id, a.vec_id AS neighbor_id, {_COS_P_A} AS score,
              CAST(ROW_NUMBER() OVER (
@@ -225,7 +236,15 @@ _IVF_REPLAY_CTES = f"""
       FROM probed p JOIN assigned a USING (cell_id)
       WHERE a.vec_id <> p.query_id
     ) WHERE rank <= 5
-    """,
+    """
+
+
+_IVF_REPLAY_CTES = ivf_replay_ctes()
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=ivf_topk_oracle_sql(),
     tags=("similarity", "topk", "approx"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,12 +871,24 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: assignment argmax + probe ranking (the sim_ivf_topk replay) AND
 #: codebook + codes + LUT sums (the sim_pq_adc_topk replay), joined on
 #: cell_id exactly as the Spark plan joins them.
-#: CTE chain ending at ``scored(query_id, neighbor_id, adc_score)`` —
-#: shared by the plain IVF-PQ top-k oracle and the retrieve-then-rerank
-#: oracle below (which widens the candidate cut and re-scores exactly).
-_IVFPQ_SCORED_CTES = f"""cents AS (
+def ivfpq_scored_ctes(
+    table: str = "embeddings",
+    m: int = 8,
+    sub: int = 8,
+    query_where: str = "q.vec_id < 8",
+    prefix: str = "",
+) -> str:
+    """CTE chain ending at ``scored(query_id, neighbor_id, adc_score)``
+    — shared by the plain IVF-PQ top-k oracle, the retrieve-then-rerank
+    oracle (which widens the candidate cut and re-scores exactly), and
+    the video-keyframe ANN oracle (queries/multimodal.py, which passes
+    its descriptor CTEs as ``prefix`` and scores 4x2 subspaces over an
+    8-dim corpus).  Parameterized so the ~55-line replay exists ONCE;
+    ``table`` must expose (vec_id, embedding)."""
+    sl = f"[s*{sub}+1 : s*{sub}+{sub}]"
+    return f"""{prefix}cents AS (
       SELECT vec_id AS cell_id, embedding AS centroid
-      FROM embeddings ORDER BY vec_id LIMIT 16
+      FROM {table} ORDER BY vec_id LIMIT 16
     ),
     assigned AS (
       SELECT vec_id, cell_id FROM (
@@ -866,26 +897,26 @@ _IVFPQ_SCORED_CTES = f"""cents AS (
                  PARTITION BY c.vec_id
                  ORDER BY {_COS_CENT} DESC, ct.cell_id
                ) AS rn
-        FROM embeddings c CROSS JOIN cents ct
+        FROM {table} c CROSS JOIN cents ct
       ) WHERE rn = 1
     ),
     cb AS (
       SELECT list(CAST(embedding AS DOUBLE[]) ORDER BY vec_id) AS cbs
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+      FROM (SELECT vec_id, embedding FROM {table} ORDER BY vec_id LIMIT 16)
     ),
     encoded AS (
       SELECT c.vec_id,
-             list_transform(range(0, 8), s ->
+             list_transform(range(0, {m}), s ->
                list_position(
                  list_transform(cb.cbs, cv -> list_dot_product(
-                   (CAST(c.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
-                   cv[s*8+1 : s*8+8])),
+                   (CAST(c.embedding AS DOUBLE[])){sl},
+                   cv{sl})),
                  list_aggregate(
                    list_transform(cb.cbs, cv -> list_dot_product(
-                     (CAST(c.embedding AS DOUBLE[]))[s*8+1 : s*8+8],
-                     cv[s*8+1 : s*8+8])), 'max')
+                     (CAST(c.embedding AS DOUBLE[])){sl},
+                     cv{sl})), 'max')
                ) - 1) AS codes
-      FROM embeddings c CROSS JOIN cb
+      FROM {table} c CROSS JOIN cb
     ),
     probed AS (
       SELECT query_id, q_vec, cell_id FROM (
@@ -894,22 +925,25 @@ _IVFPQ_SCORED_CTES = f"""cents AS (
                  PARTITION BY q.vec_id
                  ORDER BY {_COS_Q_CENT} DESC, ct.cell_id
                ) AS rn
-        FROM embeddings q CROSS JOIN cents ct
-        WHERE q.vec_id < 8
+        FROM {table} q CROSS JOIN cents ct
+        WHERE {query_where}
       ) WHERE rn <= 4
     ),
     scored AS (
       SELECT p.query_id, a.vec_id AS neighbor_id,
-             list_sum(list_transform(range(0, 8), s ->
+             list_sum(list_transform(range(0, {m}), s ->
                list_dot_product(
-                 (CAST(p.q_vec AS DOUBLE[]))[s*8+1 : s*8+8],
-                 (cb.cbs[e.codes[s+1] + 1])[s*8+1 : s*8+8]))) AS adc_score
+                 (CAST(p.q_vec AS DOUBLE[])){sl},
+                 (cb.cbs[e.codes[s+1] + 1]){sl}))) AS adc_score
       FROM probed p
       JOIN assigned a USING (cell_id)
       JOIN encoded e ON e.vec_id = a.vec_id
       CROSS JOIN cb
       WHERE a.vec_id <> p.query_id
     )"""
+
+
+_IVFPQ_SCORED_CTES = ivfpq_scored_ctes()
 
 SIM_IVFPQ_TOPK_ORACLE = f"""
     WITH {_IVFPQ_SCORED_CTES}

@@ -400,52 +400,17 @@ def _stream_ann_oracle_sql() -> str:
     """DuckDB replay of the streamed IVF lookups: the micro-batched
     answer is provably the batch answer (each query vector's top-k
     depends only on the static index, never on which micro-batch carried
-    it), so the oracle is the sim_ivf_topk replay with the corpus
-    restricted to the indexed 90% and the queries to the streamed 10%."""
-    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
-        sql_cosine,
+    it), so the oracle is the SHARED sim_ivf_topk replay
+    (queries/similarity.ivf_topk_oracle_sql) with the corpus restricted
+    to the indexed 90% and the queries to the streamed 10%."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
+        ivf_topk_oracle_sql,
     )
 
-    cos_cent = sql_cosine("c.embedding", "ct.centroid")
-    cos_q_cent = sql_cosine("q.embedding", "ct.centroid")
-    cos_p_a = sql_cosine("p.q_vec", "a.embedding")
-    return f"""
-    WITH cents AS (
-      SELECT vec_id AS cell_id, embedding AS centroid
-      FROM embeddings WHERE vec_id % 10 <> 0 ORDER BY vec_id LIMIT 16
-    ),
-    assigned AS (
-      SELECT vec_id, embedding, cell_id FROM (
-        SELECT c.vec_id, c.embedding, ct.cell_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY c.vec_id
-                 ORDER BY {cos_cent} DESC, ct.cell_id
-               ) AS rn
-        FROM embeddings c CROSS JOIN cents ct
-        WHERE c.vec_id % 10 <> 0
-      ) WHERE rn = 1
-    ),
-    probed AS (
-      SELECT query_id, q_vec, cell_id FROM (
-        SELECT q.vec_id AS query_id, q.embedding AS q_vec, ct.cell_id,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.vec_id
-                 ORDER BY {cos_q_cent} DESC, ct.cell_id
-               ) AS rn
-        FROM embeddings q CROSS JOIN cents ct
-        WHERE q.vec_id % 10 = 0 AND q.vec_id < 80
-      ) WHERE rn <= 4
+    return ivf_topk_oracle_sql(
+        corpus_where="vec_id % 10 <> 0",
+        query_where="q.vec_id % 10 = 0 AND q.vec_id < 80",
     )
-    SELECT query_id, neighbor_id, score, rank FROM (
-      SELECT p.query_id, a.vec_id AS neighbor_id, {cos_p_a} AS score,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY p.query_id
-               ORDER BY {cos_p_a} DESC, a.vec_id
-             ) AS BIGINT) AS rank
-      FROM probed p JOIN assigned a USING (cell_id)
-      WHERE a.vec_id <> p.query_id
-    ) WHERE rank <= 5
-"""
 
 
 STREAM_ANN_LOOKUP_ORACLE = _stream_ann_oracle_sql()
@@ -463,20 +428,29 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the STATIC indexed corpus inside foreachBatch — the
     continuous form of embedding-similarity serving, where the index is
     built once and every arriving vector pays only its own probe.
-    Results append to a parquet sink; because each query vector's top-k
-    depends only on the static index, the drained stream's union equals
-    the one-shot batch answer and the full index-replay oracle applies.
+    Because each query vector's top-k depends only on the static index,
+    the drained stream's union equals the one-shot batch answer and the
+    full index-replay oracle applies.
 
-    100 TB shape: per micro-batch cost is the IVF per-query path
-    (broadcast 16-row centroid probe + equi-join on cell_id over the
-    probed cells); nothing scales with how much has already streamed —
-    the streaming twin of dedup_minhash_incremental's
-    cost-independent-of-history contract."""
+    Retry safety: foreachBatch is at-least-once, so the sink writes
+    each micro-batch to its own ``b{batch_id}`` directory with
+    mode("overwrite") — a redelivered batch overwrites its OWN prior
+    output instead of appending duplicates (the directory-granular form
+    of the foreach_batch_idempotent contract).
+
+    100 TB shape: the index (centroids + cell assignment) is built ONCE
+    and materialized before the stream starts; per micro-batch cost is
+    the IVF per-query path (broadcast 16-row centroid probe + equi-join
+    on cell_id over the probed cells) — nothing scales with how much
+    has already streamed, the streaming twin of
+    dedup_minhash_incremental's cost-independent-of-history contract."""
     import shutil
 
     from pyspark.sql import functions as F
 
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
         ivf_topk,
     )
     from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
@@ -501,6 +475,17 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(qdir)
     )
 
+    # the static index, built once and reused by every micro-batch
+    # (foreachBatch's cloned session shares the SparkContext, so the
+    # materialized assignment is directly joinable from the sink)
+    corpus = e.filter(F.col("vec_id") % 10 != 0)
+    cents = deterministic_centroids(corpus, 16, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    assigned = ivf_assign(corpus, cents, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
@@ -510,12 +495,10 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        corpus = load_table(batch_df.sparkSession, sf_dir, "embeddings").filter(
-            F.col("vec_id") % 10 != 0
-        )
-        ivf_topk(corpus, batch_df, n_cells=16, nprobe=4, k=5).write.mode(
-            "append"
-        ).parquet(outdir)
+        ivf_topk(
+            corpus, batch_df, n_cells=16, nprobe=4, k=5,
+            centroids=cents, assigned=assigned,
+        ).write.mode("overwrite").parquet(f"{outdir}/b{batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -524,4 +507,4 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(outdir)
+    return spark.read.parquet(f"{outdir}/b*")
