@@ -21,6 +21,9 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric
     sql_davg,
     sql_dsum,
 )
+from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+    tokens,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
     dot,
     l2_norm,
@@ -1351,3 +1354,255 @@ def pipeline_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding distribution drift (round 7) — total-variation distance between
+# a reference and a candidate slice of the embedding corpus, over a
+# fixed-direction 1-D projection.  The monitoring pass a production
+# embedding pipeline runs on every new batch: encoder regressions and
+# upstream corpus shifts show up as histogram drift long before any
+# downstream eval moves.
+# ---------------------------------------------------------------------------
+
+_DRIFT_FP_SCALE = 1_000_000
+_DRIFT_ONES = "[" + ", ".join(["1.0"] * 64) + "]"
+
+PROFILE_EMBEDDING_DRIFT_ORACLE = f"""
+    WITH p AS (
+      SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS is_ref,
+             LEAST(GREATEST(CAST(floor(
+               (list_dot_product(CAST(embedding AS DOUBLE[]), {_DRIFT_ONES})
+                + 4.0) * 2.0) AS INTEGER), 0), 15) AS bucket
+      FROM embeddings
+    ),
+    bc AS (
+      SELECT bucket,
+             SUM(is_ref) AS n_ref,
+             SUM(1 - is_ref) AS n_cand
+      FROM p GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cand) AS t_cand FROM bc),
+    f AS (
+      SELECT bucket, n_ref, n_cand,
+             ({_DRIFT_FP_SCALE} * n_ref) // GREATEST(t_ref, 1) AS p_ref_fp,
+             ({_DRIFT_FP_SCALE} * n_cand) // GREATEST(t_cand, 1) AS p_cand_fp
+      FROM bc, tot
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(p_ref_fp AS BIGINT) AS p_ref_fp,
+           CAST(p_cand_fp AS BIGINT) AS p_cand_fp,
+           CAST(abs(p_ref_fp - p_cand_fp) AS BIGINT) AS tv_fp
+    FROM f
+"""
+
+
+@query(
+    "profile_embedding_drift",
+    oracle=PROFILE_EMBEDDING_DRIFT_ORACLE,
+    tags=("similarity", "profile", "quality"),
+)
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: histogram the projection of
+    every vector onto a fixed direction (the all-ones axis — any
+    deterministic probe direction works; unit norms make the raw
+    component sum a scale-free signal), split the corpus into a
+    reference slice (labels 0-4) and a candidate slice (labels 5-9), and
+    emit per-bucket proportions plus their absolute difference.  The
+    total-variation distance is ``sum(tv_fp) / 2 / SCALE`` — the
+    log-free drift statistic (PSI's log-ratio term is libm territory;
+    TVD is pure integer algebra both engines compute bit-identically).
+
+    The projection is a left-to-right in-row double fold —
+    ``aggregate(vec, 0.0, +)`` on Spark, ``list_dot_product(vec, ones)``
+    in the oracle (multiplying by 1.0 is an exact identity, and the
+    fold-order equivalence of the two engines is the one already proven
+    by every cosine oracle).  Bucket edges are exact IEEE arithmetic
+    (``floor((s + 4) * 2)``, clamped to [0, 15]).
+
+    100 TB shape: ONE narrow map over the corpus (projection + bucket),
+    one 16-group hash-agg with map-side combine, then a broadcast
+    crossJoin of the 1-row totals — the allow-listed scalar-broadcast
+    class (emb_minmax_scaling); nothing downstream of the agg scales
+    with the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = F.expr(
+        "aggregate(CAST(embedding AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+    bucket = F.least(
+        F.greatest(F.floor((proj + F.lit(4.0)) * F.lit(2.0)).cast("int"), F.lit(0)),
+        F.lit(15),
+    )
+    p = e.select(
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("is_ref"),
+        bucket.alias("bucket"),
+    )
+    bc = p.groupBy("bucket").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.expr("1 - is_ref")).alias("n_cand"),
+    )
+    tot = bc.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cand").alias("t_cand")
+    )
+    s = _DRIFT_FP_SCALE
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_ref",
+            "n_cand",
+            F.expr(f"({s} * n_ref) div GREATEST(t_ref, 1)").alias("p_ref_fp"),
+            F.expr(f"({s} * n_cand) div GREATEST(t_cand, 1)").alias("p_cand_fp"),
+        )
+        .withColumn("tv_fp", F.abs(F.col("p_ref_fp") - F.col("p_cand_fp")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (round 7) — Data Selection via
+# Importance Resampling (Xie et al., 2023): score every raw document by
+# how much more likely its hashed n-gram features are under a TARGET
+# distribution than under the RAW corpus distribution, then keep the
+# top-weighted slice.  The standard pretraining-mix tool for "give me
+# more data that looks like this reference set" without training a
+# classifier.
+# ---------------------------------------------------------------------------
+
+_DSIR_FP_SCALE = 1_000_000
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 100
+
+
+def _dsir_oracle() -> str:
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_duck,
+    )
+
+    s, m, k = _DSIR_FP_SCALE, _DSIR_BUCKETS, _DSIR_TOPK
+    bg = "toks[i] || ' ' || toks[i + 1]"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    el AS (SELECT * FROM t WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, lang, {h60_duck(bg)} % {m} AS b
+      FROM (SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM el)
+    ),
+    dbc AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM bg GROUP BY doc_id, lang, b),
+    raw AS (SELECT b, SUM(c) AS cnt_r FROM dbc GROUP BY b),
+    tgt AS (SELECT b, SUM(c) AS cnt_t FROM dbc WHERE lang = 'en' GROUP BY b),
+    w AS (
+      SELECT raw.b, COALESCE(cnt_t, 0) AS cnt_t, cnt_r
+      FROM raw LEFT JOIN tgt USING (b)
+    ),
+    tot AS (SELECT SUM(cnt_t) AS tt, SUM(cnt_r) AS tr FROM w),
+    pq AS (
+      SELECT b,
+             ({s} * (cnt_t + 1)) // (tt + {m}) AS p_fp,
+             ({s} * (cnt_r + 1)) // (tr + {m}) AS q_fp
+      FROM w, tot
+    ),
+    wt AS (SELECT b, (p_fp * {s}) // GREATEST(q_fp, 1) AS w_fp FROM pq),
+    sc AS (
+      SELECT doc_id, SUM(c) AS n_feats, SUM(c * w_fp) AS dsir_fp
+      FROM dbc JOIN wt USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_feats AS BIGINT) AS n_feats,
+           CAST(dsir_fp AS BIGINT) AS dsir_fp,
+           CAST(dsir_fp // n_feats AS BIGINT) AS avg_weight_fp
+    FROM sc
+    ORDER BY avg_weight_fp DESC, doc_id
+    LIMIT {k}
+    """
+
+
+@query(
+    "sample_dsir_importance",
+    oracle=_dsir_oracle(),
+    tags=("curation", "sampling", "training-data"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al., 2023, "Data
+    Selection for Language Models via Importance Resampling"): featurize
+    every document as hashed-bigram bucket counts (md5-60 hash — the
+    engine-portable family of functions/hashfamily.py — mod 256
+    buckets), estimate add-one-smoothed bucket distributions for the
+    TARGET slice (``lang = 'en'`` stands in for the curated reference
+    set) and the RAW corpus, and keep the 100 documents with the highest
+    per-feature importance weight.
+
+    Deviation from the paper, on purpose: the per-bucket weight is the
+    fixed-point probability RATIO ``(p_fp * S) div q_fp`` and a
+    document's score is its count-weighted MEAN ratio, not the
+    sum-of-log-ratios — log() is libm territory where the engines drift
+    in the last ulp, while integer ratio algebra they compute
+    bit-identically (the text_bigram_lm_score precedent).  The ranking
+    is deterministic: ties break on doc_id, so the top-k SET is stable.
+
+    Int64 envelope: ``p_fp <= S`` and ``w_fp <= S^2 = 1e12``; a
+    document's ``dsir_fp`` stays below ``n_bigrams * 1e12`` — safe to
+    ~9e6 bigrams per document.  Corpus totals enter only through the two
+    integer divisions (``tt``/``tr`` up to ~9e18 bigrams before
+    widening to DECIMAL is needed).
+
+    100 TB shape: the doc-level bucket-count agg (map-side combined,
+    <= 256 distinct keys per doc) is materialized ONCE (localCheckpoint
+    — it feeds both the corpus histograms and the scoring join, the
+    bigram_lm_scores lesson); the bucket histograms are 256-row
+    aggregates; the weight table is 256 rows broadcast back; the 1-row
+    totals crossJoin is the allow-listed scalar-broadcast class.  The
+    final top-k is TakeOrderedAndProject (per-partition heads, no global
+    sort)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_spark,
+    )
+
+    s, m, k = _DSIR_FP_SCALE, _DSIR_BUCKETS, _DSIR_TOPK
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(tokens("text")) >= 2).select(
+        "doc_id", "lang", tokens("text").alias("_tk")
+    )
+    bg_sql = "concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))"
+    buckets = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(_tk) - 1), "
+            f"i -> pmod({h60_spark(bg_sql)}, {m}))"
+        )
+    ).alias("b")
+    dbc = (
+        base.select("doc_id", "lang", buckets)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    raw = dbc.groupBy("b").agg(F.sum("c").alias("cnt_r"))
+    tgt = dbc.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.sum("c").alias("cnt_t")
+    )
+    w = raw.join(tgt, "b", "left").fillna(0, subset=["cnt_t"])
+    tot = w.agg(F.sum("cnt_t").alias("tt"), F.sum("cnt_r").alias("tr"))
+    wt = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(f"({s} * (cnt_t + 1)) div (tt + {m})").alias("p_fp"),
+            F.expr(f"({s} * (cnt_r + 1)) div (tr + {m})").alias("q_fp"),
+        )
+        .select("b", F.expr(f"(p_fp * {s}) div GREATEST(q_fp, 1)").alias("w_fp"))
+    )
+    sc = (
+        dbc.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_feats"), F.sum(F.expr("c * w_fp")).alias("dsir_fp"))
+        .select(
+            "doc_id",
+            "n_feats",
+            "dsir_fp",
+            F.expr("dsir_fp div n_feats").alias("avg_weight_fp"),
+        )
+    )
+    return sc.orderBy(F.desc("avg_weight_fp"), "doc_id").limit(k)

@@ -58,8 +58,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # r6 item 2 retires the last rows-only row); (c) the seven queries
     # ADDED in r7 (OHLC resample, key-skew diagnostic, SQL scripting,
     # audio energy windows, the audio-curation capstone, SemDeDup,
-    # as-of-with-tolerance) take slots immediately per the standing
-    # rule; (d) the remaining 29 slots
+    # as-of-with-tolerance, the span-dedup-rewrite + video-ANN
+    # capstones, rerank, source-overlap, streaming ANN, DSIR
+    # importance selection, trimmed/winsorized agg, n-gram diversity,
+    # embedding drift) take slots immediately per the standing
+    # rule; (d) the remaining slots
     # begin the STANDING
     # oldest-green-first re-attestation policy (VERDICT r6 item 3):
     # every slot below the staged tier is a query whose latest driver
@@ -97,6 +100,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sim_ivfpq_rerank",
     "profile_source_overlap",
     "stream_ann_lookup",
+    "sample_dsir_importance",
+    "agg_trimmed_winsorized",
+    "text_ngram_diversity",
+    "profile_embedding_drift",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -121,10 +128,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q12_priority_linestatus",
     "q13_customer_distribution",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
 )
 
 

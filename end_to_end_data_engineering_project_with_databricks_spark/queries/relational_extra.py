@@ -1150,3 +1150,98 @@ def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_key_rows",
         )
     )
+
+
+@query(
+    "agg_trimmed_winsorized",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY cents, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM c
+    ),
+    a AS (
+      SELECT o_orderpriority,
+             MAX(n) AS n, MAX(n) // 10 AS g,
+             SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                      THEN cents END) AS sum_mid,
+             MAX(CASE WHEN rn = n // 10 + 1 THEN cents END) AS lo,
+             MAX(CASE WHEN rn = n - n // 10 THEN cents END) AS hi
+      FROM r GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(lo AS BIGINT) AS lo_cents,
+           CAST(hi AS BIGINT) AS hi_cents,
+           CAST(sum_mid // (n - 2 * g) AS BIGINT) AS trimmed_mean_cents,
+           CAST((sum_mid + g * (lo + hi)) // n AS BIGINT)
+             AS winsorized_mean_cents
+    FROM a
+    """,
+    tags=("agg", "window", "robust"),
+)
+def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregation: 10%-trimmed mean and 10%-winsorized mean of
+    order value per priority — the outlier-resistant location estimates a
+    profiling pass reports next to the plain mean (one fat-finger order
+    cannot move them).
+
+    Exact-rank semantics, not approximate percentiles: rows rank by
+    ``(cents, o_orderkey)`` (total order — the tie-break makes both
+    engines pick the identical boundary rows), ``g = n div 10`` rows are
+    dropped from each tail for the trim and CLAMPED to the boundary
+    values for the winsorization.  All arithmetic is integer cents
+    (``round(price*100)`` — positive values, so Spark HALF_UP and DuckDB
+    round-away-from-zero agree), so sums are order-independent and
+    hash-exact; ``n - 2g >= 1`` for every ``n >= 1`` so the trim divisor
+    cannot hit zero.
+
+    100 TB shape: both window functions share ONE partition spec
+    (o_orderpriority) — a single hash-partition pass, no global sort;
+    the final aggregate is a 5-group hash-agg over already-partitioned
+    rows.  Skew note: a 5-value partition key means 5 reducers own the
+    sort at any scale; for a high-cardinality fact this is the standard
+    per-group robust-stats shape (partition count tracks group count)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wp = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    mid = (F.col("rn") > F.expr("n div 10")) & (
+        F.col("rn") <= F.col("n") - F.expr("n div 10")
+    )
+    a = r.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        F.expr("MAX(n) div 10").alias("g"),
+        F.sum(F.when(mid, F.col("cents"))).alias("sum_mid"),
+        F.max(F.when(F.col("rn") == F.expr("n div 10 + 1"), F.col("cents"))).alias(
+            "lo"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("n - n div 10"), F.col("cents"))).alias(
+            "hi"
+        ),
+    )
+    return a.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        F.expr("sum_mid div (n - 2 * g)").alias("trimmed_mean_cents"),
+        F.expr("(sum_mid + g * (lo + hi)) div n").alias("winsorized_mean_cents"),
+    )

@@ -1119,3 +1119,114 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", tokens("text").alias("_tk")
     )
     return bigram_lm_scores(base)
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity profile (round 7) — distinct-n ratios per source, the
+# corpus-diversity signal Self-BLEU approximates: a source whose bigram
+# type/token ratio collapses is template/boilerplate-heavy (or already
+# contaminated by duplication) and gets flagged before training.
+# ---------------------------------------------------------------------------
+
+_DIVERSITY_FP_SCALE = 1_000_000
+
+TEXT_NGRAM_DIVERSITY_ORACLE = f"""
+    WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    uni AS (
+      SELECT source, toks[i] AS g
+      FROM (SELECT source, toks, unnest(generate_series(1, len(toks))) AS i FROM t)
+    ),
+    ua AS (
+      SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT g) AS n_types
+      FROM uni GROUP BY source
+    ),
+    bi AS (
+      SELECT source, toks[i] || ' ' || toks[i + 1] AS g
+      FROM (SELECT source, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM t WHERE len(toks) >= 2)
+    ),
+    ba AS (
+      SELECT source, COUNT(*) AS n_bigrams, COUNT(DISTINCT g) AS n_bigram_types
+      FROM bi GROUP BY source
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(({_DIVERSITY_FP_SCALE} * n_types) // n_tokens AS BIGINT) AS ttr_fp,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_bigram_types AS BIGINT) AS n_bigram_types,
+           CAST(({_DIVERSITY_FP_SCALE} * n_bigram_types) // n_bigrams AS BIGINT)
+             AS bigram_diversity_fp
+    FROM ua JOIN ba USING (source)
+"""
+
+
+@query(
+    "text_ngram_diversity",
+    oracle=TEXT_NGRAM_DIVERSITY_ORACLE,
+    tags=("text", "agg", "quality"),
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity: type/token ratio of unigrams and the
+    distinct-bigram ratio — the cheap corpus-level proxy for the
+    Self-BLEU diversity check run before a source is admitted to a
+    training mix (boilerplate and template farms collapse the bigram
+    ratio long before exact dedup catches them).
+
+    Ratios are integer fixed-point (``SCALE * types div total``), so the
+    result hash-matches the oracle with no float division.  Sources whose
+    documents are ALL single-token would drop from the inner join; the
+    profile is only meaningful (and emitted) for sources with at least
+    one bigram.
+
+    100 TB shape: two explode → hash-agg pipelines, each map-side
+    combined on (source, gram) — the shuffle carries per-task DISTINCT
+    (source, gram) partials, never raw token streams; the final join is
+    on ``source`` (20 rows — AQE broadcasts it).  No windows, no
+    collect."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("source", tokens("text").alias("_tk"))
+    uni = (
+        base.select("source", F.explode("_tk").alias("g"))
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+    bi = (
+        base.filter(F.size("_tk") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_bigram_types"),
+        )
+    )
+    s = _DIVERSITY_FP_SCALE
+    return (
+        uni.join(bi, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.expr(f"({s} * n_types) div n_tokens").alias("ttr_fp"),
+            "n_bigrams",
+            "n_bigram_types",
+            F.expr(f"({s} * n_bigram_types) div n_bigrams").alias(
+                "bigram_diversity_fp"
+            ),
+        )
+    )

@@ -74,6 +74,11 @@ _ALLOWED_THETA = {
     "q22_dormant_customers",
     "sample_language_temperature",
     "sample_stratified_sources",
+    # 1-row scalar broadcast: DSIR's corpus-total crossJoin (the weight
+    # table itself is 256 rows broadcast through an equi-join on b)
+    "sample_dsir_importance",
+    # 1-row scalar broadcast: drift totals over the 16-bucket histogram
+    "profile_embedding_drift",
     "text_zipf_token_share",
     "text_bm25_search",
     "text_pmi_collocations",
