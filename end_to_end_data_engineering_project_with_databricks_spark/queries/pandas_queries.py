@@ -344,3 +344,114 @@ def arrow_batch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(
         arrow_audit_batches, "doc_id long, utf8_len long, len_matches boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alarms (round 7) — a genuinely non-window per-group
+# recurrence: S_i = max(0, S_{i-1} + x_i - k), alarm and RESET when S
+# crosses h.  SQL window frames cannot express the reset (the state at
+# row i depends on every alarm before it), so this is the canonical
+# applyInPandas stateful operator; the oracle replays it with a
+# recursive CTE.
+# ---------------------------------------------------------------------------
+
+#: CUSUM reference drift (fixed-point cents) and alarm threshold.
+_CUSUM_K_FP = 6_000
+_CUSUM_H_FP = 20_000
+
+EVENTS_CUSUM_ORACLE = f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v_fp,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, rn, event_id,
+             GREATEST(0, v_fp - {_CUSUM_K_FP}) AS s_raw,
+             CASE WHEN GREATEST(0, v_fp - {_CUSUM_K_FP}) > {_CUSUM_H_FP}
+                  THEN 0 ELSE GREATEST(0, v_fp - {_CUSUM_K_FP}) END AS s_carry
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, s.event_id,
+             GREATEST(0, c.s_carry + s.v_fp - {_CUSUM_K_FP}),
+             CASE WHEN GREATEST(0, c.s_carry + s.v_fp - {_CUSUM_K_FP})
+                       > {_CUSUM_H_FP}
+                  THEN 0
+                  ELSE GREATEST(0, c.s_carry + s.v_fp - {_CUSUM_K_FP}) END
+      FROM seq s JOIN c ON s.user_id = c.user_id AND s.rn = c.rn + 1
+    )
+    SELECT user_id,
+           CAST(rn AS BIGINT) AS seq,
+           event_id,
+           CAST(s_raw AS BIGINT) AS cusum_fp
+    FROM c WHERE s_raw > {_CUSUM_H_FP}
+"""
+
+
+@query(
+    "events_cusum_alarms",
+    oracle=EVENTS_CUSUM_ORACLE,
+    tags=("pandas-udf", "events", "stateful"),
+)
+def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per user (Page 1954): the
+    sequential change-point statistic ``S_i = max(0, S_{{i-1}} + x_i - k)``
+    with an alarm (and state reset) whenever S crosses ``h`` — the
+    classic monitoring operator for "this stream's mean has shifted up".
+    Emits one row per alarm with the 1-based event position and the
+    statistic value that crossed.
+
+    The reset makes the recurrence NON-window-expressible (row i's state
+    depends on the alarm history, not a fixed frame), so the per-user
+    fold runs in applyInPandas — ordered ``(ts, event_id)`` groups, a
+    pure int64 loop (the cents conversion ``round(value*100)`` happens
+    JVM-side BEFORE the Python hop, so Python never touches a float) —
+    while the oracle replays the identical recurrence with a recursive
+    CTE.  Bit-exact by construction: integer compares and adds only.
+
+    100 TB shape: one shuffle on user_id (the same Exchange a SQL window
+    would need), then each group folds serially in Arrow batches —
+    per-user cost is O(events-per-user), groups parallelize across
+    executors, and only alarm rows (answer-sized) come back.  A key
+    whose single user holds billions of events would serialize; that is
+    inherent to sequential change-point semantics, and the mitigation
+    (per-epoch sub-keys with carried state) is a deliberate non-goal
+    here."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_fp"),
+    )
+    k_fp, h_fp = _CUSUM_K_FP, _CUSUM_H_FP
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["v_fp"].to_numpy()
+        eid = pdf["event_id"].to_numpy()
+        uid = int(pdf["user_id"].iloc[0])
+        out_seq, out_eid, out_s = [], [], []
+        s = 0
+        for i in range(len(v)):
+            s = max(0, s + int(v[i]) - k_fp)
+            if s > h_fp:
+                out_seq.append(i + 1)
+                out_eid.append(int(eid[i]))
+                out_s.append(s)
+                s = 0
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([uid] * len(out_seq), dtype="int64"),
+                "seq": pd.Series(out_seq, dtype="int64"),
+                "event_id": pd.Series(out_eid, dtype="int64"),
+                "cusum_fp": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        cusum, "user_id long, seq long, event_id long, cusum_fp long"
+    )

@@ -61,7 +61,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # as-of-with-tolerance, the span-dedup-rewrite + video-ANN
     # capstones, rerank, source-overlap, streaming ANN, DSIR
     # importance selection, trimmed/winsorized agg, n-gram diversity,
-    # embedding drift) take slots immediately per the standing
+    # embedding drift, CUSUM alarms) take slots immediately per the standing
     # rule; (d) the remaining slots
     # begin the STANDING
     # oldest-green-first re-attestation policy (VERDICT r6 item 3):
@@ -104,6 +104,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_trimmed_winsorized",
     "text_ngram_diversity",
     "profile_embedding_drift",
+    "events_cusum_alarms",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -127,7 +128,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q11_important_parts",
     "q12_priority_linestatus",
     "q13_customer_distribution",
-    "q14_promo_revenue",
 )
 
 
