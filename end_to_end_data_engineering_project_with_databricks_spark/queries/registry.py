@@ -61,7 +61,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # as-of-with-tolerance, the span-dedup-rewrite + video-ANN
     # capstones, rerank, source-overlap, streaming ANN, DSIR
     # importance selection, trimmed/winsorized agg, n-gram diversity,
-    # embedding drift, CUSUM alarms) take slots immediately per the standing
+    # embedding drift, CUSUM alarms, weighted median, the k-NN graph)
+    # take slots immediately per the standing
     # rule; (d) the remaining slots
     # begin the STANDING
     # oldest-green-first re-attestation policy (VERDICT r6 item 3):
@@ -105,6 +106,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_ngram_diversity",
     "profile_embedding_drift",
     "events_cusum_alarms",
+    "agg_weighted_median",
+    "sim_knn_graph",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -126,8 +129,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_profit",
     "q11_important_parts",
-    "q12_priority_linestatus",
-    "q13_customer_distribution",
 )
 
 

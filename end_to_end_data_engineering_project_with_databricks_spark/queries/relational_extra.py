@@ -1245,3 +1245,75 @@ def agg_trimmed_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_mid div (n - 2 * g)").alias("trimmed_mean_cents"),
         F.expr("(sum_mid + g * (lo + hi)) div n").alias("winsorized_mean_cents"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, cents, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY cents, l_orderkey, l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS totw
+      FROM c
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(totw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM r GROUP BY l_returnflag
+    """,
+    tags=("agg", "window", "robust"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median of line price, weighted by quantity, per
+    return flag — the order statistic a revenue-weighted distribution
+    summary needs (percentile_disc treats every row equally; here a
+    50-unit line counts 50x).
+
+    Exact lower-weighted-median semantics: rows sort by ``(cents,
+    l_orderkey, l_linenumber)`` (a total order, so the running weight is
+    identical in both engines) and the answer is the first value whose
+    cumulative weight reaches half the group total (``2*cumw >= totw``
+    — integer algebra, no halving division).  Prices quantize to integer
+    cents and quantities to integer units, so everything is int64-exact.
+
+    100 TB shape: both window functions share ONE partition spec — a
+    single hash-partition pass, no global sort — and the finishing
+    aggregate is a 3-group hash-agg.  Same per-group-sort skew contract
+    as agg_trimmed_winsorized (reducer count tracks group count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    wp = Window.partitionBy("l_returnflag")
+    r = c.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cumw"),
+        F.sum("w").over(wp).alias("totw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("totw").alias("total_weight"),
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))
+        ).alias("weighted_median_cents"),
+    )

@@ -1030,3 +1030,93 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_rerank_topk(
         e, queries, n_cells=16, nprobe=4, n_codes=16, m=8, k_cand=20, k=5
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction (round 7) — every vector gets its top-k
+# neighbors WITHIN ITS IVF CELL: the graph-building primitive under
+# SemDeDup-style clustering, graph-based ANN (the bottom layer an
+# NSW/HNSW build starts from), and embedding-space diagnostics.
+# ---------------------------------------------------------------------------
+
+_COS_A_B = sql_cosine("a.embedding", "b.embedding")
+
+SIM_KNN_GRAPH_ORACLE = f"""
+    {ivf_replay_ctes()}
+    SELECT src_id, nbr_id, score, rank FROM (
+      SELECT a.vec_id AS src_id, b.vec_id AS nbr_id, {_COS_A_B} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY {_COS_A_B} DESC, b.vec_id
+             ) AS BIGINT) AS rank
+      FROM assigned a JOIN assigned b USING (cell_id)
+      WHERE a.vec_id <> b.vec_id
+    ) WHERE rank <= 3
+"""
+
+
+@query(
+    "sim_knn_graph",
+    oracle=SIM_KNN_GRAPH_ORACLE,
+    tags=("similarity", "graph", "ann"),
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide k-NN graph (k=3) over the deterministic-centroid IVF
+    partition: EVERY vector is a query, and its neighbor candidates are
+    exactly its own cell's members — the single-probe regime, which is
+    how billion-scale pipelines build the seed graph for SemDeDup-style
+    semantic dedup, k-NN classification, and NSW-graph bootstrapping
+    (each vector pays one cell, not one corpus).
+
+    Fully hash-checked: the codebook is the reproducible 16-lowest-id
+    seed, so the oracle replays assignment argmax, the within-cell
+    self-join, and the per-source ranking value-for-value (cosines are
+    the proven bit-reproducible fold).
+
+    100 TB shape: assignment is the amortized once-per-corpus pass
+    (broadcast 16-row centroid table — the allow-listed bounded theta
+    class of sim_ivf_topk); the assigned table materializes ONCE
+    (localCheckpoint — both sides of the self-join reference it, and
+    without the barrier Spark re-runs the assignment window per side);
+    the graph join is an EQUI-join on cell_id whose per-cell quadratic
+    is the operator's knob — n_cells scales with the corpus so cells
+    stay bounded (the SemDeDup adjudication), and the per-source top-k
+    window partitions by src_id, never globally."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = deterministic_centroids(e, 16)
+    assigned = ivf_assign(e, cent).localCheckpoint(eager=True)
+    a = assigned.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("src_vec"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("nbr_vec"),
+        "cell_id",
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        a.join(b, "cell_id")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .select(
+            "src_id",
+            "nbr_id",
+            cosine_similarity("src_vec", "nbr_vec").alias("score"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("src_id", "nbr_id", "score", "rank")
+    )

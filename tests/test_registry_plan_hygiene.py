@@ -41,6 +41,10 @@ _ALLOWED_THETA = {
     # codes (same class as sim_topk_bruteforce; docstring names the
     # bounded side)
     "sim_pq_adc_topk",
+    # k-NN graph: ivf_assign's broadcast crossJoin against the 16-row
+    # centroid table (sim_ivf_topk class); the graph join itself is an
+    # equi-join on cell_id
+    "sim_knn_graph",
     # SemDeDup: the only theta node is ivf_assign's broadcast crossJoin
     # against the 16-row centroid table (sim_ivf_topk class); the pair
     # join is an equi-join on cell_id
