@@ -1109,12 +1109,20 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "cell_id")
         .filter(F.col("src_id") != F.col("nbr_id"))
         .select(
+            "cell_id",
             "src_id",
             "nbr_id",
             cosine_similarity("src_vec", "nbr_vec").alias("score"),
         )
     )
-    w = Window.partitionBy("src_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    # Leading the window partition with cell_id changes nothing
+    # semantically (a source's candidates all live in its own cell) but
+    # lets the window REUSE the join's hashpartitioning(cell_id) — the
+    # plan runs rank + WindowGroupLimit with no third Exchange
+    # (tests/test_plan_shapes.py pins the 2-shuffle shape).
+    w = Window.partitionBy("cell_id", "src_id").orderBy(
+        F.desc("score"), F.asc("nbr_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 3)

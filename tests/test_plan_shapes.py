@@ -434,3 +434,99 @@ def test_source_overlap_single_corpus_shuffle(spark, sf_dir):
 
     df = profile_source_overlap(spark, sf_dir)
     assert shuffle_count(df) == 3, formatted_plan(df)
+
+
+def test_trimmed_winsorized_single_exchange(spark, sf_dir):
+    """agg_trimmed_winsorized: the rank window, the count window, and
+    the finishing aggregate all key on o_orderpriority — the whole
+    robust-stats pipeline must ride ONE shuffle (the docstring's
+    load-bearing claim; a second Exchange means the shared partition
+    spec regressed)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "agg_trimmed_winsorized")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_weighted_median_single_exchange(spark, sf_dir):
+    """agg_weighted_median: same contract — cumulative-weight window,
+    total-weight window, and final aggregate share the l_returnflag
+    partitioning; exactly one Exchange."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "agg_weighted_median")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+
+
+def test_cusum_single_exchange_no_float_to_python(spark, sf_dir):
+    """events_cusum_alarms: one shuffle (the user_id group exchange —
+    identical to what a SQL window would need) and the cents
+    quantization must happen JVM-side: the Arrow boundary ships v_fp
+    longs, never the raw double."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "events_cusum_alarms")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "v_fp" in plan  # the long column crosses into Python, not value
+
+
+def test_knn_graph_window_reuses_join_partitioning(spark, sf_dir):
+    """sim_knn_graph: two Exchanges total — the cell_id co-partition of
+    the self-join's two sides — and NO third Exchange for the top-k
+    window: partitioning the window by (cell_id, src_id) lets it reuse
+    hashpartitioning(cell_id), and Spark must plan the rank as a
+    pre-shuffle WindowGroupLimit."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "sim_knn_graph")
+    assert shuffle_count(df) == 2, formatted_plan(df)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_dsir_scoring_is_single_visible_shuffle_with_topk(spark, sf_dir):
+    """sample_dsir_importance: after the two materialization barriers
+    (doc-bucket counts; the 256-row weight table) the LIVE plan is the
+    scoring join + per-doc aggregate — one Exchange — finished by
+    TakeOrderedAndProject (per-partition heads), never a global sort."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "sample_dsir_importance")
+    assert shuffle_count(df) == 1, formatted_plan(df)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def test_ngram_diversity_aggregates_partially_map_side(spark, sf_dir):
+    """text_ngram_diversity: both gram pipelines must combine map-side
+    on (source, gram) — the shuffle carries vocabulary partials, not
+    token streams — and the source-level join must broadcast."""
+    df = _df(spark, sf_dir, "text_ngram_diversity")
+    plan = formatted_plan(df)
+    assert "partial_count" in plan or "partial" in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_embedding_drift_is_two_tiny_aggregates(spark, sf_dir):
+    """profile_embedding_drift: one corpus map + 16-group aggregate,
+    one 1-row totals aggregate — two Exchanges, nothing else; the
+    projection fold must stay a JVM higher-order function (no Python
+    boundary in the plan)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "profile_embedding_drift")
+    assert shuffle_count(df) == 2, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "Pandas" not in plan and "PythonUDF" not in plan
