@@ -61,7 +61,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # as-of-with-tolerance, the span-dedup-rewrite + video-ANN
     # capstones, rerank, source-overlap, streaming ANN, DSIR
     # importance selection, trimmed/winsorized agg, n-gram diversity,
-    # embedding drift, CUSUM alarms, weighted median, the k-NN graph)
+    # embedding drift, CUSUM alarms batch + streaming, weighted median,
+    # the k-NN graph)
     # take slots immediately per the standing
     # rule; (d) the remaining slots
     # begin the STANDING
@@ -108,6 +109,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_cusum_alarms",
     "agg_weighted_median",
     "sim_knn_graph",
+    "stream_cusum_alarms",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -128,7 +130,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q11_important_parts",
 )
 
 

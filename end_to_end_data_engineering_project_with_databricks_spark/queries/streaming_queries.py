@@ -16,6 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
     sql_dsum,
 )
+from end_to_end_data_engineering_project_with_databricks_spark.queries.pandas_queries import (
+    EVENTS_CUSUM_ORACLE,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import query
 from end_to_end_data_engineering_project_with_databricks_spark.streaming.stateful import (
     running_user_totals,
@@ -295,26 +298,9 @@ def stream_multibatch_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     state-evolution contract made driver-checkable.  Range partitioning
     by ts keeps each batch a contiguous time slice — the realistic
     arrival order for event-time data."""
-    import os
-    import tempfile
-
     from pyspark.sql import functions as F
 
-    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
-        _tmp,
-    )
-    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
-        load_table,
-    )
-
-    src = _tmp(f"events_multibatch_{os.path.basename(sf_dir.rstrip('/'))}")
-    if not os.path.isdir(src):
-        tmp_stage = tempfile.mkdtemp(prefix="mb_stage_")
-        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
-            "overwrite"
-        ).parquet(tmp_stage)
-        os.rename(tmp_stage, src)
-
+    src = _events_multibatch_dir(spark, sf_dir)
     raw_schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(raw_schema)
@@ -508,3 +494,93 @@ def stream_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(f"{outdir}/b*")
+
+
+def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Four time-ranged parquet files of ``events`` — the shared
+    multi-batch streaming fixture (each maxFilesPerTrigger=1 trigger
+    consumes one contiguous time slice, the realistic arrival order for
+    event-time data).  Built once per sf and reused by every multi-batch
+    streaming query."""
+    import os
+    import tempfile
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    src = _tmp(f"events_multibatch_{os.path.basename(sf_dir.rstrip('/'))}")
+    if not os.path.isdir(src):
+        tmp_stage = tempfile.mkdtemp(prefix="mb_stage_")
+        load_table(spark, sf_dir, "events").repartitionByRange(4, "ts").write.mode(
+            "overwrite"
+        ).parquet(tmp_stage)
+        os.rename(tmp_stage, src)
+    # The file-stream source orders arrivals by modification time, and
+    # all four part files get the SAME mtime from one write job — tie
+    # order is listing order, i.e. arbitrary.  Order-insensitive
+    # consumers (tumbling agg) never notice; order-SENSITIVE state
+    # (CUSUM) needs trigger order == event-time order, so stamp strictly
+    # increasing mtimes along the part numbering (range partition 0 is
+    # the lowest ts slice).  Idempotent: re-stamps on every call.
+    parts = sorted(
+        f for f in os.listdir(src) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = 1_500_000_000
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + i, base + i))
+    return src
+
+
+@query(
+    "stream_cusum_alarms",
+    # the batch twin's recursive-CTE oracle applies verbatim: the
+    # drained multi-batch stream must equal the one-pass recursion
+    oracle=EVENTS_CUSUM_ORACLE,
+    tags=("streaming", "stateful", "pandas-udf", "multi-batch"),
+)
+def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM change-point alarms with CROSS-BATCH carried
+    state: the events table streams as four time-ranged files (one per
+    trigger), and each user's ``(statistic, position)`` state survives
+    from trigger to trigger in the state store — an alarm whose drift
+    accumulated across a batch boundary is emitted with the SAME global
+    position and statistic the batch recursion computes.  Because the
+    drained stream must equal the one-pass answer, the full
+    recursive-CTE oracle of events_cusum_alarms applies verbatim — the
+    strongest gate a custom stateful streaming operator can have
+    (multi-batch state evolution is otherwise only rows-checkable).
+
+    Plan/scale: the only shuffle is the user_id state-shard exchange;
+    per-trigger cost is the trigger's rows; state is 2 longs per user
+    (streaming/stateful.cusum_alarm_stream for the ordering contract)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.pandas_queries import (
+        _CUSUM_H_FP,
+        _CUSUM_K_FP,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.streaming.stateful import (
+        cusum_alarm_stream,
+    )
+
+    src = _events_multibatch_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("v_fp"),
+        )
+    )
+    return run_to_memory(
+        cusum_alarm_stream(stream, _CUSUM_K_FP, _CUSUM_H_FP),
+        output_mode="append",
+    )

@@ -154,3 +154,71 @@ def user_stats_transform_with_state(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+#: Output schema of :func:`cusum_alarm_stream`.
+CUSUM_ALARMS_SCHEMA = "user_id long, seq long, event_id long, cusum_fp long"
+_CUSUM_STATE_SCHEMA = "s long, n long"
+
+
+def cusum_alarm_stream(stream: DataFrame, k_fp: int, h_fp: int) -> DataFrame:
+    """Streaming one-sided CUSUM change-point alarms per user — the
+    streaming twin of queries/pandas_queries.events_cusum_alarms: state
+    ``(s, n)`` (the running CUSUM statistic and the global 1-based event
+    position) carries across micro-batches, each trigger folds its
+    time-slice of events in ``(ts, event_id)`` order, and only alarm
+    rows are emitted (append mode — an alarm, once raised, is final).
+
+    ``stream`` must carry ``(user_id, event_id, ts, v_fp)`` with the
+    cents quantization already done JVM-side (the batch twin's
+    convention: Python state arithmetic is pure int64).  Correct under
+    any within-trigger Arrow chunking (chunks concatenate before the
+    sort), and exact across triggers when batches arrive in event-time
+    order (time-ranged files — the fixture shape; a production feed
+    gets this from log segments or a watermarked reorder buffer).
+
+    Scale: state is 2 longs per user, sharded by the grouping key like
+    any streaming aggregation; per-trigger cost is the trigger's own
+    rows (history enters through the carried scalar, never reprocessed).
+    The fixture stream is bounded so NoTimeout is safe; an unbounded
+    deployment sets a processing-time timeout to evict idle keys."""
+    k, h = int(k_fp), int(h_fp)
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        s, n = state.get if state.exists else (0, 0)
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        out_seq: list[int] = []
+        out_eid: list[int] = []
+        out_s: list[int] = []
+        for v, eid in zip(pdf["v_fp"].to_numpy(), pdf["event_id"].to_numpy()):
+            n += 1
+            s = max(0, s + int(v) - k)
+            if s > h:
+                out_seq.append(n)
+                out_eid.append(int(eid))
+                out_s.append(s)
+                s = 0
+        state.update((s, n))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]] * len(out_seq), dtype="int64"),
+                "seq": pd.Series(out_seq, dtype="int64"),
+                "event_id": pd.Series(out_eid, dtype="int64"),
+                "cusum_fp": pd.Series(out_s, dtype="int64"),
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=CUSUM_ALARMS_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
