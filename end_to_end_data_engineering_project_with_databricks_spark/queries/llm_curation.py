@@ -1476,12 +1476,16 @@ _DSIR_BUCKETS = 256
 _DSIR_TOPK = 100
 
 
-def _dsir_oracle() -> str:
+def _dsir_sc_ctes() -> str:
+    """DuckDB CTE chain ending at ``sc(doc_id, n_feats, dsir_fp)`` — the
+    full DSIR scoring replay (hashed-bigram buckets, smoothed target/raw
+    histograms, fixed-point ratio weights).  Shared by the standalone
+    selection query and the mix-construction capstone."""
     from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
         h60_duck,
     )
 
-    s, m, k = _DSIR_FP_SCALE, _DSIR_BUCKETS, _DSIR_TOPK
+    s, m = _DSIR_FP_SCALE, _DSIR_BUCKETS
     bg = "toks[i] || ' ' || toks[i + 1]"
     return f"""
     WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
@@ -1509,14 +1513,19 @@ def _dsir_oracle() -> str:
     sc AS (
       SELECT doc_id, SUM(c) AS n_feats, SUM(c * w_fp) AS dsir_fp
       FROM dbc JOIN wt USING (b) GROUP BY doc_id
-    )
+    )"""
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    {_dsir_sc_ctes()}
     SELECT doc_id,
            CAST(n_feats AS BIGINT) AS n_feats,
            CAST(dsir_fp AS BIGINT) AS dsir_fp,
            CAST(dsir_fp // n_feats AS BIGINT) AS avg_weight_fp
     FROM sc
     ORDER BY avg_weight_fp DESC, doc_id
-    LIMIT {k}
+    LIMIT {_DSIR_TOPK}
     """
 
 
@@ -1557,11 +1566,21 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals crossJoin is the allow-listed scalar-broadcast class.  The
     final top-k is TakeOrderedAndProject (per-partition heads, no global
     sort)."""
+    sc = dsir_scores(spark, sf_dir)
+    return sc.orderBy(F.desc("avg_weight_fp"), "doc_id").limit(_DSIR_TOPK)
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores for every (>= 2 token) document —
+    ``(doc_id, n_feats, dsir_fp, avg_weight_fp)``.  Factored out so the
+    mix-construction capstone selects from the SAME scoring pipeline
+    the standalone query ranks (see sample_dsir_importance for the
+    fixed-point construction and the 100 TB shape)."""
     from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
         h60_spark,
     )
 
-    s, m, k = _DSIR_FP_SCALE, _DSIR_BUCKETS, _DSIR_TOPK
+    s, m = _DSIR_FP_SCALE, _DSIR_BUCKETS
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.size(tokens("text")) >= 2).select(
         "doc_id", "lang", tokens("text").alias("_tk")
@@ -1603,7 +1622,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("b", F.expr(f"(p_fp * {s}) div GREATEST(q_fp, 1)").alias("w_fp"))
     )
-    sc = (
+    return (
         dbc.join(F.broadcast(wt), "b")
         .groupBy("doc_id")
         .agg(F.sum("c").alias("n_feats"), F.sum(F.expr("c * w_fp")).alias("dsir_fp"))
@@ -1614,4 +1633,112 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("dsir_fp div n_feats").alias("avg_weight_fp"),
         )
     )
-    return sc.orderBy(F.desc("avg_weight_fp"), "doc_id").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# DSIR mix-construction capstone (round 7) — the three-stage targeted
+# pretraining-mix build: importance-SELECT the most target-like slice,
+# exact-DEDUP it (importance selection over-samples templated text, so
+# the selected slice is duplicate-heavy by construction), then PACK the
+# survivors into fixed-token-budget training sequences.
+# ---------------------------------------------------------------------------
+
+_DSIR_MIX_SELECT = 200
+_DSIR_MIX_SEQ_TOKENS = 512
+
+
+def _dsir_mix_oracle() -> str:
+    return f"""
+    {_dsir_sc_ctes()},
+    ranked AS (
+      SELECT doc_id FROM sc
+      ORDER BY dsir_fp // n_feats DESC, doc_id LIMIT {_DSIR_MIX_SELECT}
+    ),
+    seltext AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(
+                              string_split(d.text, ' ')[1:8], ' '))
+               ORDER BY d.doc_id) AS dup_rn
+      FROM documents d JOIN ranked r USING (doc_id)
+    ),
+    kept AS (SELECT doc_id, n_tokens FROM seltext WHERE dup_rn = 1),
+    packed AS (
+      SELECT doc_id % 4 AS shard, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // {_DSIR_MIX_SEQ_TOKENS} AS seq_id
+      FROM kept
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard, seq_id
+    """
+
+
+@query(
+    "pipeline_dsir_mix",
+    oracle=_dsir_mix_oracle(),
+    tags=("pipeline", "curation", "sampling", "dedup", "training-data"),
+)
+def pipeline_dsir_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-mix capstone — the Xie et al. DSIR recipe taken to its
+    training-ready end: (1) score every document's target-vs-raw
+    importance (dsir_scores — hashed-bigram buckets, fixed-point ratio
+    weights) and keep the 200 most target-like; (2) dedup the selection
+    on its 8-token PREFIX fingerprint (the dedup_fingerprint_md5 /
+    cross-source-leakage key — importance selection over-samples
+    template-led text, and the fixtures carry prefix-level duplication
+    rather than full-text copies, so this stage drops ~5% of the
+    selection at every scale; tests assert it stays load-bearing);
+    (3) pack the
+    surviving documents into 512-token training sequences per shard
+    (the pipeline_pack_sequences running-sum shape).  One SQL oracle
+    replays scoring, selection, dedup, and packing value-for-value.
+
+    100 TB shape: stage 1 is the audited DSIR plan (every corpus-wide
+    structure <= 256 rows past the bucket agg); the 200-row selection
+    broadcasts into the documents join; the dedup window partitions by
+    the text digest and the packing window by shard — no global window,
+    no theta join anywhere (pipeline_ queries are excluded from the
+    plan scan by prefix, so the claim is pinned by the companion test
+    instead)."""
+    sc = dsir_scores(spark, sf_dir)
+    sel = (
+        sc.orderBy(F.desc("avg_weight_fp"), "doc_id")
+        .limit(_DSIR_MIX_SELECT)
+        .select("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    j = d.join(F.broadcast(sel), "doc_id").select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.slice(tokens("text"), 1, 8), " ")).alias("_digest"),
+    )
+    wdup = Window.partitionBy("_digest").orderBy("doc_id")
+    kept = (
+        j.withColumn("dup_rn", F.row_number().over(wdup))
+        .filter(F.col("dup_rn") == 1)
+        .select("doc_id", "n_tokens", F.expr("doc_id % 4").alias("shard"))
+    )
+    wpack = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = kept.select(
+        "shard",
+        "n_tokens",
+        F.expr(
+            f"(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) "
+            f"div {_DSIR_MIX_SEQ_TOKENS}"
+        ).alias("seq_id"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

