@@ -1742,3 +1742,61 @@ def pipeline_dsir_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def _split_oracle() -> str:
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_duck,
+    )
+
+    h = h60_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {h} % 100 < 80 THEN 'train'
+                  WHEN {h} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             doc_id
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY lang, split
+    """
+
+
+@query(
+    "sample_train_val_test",
+    oracle=_split_oracle(),
+    tags=("curation", "sampling", "training-data"),
+)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split audit: every document
+    is assigned by HASH of its id (md5-60 mod 100 — the engine-portable
+    family), not by random(), so the assignment is (a) reproducible
+    run-to-run, (b) STABLE UNDER CORPUS GROWTH — adding documents never
+    reassigns an existing one across the split boundary, the property
+    that keeps eval sets leakage-free across dataset versions — and
+    (c) replayable by the oracle.  Emits the per-(lang, split) census a
+    release datasheet reports.
+
+    100 TB shape: one narrow map (hash + bucket) and one hash-agg with
+    map-side combine; nothing else."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_spark,
+    )
+
+    h = h60_spark("CAST(doc_id AS STRING)")
+    d = load_table(spark, sf_dir, "documents")
+    split = (
+        F.when(F.expr(f"pmod({h}, 100)") < 80, "train")
+        .when(F.expr(f"pmod({h}, 100)") < 90, "val")
+        .otherwise("test")
+    )
+    return d.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )

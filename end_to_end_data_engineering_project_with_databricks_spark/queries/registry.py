@@ -111,6 +111,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sim_knn_graph",
     "stream_cusum_alarms",
     "pipeline_dsir_mix",
+    "sample_train_val_test",
+    "agg_mode_exact",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -128,8 +130,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_right_outer_part_lines",
     "q2_min_cost_supplier",
     "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
 )
 
 

@@ -1317,3 +1317,50 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents"))
         ).alias("weighted_median_cents"),
     )
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT l_returnflag, qty, cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, qty) AS rn
+      FROM c
+    )
+    SELECT l_returnflag,
+           qty AS mode_qty,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM r WHERE rn = 1
+    """,
+    tags=("agg", "window"),
+)
+def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mode per group with a DETERMINISTIC tie-break (smallest
+    value wins) — built-in ``mode()`` leaves ties engine/partition-
+    defined, which is exactly the nondeterminism a cross-engine result
+    cannot carry, so the operator composes count + rank explicitly.
+
+    100 TB shape: the value-count aggregate combines map-side (the
+    shuffle carries (group, value) partials); the argmax window runs
+    over value-CARDINALITY-sized input, not the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("qty")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("qty"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
