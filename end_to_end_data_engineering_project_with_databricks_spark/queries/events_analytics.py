@@ -1161,3 +1161,86 @@ def events_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("matched_es") - F.col("es")).alias("gap_sec"),
     )
+
+
+@query(
+    "events_asof_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT event_id AS click_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT c.click_id, c.user_id, c.es,
+             p.es AS bes, p.purchase_id AS bid
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.es <= c.es
+    ),
+    f AS (
+      SELECT c.click_id, p.es AS fes, p.purchase_id AS fid
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND p.es >= c.es
+    ),
+    n AS (
+      SELECT b.user_id, b.es, b.click_id,
+             CASE WHEN bes IS NULL THEN fes
+                  WHEN fes IS NULL THEN bes
+                  WHEN (b.es - bes) <= (fes - b.es) THEN bes
+                  ELSE fes END AS purchase_sec,
+             CASE WHEN bes IS NULL THEN fid
+                  WHEN fes IS NULL THEN bid
+                  WHEN (b.es - bes) <= (fes - b.es) THEN bid
+                  ELSE fid END AS purchase_id
+      FROM b JOIN f USING (click_id)
+    )
+    SELECT user_id, es AS click_sec, click_id,
+           purchase_sec, purchase_id,
+           purchase_sec - es AS gap_sec
+    FROM n
+    """,
+    tags=("events", "join", "asof", "nearest"),
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the third merge_asof direction, closing the
+    backward/forward/nearest matrix as driver-checkable queries: every
+    click matched to the user's closest purchase in ABSOLUTE time,
+    backward winning exact ties (pandas parity).  The signed ``gap_sec``
+    is negative when the backward candidate won.
+
+    Plan (operators/asof.py direction='nearest'): both direction frames
+    evaluate over the SAME sorted union exchange — one key shuffle, one
+    in-partition re-sort, zero row amplification.  DuckDB has no nearest
+    ASOF, so the oracle composes its backward and forward ASOF joins and
+    replays the absolute-distance argmin with the same tie rule."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", _epoch().alias("es"), F.col("event_id").alias("click_id")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _epoch().alias("es"))
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        ts_col="es",
+        right_payload=["purchase_id"],
+        direction="nearest",
+    )
+    return joined.select(
+        "user_id",
+        F.col("es").alias("click_sec"),
+        "click_id",
+        F.col("matched_es").alias("purchase_sec"),
+        "purchase_id",
+        (F.col("matched_es") - F.col("es")).alias("gap_sec"),
+    )

@@ -113,6 +113,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pipeline_dsir_mix",
     "sample_train_val_test",
     "agg_mode_exact",
+    "events_asof_nearest",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -129,7 +130,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_left_semi_active_customers",
     "join_right_outer_part_lines",
     "q2_min_cost_supplier",
-    "q4_order_priority",
 )
 
 
