@@ -455,3 +455,77 @@ def events_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(
         cusum, "user_id long, seq long, event_id long, cusum_fp long"
     )
+
+
+EVENTS_EMA_EXACT_ORACLE = """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v_fp,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, rn, v_fp AS ema_fp FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (s.v_fp + c.ema_fp) // 2
+      FROM seq s JOIN c ON s.user_id = c.user_id AND s.rn = c.rn + 1
+    ),
+    last AS (
+      SELECT user_id, MAX(rn) AS n_events FROM seq GROUP BY user_id
+    )
+    SELECT l.user_id,
+           CAST(l.n_events AS BIGINT) AS n_events,
+           CAST(c.ema_fp AS BIGINT) AS ema_fp
+    FROM last l JOIN c ON c.user_id = l.user_id AND c.rn = l.n_events
+"""
+
+
+@query(
+    "events_ema_exact",
+    oracle=EVENTS_EMA_EXACT_ORACLE,
+    tags=("pandas-udf", "events", "stateful", "timeseries", "smoothing"),
+)
+def events_ema_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT unbounded recursive EMA per user (alpha = 1/2):
+    ``e_i = (v_i + e_{i-1}) div 2`` over integer cents, emitting each
+    user's final smoothed level and event count.  events_ewma_bounded's
+    docstring calls the recursive EMA "impossible to reproduce
+    bit-exactly across engines" — true for FLOAT recursion; this query
+    is the counterexample for the fixed-point form: integer halving is
+    order-deterministic, the applyInPandas fold and the oracle's
+    recursive CTE replay the identical recurrence, and the result
+    hash-matches.  The two queries are a matched pair: bounded 4-tap
+    when a window-only plan is wanted, exact recursion when the full
+    history must count (a property test pins that the 4-tap
+    approximates this one within its truncated-tail bound).
+
+    Same shape as events_cusum_alarms: one user_id shuffle, pure-int64
+    per-group fold over JVM-quantized cents, answer-sized output (one
+    row per user)."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("v_fp"),
+    )
+
+    def ema(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        v = pdf["v_fp"].to_numpy()
+        s = int(v[0])
+        for i in range(1, len(v)):
+            s = (int(v[i]) + s) // 2
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([int(pdf["user_id"].iloc[0])], dtype="int64"),
+                "n_events": pd.Series([len(v)], dtype="int64"),
+                "ema_fp": pd.Series([s], dtype="int64"),
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(
+        ema, "user_id long, n_events long, ema_fp long"
+    )

@@ -114,6 +114,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sample_train_val_test",
     "agg_mode_exact",
     "events_asof_nearest",
+    "agg_gini_concentration",
+    "events_ema_exact",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -128,8 +130,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_left_anti_customers_without_orders",
     "join_left_outer_nation_suppliers",
     "join_left_semi_active_customers",
-    "join_right_outer_part_lines",
-    "q2_min_cost_supplier",
 )
 
 

@@ -1364,3 +1364,82 @@ def agg_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn
+      FROM orders
+    ),
+    a AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(cents) AS tot,
+             SUM(rn * cents) AS rank_weighted
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST((1000000 * (2 * rank_weighted - (n + 1) * tot))
+                // (n * tot) AS BIGINT) AS gini_fp
+    FROM a
+    """,
+    tags=("agg", "window", "profile"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration coefficient of order value per priority
+    — the inequality statistic a corpus/revenue profiling pass reports
+    (0 = perfectly even, ->1 = one giant row holds everything; for
+    training corpora the same formula prices source-size concentration).
+
+    Computed from the rank formula ``G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x))`` over values ranked ascending with an o_orderkey
+    tie-break — a total order, so both engines weight the identical
+    permutation.  The 1e6 fixed-point scaling would overflow int64 in
+    one shot (``1e6 * num`` with num ~ n^2 * avg_value), so Spark runs
+    the EXACT long-division chain in base 100 — ``q_i, r_i`` of
+    ``(100 * r_{i-1}) div den`` three times, ``gini = 1e4*q1 + 1e2*q2
+    + q3`` — pure int64 throughout and equal BY IDENTITY to the
+    oracle's single HUGEINT division (each step carries the exact
+    remainder; 100*r < 100*den).  Envelope: exact while
+    ``sum(rn*cents) < 9e18`` and ``100 * n * sum(cents) < 9e18``
+    (n*tot < 9e16 — verified at sf0.1, ~2e16); past that, widen the
+    two accumulators to DECIMAL(38).
+
+    Plan: the rank window and the finishing hash-agg share the group
+    partition spec — one Exchange (pinned), same contract as the other
+    robust aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    c = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        c.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("tot"),
+            F.sum(F.expr("rn * cents")).alias("rank_weighted"),
+        )
+        .withColumn("num", F.expr("2 * rank_weighted - (n + 1) * tot"))
+        .withColumn("den", F.expr("n * tot"))
+        .withColumn("q1", F.expr("(100 * num) div den"))
+        .withColumn("r1", F.expr("pmod(100 * num, den)"))
+        .withColumn("q2", F.expr("(100 * r1) div den"))
+        .withColumn("r2", F.expr("pmod(100 * r1, den)"))
+        .withColumn("q3", F.expr("(100 * r2) div den"))
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_orders"),
+            F.col("tot").alias("total_cents"),
+            F.expr("10000 * q1 + 100 * q2 + q3").alias("gini_fp"),
+        )
+    )

@@ -530,3 +530,15 @@ def test_embedding_drift_is_two_tiny_aggregates(spark, sf_dir):
     assert shuffle_count(df) == 2, formatted_plan(df)
     plan = formatted_plan(df)
     assert "Pandas" not in plan and "PythonUDF" not in plan
+
+
+def test_gini_single_exchange(spark, sf_dir):
+    """agg_gini_concentration: the rank window and the finishing
+    aggregate share the group partition spec — one Exchange, same
+    contract as the other robust aggregates."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        shuffle_count,
+    )
+
+    df = _df(spark, sf_dir, "agg_gini_concentration")
+    assert shuffle_count(df) == 1, formatted_plan(df)

@@ -323,3 +323,85 @@ def test_dsir_mix_dedup_stage_is_load_bearing_and_plan_clean(spark, sf_dir, duck
     # at least one doc and started under the 512 budget
     for r in rows:
         assert r.n_docs >= 1 and r.total_tokens >= 1
+
+
+# ---------------------------------------------------------------------------
+# agg_gini_concentration / events_ema_exact
+# ---------------------------------------------------------------------------
+
+
+def test_gini_bounds_and_degenerate_case(spark, sf_dir):
+    """Gini lives in [0, 1) and a single-value group is exactly 0 —
+    checked by replaying the expression chain over a constant column."""
+    rows = _SPECS["agg_gini_concentration"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.gini_fp < 1_000_000
+    # degenerate: equal values => perfect equality => gini 0
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("X", i, 100.0) for i in range(1, 8)],
+        "o_orderpriority string, o_orderkey long, o_totalprice double",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    out = (
+        df.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("tot"),
+            F.sum(F.expr("rn * cents")).alias("rank_weighted"),
+        )
+        .select(F.expr("2 * rank_weighted - (n + 1) * tot").alias("num"))
+        .collect()
+    )
+    assert out[0].num == 0
+
+
+def test_ema_exact_bounded_twin_agreement(spark, sf_dir):
+    """The matched-pair claim in events_ema_exact's docstring: for every
+    user with >= 4 events, the bounded 4-tap EWMA at the user's LAST
+    event approximates the exact recursion within the truncated-tail
+    bound (max-min)/8 of that user's own value range, plus integer-
+    truncation slack."""
+    from collections import defaultdict
+
+    exact = {
+        r.user_id: r.ema_fp / 100.0
+        for r in _SPECS["events_ema_exact"].fn(spark, sf_dir).collect()
+    }
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    hist = defaultdict(list)
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        hist[r.user_id].append(r.value)
+    bounded_rows = _SPECS["events_ewma_bounded"].fn(spark, sf_dir).collect()
+    last_bounded = {}
+    order = {
+        (r.user_id, r.event_id): i
+        for i, r in enumerate(sorted(ev, key=lambda r: (r.ts, r.event_id)))
+    }
+    for r in bounded_rows:
+        key = r.user_id
+        pos = order[(r.user_id, r.event_id)]
+        if key not in last_bounded or pos > last_bounded[key][0]:
+            last_bounded[key] = (pos, r.ewma)
+    checked = 0
+    for uid, (_, ewma) in last_bounded.items():
+        vals = hist[uid]
+        if len(vals) < 4:
+            continue
+        bound = (max(vals) - min(vals)) / 8.0 + 0.05
+        assert abs(exact[uid] - ewma) <= bound, (uid, exact[uid], ewma, bound)
+        checked += 1
+    assert checked > 0
