@@ -116,6 +116,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_nearest",
     "agg_gini_concentration",
     "events_ema_exact",
+    "dedup_lsh_recall_audit",
     # -- last rows-only row retired: full fixed-point-Lloyd replay
     #    oracle (VERDICT r6 item 2) --
     "sim_ivf_kmeans_topk",
@@ -129,7 +130,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_inner_brand_volume",
     "join_left_anti_customers_without_orders",
     "join_left_outer_nation_suppliers",
-    "join_left_semi_active_customers",
 )
 
 
