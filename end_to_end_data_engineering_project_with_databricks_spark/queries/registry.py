@@ -48,30 +48,19 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-7 rotation (VERDICT r6 items 1-3) ========
-    # The r6 window closed the attestation backlog to zero and ended the
-    # registry freeze.  This round: (a) the 8 queries staged under the
-    # freeze register and take immediate slots (VERDICT r6 item 1 —
-    # span dedup, PPJoin, PQ/ADC, IVF-PQ, JPEG, permissive decode,
-    # video frames, bigram LM); (b) sim_ivf_kmeans_topk re-windows with
-    # its NEW full replay oracle (fixed-point Lloyd codebook — VERDICT
-    # r6 item 2 retires the last rows-only row); (c) the seven queries
-    # ADDED in r7 (OHLC resample, key-skew diagnostic, SQL scripting,
-    # audio energy windows, the audio-curation capstone, SemDeDup,
-    # as-of-with-tolerance, the span-dedup-rewrite + video-ANN
-    # capstones, rerank, source-overlap, streaming ANN, DSIR
-    # importance selection, trimmed/winsorized agg, n-gram diversity,
-    # embedding drift, CUSUM alarms batch + streaming, weighted median,
-    # the k-NN graph)
-    # take slots immediately per the standing
-    # rule; (d) the remaining slots
-    # begin the STANDING
-    # oldest-green-first re-attestation policy (VERDICT r6 item 3):
-    # every slot below the staged tier is a query whose latest driver
-    # row is r1 — the oldest record in the registry — so no query's
-    # attestation ages past a handful of rounds.  Families with no
-    # slot this round are 100% driver-attested r1-r6 (family test
-    # enforces exactly that).
+    # ======== round-8 rotation (VERDICT r7 item 1) ========
+    # Consolidation round: the registry's §2 surface is complete and
+    # 277/277 latest-green, so this window is almost entirely the
+    # STANDING oldest-green-first re-attestation policy.  61 queries'
+    # latest driver row dates from r1/r2 while ~10k LoC churned since;
+    # this window re-attests the 30 r1 rows (all of them) plus 15 of
+    # the 31 r2 rows, prioritizing families whose implementation files
+    # churned most (dedup/sim/mm/text/source/sink/stream).  The 16
+    # remaining r2 rows roll to the r9 window.  New r8 queries take
+    # slots immediately per the standing rule, displacing the least-
+    # churned r2 rows at the tail.  Families with no slot this round
+    # are 100% driver-attested r1-r7 (family test enforces exactly
+    # that).
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -80,56 +69,56 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- r6-staged tier: first driver attestation (VERDICT r6 item 1) --
-    "dedup_span_ngram",
-    "dedup_jaccard_prefix",
-    "sim_pq_adc_topk",
-    "sim_ivfpq_topk",
-    "text_bigram_lm_score",
-    "mm_jpeg_decode",
-    "mm_decode_permissive",
-    "mm_video_frames",
-    # -- new in r7 (a new query takes a slot immediately) --
-    "events_ohlc_resample",
-    "profile_key_skew",
-    "sql_scripting",
-    "mm_audio_energy_windows",
-    "pipeline_audio_curation",
-    "dedup_semdedup_clustered",
-    "events_asof_tolerance",
-    "pipeline_span_dedup_rewrite",
-    "mm_video_keyframe_ann",
-    "sim_ivfpq_rerank",
-    "profile_source_overlap",
-    "stream_ann_lookup",
-    "sample_dsir_importance",
-    "agg_trimmed_winsorized",
-    "text_ngram_diversity",
-    "profile_embedding_drift",
-    "events_cusum_alarms",
-    "agg_weighted_median",
-    "sim_knn_graph",
-    "stream_cusum_alarms",
-    "pipeline_dsir_mix",
-    "sample_train_val_test",
-    "agg_mode_exact",
-    "events_asof_nearest",
-    "agg_gini_concentration",
-    "events_ema_exact",
-    "dedup_lsh_recall_audit",
-    # -- last rows-only row retired: full fixed-point-Lloyd replay
-    #    oracle (VERDICT r6 item 2) --
-    "sim_ivf_kmeans_topk",
-    # -- oldest-first re-attestation (latest driver row = r1) --
-    "agg_count_distinct",
-    "agg_cube_flags",
-    "agg_rollup_year_status",
-    "agg_segment_stats",
-    "global_topk_orders",
-    "join_full_outer_nation_presence",
-    "join_inner_brand_volume",
-    "join_left_anti_customers_without_orders",
-    "join_left_outer_nation_suppliers",
+    # -- oldest-first re-attestation: latest driver row = r1 --
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_linestatus",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "agg_having",
+    "distinct_status_priority",
+    "join_cross_region_segments",
+    "join_left_semi_active_customers",
+    "join_range_price_bands",
+    "join_right_outer_part_lines",
+    "scalar_subquery_above_avg",
+    "set_except_nations",
+    "set_intersect_nations",
+    "window_lag_lead",
+    "window_ntile_distribution",
+    "window_rank_customers",
+    "window_running_total",
+    # -- oldest-first re-attestation: latest driver row = r2,
+    #    highest-churn families first --
+    "join_salted_skew",
+    "dedup_exact_documents",
+    "dedup_fingerprint_md5",
+    "sim_threshold_pairs",
+    "mm_decode_features",
+    "mm_resize",
+    "text_pii_redaction",
+    "text_quality_gopher",
+    "text_tfidf_distinctive_terms",
+    "source_python_datasource",
+    "sink_versioned_time_travel",
+    "stream_dedup_keys",
+    # -- r2 displacement buffer: swapped out one-for-one as new r8
+    #    queries register (a new query takes a slot immediately) --
+    "source_csv_roundtrip",
+    "sink_partitioned_pruning",
+    "window_range_frame",
 )
 
 
