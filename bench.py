@@ -46,8 +46,38 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+#: 1-minute loadavg below which the host counts as idle enough to bench.
+#: Rounds r4/r7 both produced inflated official numbers that the judge's
+#: idle re-runs corrected (9.95->7.19, 8.43->8.18); the artifact now waits
+#: (bounded) for the host to drain instead of inheriting the noise.
+IDLE_LOADAVG_1M = 1.5
+
+
+def wait_for_idle_host(max_wait_sec: float) -> dict:
+    """Bounded wait for 1m loadavg < IDLE_LOADAVG_1M (VERDICT r7 item 7).
+
+    Never refuses to run — the driver expects exactly one JSON artifact —
+    but annotates it with the start loadavgs and whether the gate was met,
+    so a contaminated round is self-diagnosing (and adjudicable) from the
+    JSON alone."""
+    deadline = time.monotonic() + max_wait_sec
+    waited = 0.0
+    while os.getloadavg()[0] >= IDLE_LOADAVG_1M and time.monotonic() < deadline:
+        time.sleep(5)
+        waited += 5
+    la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
+    return {
+        "loadavg_at_start": [la1, la5, la15],
+        "idle_at_start": la1 < IDLE_LOADAVG_1M,
+        "idle_wait_sec": round(waited, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idle = wait_for_idle_host(
+        float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    )
     spark = get_spark(app_name="bench")
     pin_session_conf(spark)
 
@@ -97,6 +127,7 @@ def main() -> None:
                 "sf": sf_from_dir(sf_dir),
                 "runs": all_runs,
                 "loadavg_1m_per_pass": loadavg_per_pass,
+                **idle,
             }
         )
     )
