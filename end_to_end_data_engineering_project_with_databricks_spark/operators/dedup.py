@@ -229,6 +229,36 @@ def _band_structs_sql(bands: int, rows_per_band: int) -> str:
     return "array(" + ",".join(terms) + ")"
 
 
+def lsh_band_buckets(
+    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """The LSH join relation: one ``(_id, band, bh)`` row per band per
+    document.  Factored out of :func:`lsh_candidate_pairs` so the
+    scale-growth audit (operators/scale_audit.py, docs/SCALE.md) can
+    measure band-bucket occupancy on exactly the relation the pair join
+    shuffles.
+
+    Materialized BEFORE the self-join: both join sides reference this
+    subtree, and without a materialization point Spark re-plans (and
+    re-computes) the entire signature pipeline once per side — measured
+    1.6 s vs 1.4 s warm and 10 s vs 2.8 s cold at sf0.1.  At 100 TB this
+    is the in-plan form of the persisted lsh_bucket_index: one (band, bh)
+    row per band per document, num_hashes/rows_per_band small rows per
+    doc — far smaller than the corpus.  localCheckpoint blocks are
+    released by the context cleaner when the DataFrame is unreferenced
+    (see minhash_lsh_dedup)."""
+    # fully-literal unrolled SQL (see minhash_signatures: literal indices
+    # keep `sig` multi-referenced so its projection is not inlined)
+    band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
+    return (
+        signatures.select(
+            F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
+        )
+        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -244,25 +274,7 @@ def lsh_candidate_pairs(
     shuffle before the join.
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    # fully-literal unrolled SQL (see minhash_signatures: literal indices
-    # keep `sig` multi-referenced so its projection is not inlined)
-    band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
-    # Materialize the bucket rows BEFORE the self-join: both join sides
-    # reference this subtree, and without a materialization point Spark
-    # re-plans (and re-computes) the entire signature pipeline once per
-    # side — measured 1.6 s vs 1.4 s warm and 10 s vs 2.8 s cold at
-    # sf0.1.  At 100 TB this is the in-plan form of the persisted
-    # lsh_bucket_index: one (band, bh) row per band per document,
-    # num_hashes/rows_per_band small rows per doc — far smaller than the
-    # corpus.  localCheckpoint blocks are released by the context
-    # cleaner when the DataFrame is unreferenced (see minhash_lsh_dedup).
-    buckets = (
-        signatures.select(
-            F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
-        )
-        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-        .localCheckpoint(eager=True)
-    )
+    buckets = lsh_band_buckets(signatures, id_col, bands, rows_per_band)
     left = buckets.select(F.col("_id").alias("id_a"), "band", "bh")
     right = buckets.select(F.col("_id").alias("id_b"), "band", "bh")
     return (
@@ -870,6 +882,57 @@ def duplicated_spans(
     )
 
 
+def jaccard_prefix_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """The PPJoin CANDIDATE stage of :func:`jaccard_prefix_filter_pairs`
+    — distinct ``(id_a, id_b)`` pairs sharing at least one prefix
+    shingle, before the exact verify.  Factored out so the scale-growth
+    audit (operators/scale_audit.py, docs/SCALE.md) can measure
+    candidate volume — THE quantity whose growth order decides whether
+    the operator survives a 100x scale-up — on exactly the relation the
+    production operator verifies.  See the parent docstring for the
+    correctness argument of the prefix bound."""
+    sh = (
+        scale_out(df)
+        .select(F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh"))
+    )
+    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
+    freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_id_").orderBy("_dfreq", "sh")
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    # Rank shingles rarest-first within each document, keep the prefix.
+    # Materialize: the prefix relation feeds BOTH sides of the candidate
+    # self-join (the lsh_candidate_pairs lesson — without a barrier the
+    # df-agg + window pipeline re-runs once per side).
+    prefix = (
+        sh.join(freq, "sh")
+        .withColumn("_rk", F.row_number().over(w))
+        .join(counts, "_id_")
+        .filter(F.col("_rk") <= prefix_len)
+        .select("_id_", "sh")
+        .localCheckpoint(eager=True)
+    )
+    return (
+        prefix.select(F.col("_id_").alias("id_a"), "sh")
+        .join(prefix.select(F.col("_id_").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard_prefix_filter_pairs(
     df: DataFrame,
     id_col: str,
@@ -922,36 +985,7 @@ def jaccard_prefix_filter_pairs(
         scale_out(df)
         .select(F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh"))
     )
-    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
-    freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
-
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("_id_").orderBy("_dfreq", "sh")
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
-        + F.lit(1)
-    )
-    # Rank shingles rarest-first within each document, keep the prefix.
-    # Materialize: the prefix relation feeds BOTH sides of the candidate
-    # self-join (the lsh_candidate_pairs lesson — without a barrier the
-    # df-agg + window pipeline re-runs once per side).
-    prefix = (
-        sh.join(freq, "sh")
-        .withColumn("_rk", F.row_number().over(w))
-        .join(counts, "_id_")
-        .filter(F.col("_rk") <= prefix_len)
-        .select("_id_", "sh")
-        .localCheckpoint(eager=True)
-    )
-    cand = (
-        prefix.select(F.col("_id_").alias("id_a"), "sh")
-        .join(prefix.select(F.col("_id_").alias("id_b"), "sh"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = jaccard_prefix_candidate_pairs(df, id_col, text_col, threshold, k)
     # Exact verify on candidates only: per-document sorted shingle
     # arrays, referenced by both sides -> one materialization.
     sets = (
