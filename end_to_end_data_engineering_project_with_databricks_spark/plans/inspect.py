@@ -25,6 +25,17 @@ def formatted_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def final_adaptive_plan(df: DataFrame) -> str:
+    """The POST-EXECUTION physical plan string — the one AQE actually
+    ran, re-planned splits included.  ``formatted_plan`` shows the
+    initial plan (``isFinalPlan=false``); runtime re-optimizations
+    (skew-join splits, coalesced partitions, SMJ→BHJ conversions) only
+    appear after an action has materialized every query stage.  The
+    caller must have run an action on ``df`` first; the string contains
+    ``isFinalPlan=true`` when it has."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 @dataclass
 class ScanInfo:
     location: str
