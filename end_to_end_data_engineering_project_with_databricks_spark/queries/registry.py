@@ -118,7 +118,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    queries register (a new query takes a slot immediately) --
     "source_csv_roundtrip",
     "sink_partitioned_pruning",
-    "window_range_frame",
+    # -- new in r8 (a new query takes a slot immediately) --
+    "text_bpe_iterative",
 )
 
 
