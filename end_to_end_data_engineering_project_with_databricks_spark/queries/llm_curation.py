@@ -1800,3 +1800,159 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-n-gram quality classifier (VERDICT r7 item 6) — the fastText-
+# shaped scoring stage real curation pipelines run between the rule
+# packs (text_quality_gopher) and the mix construction (DSIR): a LINEAR
+# model over hashed bag-of-bigrams features, fit once on a labeled
+# slice, deployed as constants in a map-only scoring pass.
+# ---------------------------------------------------------------------------
+
+_QCLS_FP_SCALE = 1_000_000
+_QCLS_BUCKETS = 128
+#: labeled fit slice: doc_id < 200 (a fixture stand-in for the curated
+#: positive / rejected negative sets a production classifier trains on;
+#: label = lang == 'en', the same reference-set proxy as DSIR)
+_QCLS_TRAIN_BOUND = 200
+_QCLS_THRESHOLD_FP = _QCLS_FP_SCALE  # mean ratio 1.0 = neutral
+
+
+def _qcls_bg_sql() -> str:
+    """DuckDB CTE chain ending at ``bg(doc_id, lang, b)`` — one row per
+    bigram occurrence, hashed to its feature bucket."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_duck,
+    )
+
+    bigram = "toks[i] || ' ' || toks[i + 1]"
+    return f"""
+    t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    el AS (SELECT * FROM t WHERE len(toks) >= 2),
+    bg AS (
+      SELECT doc_id, lang, {h60_duck(bigram)} % {_QCLS_BUCKETS} AS b
+      FROM (SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM el)
+    )"""
+
+
+def _qcls_oracle() -> str:
+    s, m, tb = _QCLS_FP_SCALE, _QCLS_BUCKETS, _QCLS_TRAIN_BOUND
+    return f"""
+    WITH {_qcls_bg_sql()},
+    hist AS (
+      SELECT b,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_c,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg_c
+      FROM bg WHERE doc_id < {tb} GROUP BY b
+    ),
+    tots AS (SELECT SUM(pos_c) AS pt, SUM(neg_c) AS nt FROM hist),
+    spine AS (SELECT unnest(generate_series(0, {m - 1})) AS b),
+    wt AS (
+      SELECT spine.b,
+             (({s} * (COALESCE(pos_c, 0) + 1)) // (pt + {m}) * {s})
+               // GREATEST(({s} * (COALESCE(neg_c, 0) + 1)) // (nt + {m}), 1)
+               AS w_fp
+      FROM spine LEFT JOIN hist ON spine.b = hist.b, tots
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             SUM(w_fp) AS score_fp
+      FROM bg JOIN wt USING (b) GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_feats,
+           CAST(score_fp // n_feats AS BIGINT) AS avg_score_fp,
+           CAST(CASE WHEN score_fp // n_feats >= {_QCLS_THRESHOLD_FP}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM sc
+    """
+
+
+def _qcls_spark_bg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_spark,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(tokens("text")) >= 2).select(
+        "doc_id", "lang", tokens("text").alias("_tk")
+    )
+    bg_sql = "concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))"
+    buckets = F.explode(
+        F.expr(
+            f"transform(sequence(1, size(_tk) - 1), "
+            f"i -> pmod({h60_spark(bg_sql)}, {_QCLS_BUCKETS}))"
+        )
+    ).alias("b")
+    return base.select("doc_id", "lang", buckets)
+
+
+@query(
+    "text_quality_classifier",
+    oracle=_qcls_oracle(),
+    tags=("text", "curation", "quality", "training-data"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram linear quality classifier — the fastText/CCNet
+    scoring shape (Joulin et al. 2017; the GPT-3/LLaMA "score the crawl
+    against a curated reference" stage): FIT a per-bucket weight vector
+    on the labeled slice ``doc_id < 200`` (positive = ``lang = 'en'``,
+    the DSIR reference-set proxy), then SCORE every document as the
+    mean per-feature weight and gate on neutral (ratio 1.0).
+
+    Fit = closed-form smoothed class-conditional ratio per feature
+    bucket, ``w_b = (P(b|pos) * S) div P(b|neg)`` in exact fixed-point
+    integers (the sample_dsir_importance algebra, but class-vs-class on
+    a LABELED slice rather than target-vs-raw on the whole corpus — a
+    discriminative reweighting, one Laplace-smoothed pass, no SGD).
+    The fit is a bounded driver action in the trained-operator class
+    (k-means codebook, PQ, BPE merges): a <=128-row histogram collect;
+    Python's ``//`` and DuckDB's ``//`` floor identically on the
+    non-negative operands, so the ORACLE re-derives the weights from
+    scratch and no fitted value leaks engine-side.
+
+    Deploy = the fastText serving shape: the 128 weights become an
+    ARRAY LITERAL in the scoring expression (one ``element_at``), so
+    scoring is map + one (doc_id, lang) hash-agg — the model ships with
+    the plan, no join, no broadcast table, and at 100 TB the classifier
+    costs exactly one corpus scan + one map-side-combinable shuffle.
+    Int64 envelope: ``w_fp <= S^2 = 1e12``; per-doc sums stay below
+    ``n_bigrams * 1e12`` (safe to ~9e6 bigrams/doc)."""
+    s, m = _QCLS_FP_SCALE, _QCLS_BUCKETS
+    bg = _qcls_spark_bg(spark, sf_dir)
+    hist = (
+        bg.filter(F.col("doc_id") < _QCLS_TRAIN_BOUND)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos_c"),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg_c"),
+        )
+        .collect()  # bounded: <= 128 feature-bucket rows (the fit)
+    )
+    pos = {int(r["b"]): int(r["pos_c"]) for r in hist}
+    neg = {int(r["b"]): int(r["neg_c"]) for r in hist}
+    pt, nt = sum(pos.values()), sum(neg.values())
+    weights = [
+        ((s * (pos.get(b, 0) + 1)) // (pt + m) * s)
+        // max((s * (neg.get(b, 0) + 1)) // (nt + m), 1)
+        for b in range(m)
+    ]
+    w_expr = f"element_at(array({','.join(str(w) + 'L' for w in weights)}), CAST(b AS INT) + 1)"
+    return (
+        bg.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.expr(w_expr)).alias("score_fp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.expr("score_fp div n_feats").alias("avg_score_fp"),
+            (F.expr("score_fp div n_feats") >= _QCLS_THRESHOLD_FP)
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -117,9 +117,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # -- r2 displacement buffer: swapped out one-for-one as new r8
     #    queries register (a new query takes a slot immediately) --
     "source_csv_roundtrip",
-    "sink_partitioned_pruning",
     # -- new in r8 (a new query takes a slot immediately) --
     "text_bpe_iterative",
+    "text_quality_classifier",
 )
 
 

@@ -30,3 +30,35 @@ def test_bpe_iterative_properties(spark, sf_dir) -> None:
     # genuinely survived re-encoding (non-overlap leftovers) — just pin
     # the output schema contract here
     assert set(rows[0].asDict()) == {"r", "pair", "n", "corpus_tokens"}
+
+
+def test_quality_classifier_properties(spark, sf_dir) -> None:
+    df = all_specs()["text_quality_classifier"].fn(spark, sf_dir)
+    rows = df.collect()
+    # the gate separates: both classes appear in the output
+    kept = [r for r in rows if r.keep == 1]
+    assert 0 < len(kept) < len(rows)
+    # the classifier learned the label proxy: mean score of 'en' docs
+    # exceeds mean score of the rest (it was trained to)
+    en = [r.avg_score_fp for r in rows if r.lang == "en"]
+    other = [r.avg_score_fp for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    # keep decision is exactly the threshold on the emitted score
+    assert all((r.avg_score_fp >= 1_000_000) == (r.keep == 1) for r in rows)
+
+
+def test_quality_classifier_scoring_is_one_shuffle(spark, sf_dir) -> None:
+    """Deploy shape: the model is an array literal, so scoring is one
+    map-side-combinable hash-agg — a single Exchange, no join, and no
+    Python boundary anywhere in the plan."""
+    from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
+        formatted_plan,
+        shuffle_count,
+    )
+
+    df = all_specs()["text_quality_classifier"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "Pandas" not in plan and "PythonUDF" not in plan
