@@ -116,10 +116,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_dedup_keys",
     # -- r2 displacement buffer: swapped out one-for-one as new r8
     #    queries register (a new query takes a slot immediately) --
-    "source_csv_roundtrip",
     # -- new in r8 (a new query takes a slot immediately) --
     "text_bpe_iterative",
     "text_quality_classifier",
+    "sim_hnsw_search",
 )
 
 

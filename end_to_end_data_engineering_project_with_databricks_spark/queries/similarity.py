@@ -1128,3 +1128,211 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("src_id", "nbr_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# HNSW-style layered greedy search (VERDICT r7 stretch item 8) on top of
+# the sim_knn_graph machinery: a sparsified upper layer routes, the
+# bottom (cell) layer refines.
+# ---------------------------------------------------------------------------
+
+_HNSW_HOPS = 3
+_HNSW_SPARSITY = 8  # layer-1 keeps vec_id % 8 == 0 (~1/8 of the corpus)
+
+
+def _hnsw_oracle() -> str:
+    cos_ab = sql_cosine("a.embedding", "b.embedding")
+    cos_hop = sql_cosine("q_vec", "node_vec")
+    cos_fm = sql_cosine("f.q_vec", "m.embedding")
+    ctes = f"""{ivf_replay_ctes()},
+    layer1 AS (SELECT * FROM assigned WHERE vec_id % {_HNSW_SPARSITY} = 0),
+    hubs AS (
+      SELECT l.vec_id AS node_id, l.embedding AS node_vec
+      FROM layer1 l JOIN (
+        SELECT cell_id, MIN(vec_id) AS mv FROM layer1 GROUP BY cell_id
+      ) h ON l.cell_id = h.cell_id AND l.vec_id = h.mv
+    ),
+    edges AS (
+      SELECT src_id, nbr_id, nbr_vec FROM (
+        SELECT a.vec_id AS src_id, b.vec_id AS nbr_id,
+               b.embedding AS nbr_vec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id ORDER BY {cos_ab} DESC, b.vec_id
+               ) AS rn
+        FROM layer1 a JOIN layer1 b USING (cell_id)
+        WHERE a.vec_id <> b.vec_id
+      ) e WHERE rn <= 2
+    ),
+    entry AS (
+      SELECT vec_id AS node_id, embedding AS node_vec
+      FROM layer1 ORDER BY vec_id LIMIT 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 8),
+    hop0 AS (SELECT query_id, q_vec, node_id, node_vec FROM q, entry)"""
+    for k in range(1, _HNSW_HOPS + 1):
+        ctes += f""",
+    cand{k} AS (
+      SELECT query_id, q_vec, node_id, node_vec FROM hop{k - 1}
+      UNION ALL
+      SELECT h.query_id, h.q_vec, ed.nbr_id, ed.nbr_vec
+      FROM hop{k - 1} h JOIN edges ed ON h.node_id = ed.src_id
+      UNION ALL
+      SELECT h.query_id, h.q_vec, hb.node_id, hb.node_vec
+      FROM hop{k - 1} h, hubs hb
+    ),
+    hop{k} AS (
+      SELECT query_id, q_vec, node_id, node_vec FROM (
+        SELECT query_id, q_vec, node_id, node_vec,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY {cos_hop} DESC, node_id
+               ) AS rn
+        FROM cand{k}
+      ) c WHERE rn = 1
+    )"""
+    return f"""{ctes},
+    final AS (
+      SELECT h.query_id, h.q_vec, a.cell_id
+      FROM hop{_HNSW_HOPS} h JOIN assigned a ON a.vec_id = h.node_id
+    )
+    SELECT query_id, nbr_id, score, rank FROM (
+      SELECT f.query_id, m.vec_id AS nbr_id, {cos_fm} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY f.query_id ORDER BY {cos_fm} DESC, m.vec_id
+             ) AS BIGINT) AS rank
+      FROM final f JOIN assigned m USING (cell_id)
+    ) r WHERE rank <= 5
+    """
+
+
+@query(
+    "sim_hnsw_search",
+    oracle=_hnsw_oracle(),
+    tags=("similarity", "graph", "ann", "topk"),
+)
+def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HNSW-style layered greedy ANN search (Malkov & Yashunin 2018 —
+    the skip-list-over-proximity-graph idea, re-expressed with the
+    repo's deterministic building blocks so every step replays in SQL):
+
+    - LAYER 1 (routing): a deterministic 1-in-{_HNSW_SPARSITY}
+      sparsification (``vec_id % 8 == 0``).  Its edge set is the
+      sim_knn_graph construction on the subset (top-2 cosine within the
+      vector's IVF cell) PLUS one hub per cell (the cell's lowest-id
+      layer-1 node) visible from every node — the bounded stand-in for
+      HNSW's long-range links: within-cell edges refine locally, hub
+      links let the walk jump regions (the navigable-small-world role).
+    - SEARCH: from a single global entry point (lowest-id layer-1
+      node), 3 greedy hops — each hop scores the current node, its <=2
+      graph neighbors, and the <=16 hubs against the query and moves to
+      the argmax (ties: lowest id; the current node competes, so the
+      walk never degrades).  Then DESCEND: the reached node's full IVF
+      cell is scored exactly and the top-5 returned — upper layer
+      routes, bottom layer refines.  Self-matches are kept (a query
+      that routes to its own cell returns itself at rank 1 — the
+      determinism-friendly convention of the recall audits).
+
+    100 TB shape: the walk state is |Q| rows; each hop is one equi-join
+    on the current node id against the (corpus/8 * 2)-row edge list
+    plus a broadcast of the n_cells-row hub table, so per-query cost is
+    O(hops * (degree + n_cells)) score evaluations — independent of
+    corpus size; the final refine pays one cell, exactly like
+    sim_ivf_topk's single-probe regime.  Graph/assignment relations
+    localCheckpoint once (each feeds multiple hops — the
+    lsh_candidate_pairs lesson).  Recall is the LSH-audit trade: hub
+    routing is cosine-to-a-member, noisier than cosine-to-centroid, so
+    the walk can settle one cell off — tests/test_round8_ops.py
+    measures overlap against sim_ivf_topk's single-probe answer.
+
+    Plan note (allow-listed in _ALLOWED_THETA): the theta nodes are
+    ivf_assign's 16-row centroid crossJoin (sim_ivf_topk class), the
+    1-row entry-point broadcast, and the per-hop <=16-row hub
+    broadcast; every data-sized join (edges, cell members) is an
+    equi-join."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = deterministic_centroids(e, 16)
+    assigned = ivf_assign(e, cent).localCheckpoint(eager=True)
+    layer1 = assigned.filter(F.col("vec_id") % _HNSW_SPARSITY == 0)
+
+    hubs = (
+        layer1.join(
+            layer1.groupBy("cell_id").agg(F.min("vec_id").alias("vec_id")),
+            ["cell_id", "vec_id"],
+        )
+        .select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("node_vec"))
+        .localCheckpoint(eager=True)
+    )
+    a = layer1.select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("src_vec"), "cell_id"
+    )
+    b = layer1.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_vec"), "cell_id"
+    )
+    we = Window.partitionBy("cell_id", "src_id").orderBy(
+        F.desc("escore"), F.asc("nbr_id")
+    )
+    edges = (
+        a.join(b, "cell_id")
+        .filter(F.col("src_id") != F.col("nbr_id"))
+        .withColumn("escore", cosine_similarity("src_vec", "nbr_vec"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 2)
+        .select("src_id", "nbr_id", "nbr_vec")
+        .localCheckpoint(eager=True)
+    )
+    entry = (
+        layer1.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("node_id"), F.col("embedding").alias("node_vec"))
+    )
+    q = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cur = q.crossJoin(F.broadcast(entry))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("hscore"), F.asc("node_id"))
+    for _ in range(_HNSW_HOPS):
+        # dataset aliases: from hop 2 on, `cur` itself derives from
+        # `edges`, so unqualified column refs would be ambiguous
+        c_edges = (
+            cur.alias("cu")
+            .join(edges.alias("ed"), F.col("cu.node_id") == F.col("ed.src_id"))
+            .select(
+                F.col("cu.query_id").alias("query_id"),
+                F.col("cu.q_vec").alias("q_vec"),
+                F.col("ed.nbr_id").alias("node_id"),
+                F.col("ed.nbr_vec").alias("node_vec"),
+            )
+        )
+        c_hubs = cur.select("query_id", "q_vec").crossJoin(F.broadcast(hubs))
+        cand = cur.select("query_id", "q_vec", "node_id", "node_vec").unionByName(
+            c_edges
+        ).unionByName(c_hubs)
+        cur = (
+            cand.withColumn("hscore", cosine_similarity("q_vec", "node_vec"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") == 1)
+            .drop("hscore", "rn")
+        )
+    final = cur.join(
+        assigned.select(F.col("vec_id").alias("node_id"), "cell_id"), "node_id"
+    ).select("query_id", "q_vec", "cell_id")
+    members = assigned.select(
+        F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("m_vec"), "cell_id"
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
+    return (
+        final.join(members, "cell_id")
+        .withColumn("score", cosine_similarity("q_vec", "m_vec"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "nbr_id", "score", "rank")
+    )

@@ -62,6 +62,11 @@ _ALLOWED_THETA = {
     # probe vs the 16-row centroid/codebook tables; scoring stays an
     # equi-join on cell_id)
     "mm_video_keyframe_ann",
+    # HNSW-style greedy search: theta nodes are ivf_assign's 16-row
+    # centroid crossJoin (sim_ivf_topk class), the 1-row entry-point
+    # broadcast, and the per-hop <=16-row hub broadcast; edges and cell
+    # members join by equi-key
+    "sim_hnsw_search",
     # broadcast crossJoin against a tiny literal spine/dim side
     "events_forward_fill",
     "events_linear_interpolation",
