@@ -46,15 +46,20 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-#: 1-minute loadavg below which the host counts as idle enough to bench.
+#: Loadavg bounds below which the host counts as idle enough to bench.
 #: Rounds r4/r7 both produced inflated official numbers that the judge's
 #: idle re-runs corrected (9.95->7.19, 8.43->8.18); the artifact now waits
-#: (bounded) for the host to drain instead of inheriting the noise.
+#: (bounded) for the host to drain instead of inheriting the noise.  The
+#: 5m bound matters as much as the 1m one: measured, a run started right
+#: after a heavy sweep (1m 0.15, 5m 2.0+) still reads ~15% high — caches,
+#: cgroup IO, and sibling tenants all decay on the minutes scale.
 IDLE_LOADAVG_1M = 1.5
+IDLE_LOADAVG_5M = 2.0
 
 
 def wait_for_idle_host(max_wait_sec: float) -> dict:
-    """Bounded wait for 1m loadavg < IDLE_LOADAVG_1M (VERDICT r7 item 7).
+    """Bounded wait for 1m < IDLE_LOADAVG_1M AND 5m < IDLE_LOADAVG_5M
+    (VERDICT r7 item 7).
 
     Never refuses to run — the driver expects exactly one JSON artifact —
     but annotates it with the start loadavgs and whether the gate was met,
@@ -62,13 +67,18 @@ def wait_for_idle_host(max_wait_sec: float) -> dict:
     JSON alone."""
     deadline = time.monotonic() + max_wait_sec
     waited = 0.0
-    while os.getloadavg()[0] >= IDLE_LOADAVG_1M and time.monotonic() < deadline:
+
+    def busy() -> bool:
+        la1, la5, _ = os.getloadavg()
+        return la1 >= IDLE_LOADAVG_1M or la5 >= IDLE_LOADAVG_5M
+
+    while busy() and time.monotonic() < deadline:
         time.sleep(5)
         waited += 5
     la1, la5, la15 = (round(x, 2) for x in os.getloadavg())
     return {
         "loadavg_at_start": [la1, la5, la15],
-        "idle_at_start": la1 < IDLE_LOADAVG_1M,
+        "idle_at_start": la1 < IDLE_LOADAVG_1M and la5 < IDLE_LOADAVG_5M,
         "idle_wait_sec": round(waited, 1),
     }
 
