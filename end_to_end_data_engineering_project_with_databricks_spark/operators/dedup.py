@@ -464,6 +464,33 @@ def simhash64(hashes_col: Column | str, n_bits: int = 64) -> Column:
     return F.expr(bit_terms)
 
 
+def hamming_band_buckets(
+    fp: DataFrame, id_col: str, fp_col: str, bits_per_band: int = 16
+) -> DataFrame:
+    """The banded-Hamming join relation: one ``(_id, fp, band, bv)``
+    row per 4-way band split of each fingerprint.  Factored out of
+    :func:`hamming_near_dup_pairs` so the scale-growth audit
+    (operators/scale_audit.py, docs/SCALE.md) can measure band-bucket
+    occupancy — the quantity whose birthday-collision growth decides
+    when ``bits_per_band`` must widen with the corpus."""
+    mask = (1 << bits_per_band) - 1
+    clean = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("fp", b * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(4)
+        ]
+    )
+    return clean.select("_id", "fp", F.explode(bands).alias("b")).select(
+        "_id", "fp", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
+    )
+
+
 def hamming_near_dup_pairs(
     fp: DataFrame,
     id_col: str,
@@ -487,22 +514,7 @@ def hamming_near_dup_pairs(
     bands tolerate 3 differing bits); larger thresholds still work but
     probabilistically, like any LSH — pairs whose 4+ flipped bits land
     in all 4 bands are missed."""
-    mask = (1 << bits_per_band) - 1
-    clean = fp.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("fp"))
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("fp", b * bits_per_band)
-                .bitwiseAND(F.lit(mask))
-                .alias("bv"),
-            )
-            for b in range(4)
-        ]
-    )
-    buckets = clean.select("_id", "fp", F.explode(bands).alias("b")).select(
-        "_id", "fp", F.col("b.band").alias("band"), F.col("b.bv").alias("bv")
-    )
+    buckets = hamming_band_buckets(fp, id_col, fp_col, bits_per_band)
     left = buckets.select(
         F.col("_id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "bv"
     )
@@ -737,6 +749,47 @@ def minhash_lsh_dedup_incremental(
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
 
 
+def span_gram_positions(
+    df: DataFrame, id_col: str, text_col: str, gram_k: int = 8
+) -> DataFrame:
+    """The positional-gram relation of :func:`duplicated_spans`: one
+    ``(_id_, pos, gh)`` row per token position, ``gh`` = the SPAN_C
+    positional combine of md5-60 token hashes.  Factored out so the
+    scale-growth audit (operators/scale_audit.py, docs/SCALE.md) can
+    measure the df-gated gram join volume on exactly the relation the
+    production operator shuffles.
+
+    One md5 per token into its own projection (`_th` is referenced
+    gram_k times by the combine; the projection barrier stops
+    CollapseProject from re-tokenizing per position — see
+    _hashed_shingle_docs).  Filter first, on a fresh cheap split."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        SPAN_C,
+    )
+
+    tokh = (
+        scale_out(df)
+        .filter(F.size(tokens(text_col)) >= gram_k)
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.transform(
+                tokens(text_col), lambda t: F.pmod(_h60(t), F.lit(MERSENNE_P))
+            ).alias("_th"),
+        )
+    )
+    combine = " + ".join(
+        f"pmod({SPAN_C[j]} * element_at(_th, i + {j}), {MERSENNE_P})"
+        for j in range(gram_k)
+    )
+    gram_sql = (
+        f"transform(sequence(1, size(_th) - {gram_k - 1}), "
+        f"i -> named_struct('pos', i, 'gh', pmod({combine}, {MERSENNE_P})))"
+    )
+    return tokh.select(
+        "_id_", F.explode(F.expr(gram_sql)).alias("_g")
+    ).select("_id_", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,
@@ -781,36 +834,9 @@ def duplicated_spans(
     DuckDB oracle replays the whole pipeline value-for-value
     (queries/dedup.DEDUP_SPAN_NGRAM_ORACLE).
     """
-    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
-        SPAN_C,
-    )
     from pyspark.sql.window import Window
 
-    # One md5 per token into its own projection (`_th` is referenced
-    # gram_k times by the combine; the projection barrier stops
-    # CollapseProject from re-tokenizing per position — see
-    # _hashed_shingle_docs).  Filter first, on a fresh cheap split.
-    tokh = (
-        scale_out(df)
-        .filter(F.size(tokens(text_col)) >= gram_k)
-        .select(
-            F.col(id_col).alias("_id_"),
-            F.transform(
-                tokens(text_col), lambda t: F.pmod(_h60(t), F.lit(MERSENNE_P))
-            ).alias("_th"),
-        )
-    )
-    combine = " + ".join(
-        f"pmod({SPAN_C[j]} * element_at(_th, i + {j}), {MERSENNE_P})"
-        for j in range(gram_k)
-    )
-    gram_sql = (
-        f"transform(sequence(1, size(_th) - {gram_k - 1}), "
-        f"i -> named_struct('pos', i, 'gh', pmod({combine}, {MERSENNE_P})))"
-    )
-    grams = tokh.select(
-        "_id_", F.explode(F.expr(gram_sql)).alias("_g")
-    ).select("_id_", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    grams = span_gram_positions(df, id_col, text_col, gram_k)
 
     # Document-frequency gate: only grams shared by >= 2 documents can
     # produce a span; > max_df is boilerplate (a quadratic bucket at

@@ -63,6 +63,9 @@ from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup i
     lsh_candidate_pairs,
     minhash_signatures,
 )
+from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+    scale_out,
+)
 from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
     _vector_dim,
     deterministic_centroids,
@@ -238,3 +241,81 @@ def growth_exponent(points: list[tuple[float, float]]) -> float:
     if denom == 0:
         return 0.0
     return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def simhash_growth_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """Band-bucket stats for the SimHash 4x15-bit banded Hamming join
+    (the simhash_near_dups configuration).  Unlike LSH bands (hashes of
+    a signature slice — an effectively unbounded key space), a 15-bit
+    band VALUE space holds only 32,768 buckets per band, so random
+    birthday collisions make the candidate stream grow ~quadratically
+    once n approaches 2^bits_per_band — the audit MEASURES that knee so
+    docs/SCALE.md can state when ``bits_per_band`` must widen with the
+    corpus.  The verified output (Hamming <= 3) stays linear: two
+    random 60-bit fingerprints sit ~30 bits apart, so birthday
+    candidates die in the exact check — cost, not correctness."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _h60,
+        hamming_band_buckets,
+        simhash64,
+        simhash_near_dups,
+    )
+
+    hashed = scale_out(docs).select(
+        F.col(id_col).alias("_id"),
+        F.transform(tokens(text_col), _h60).alias("_th"),
+    )
+    fp = hashed.select("_id", simhash64("_th", n_bits=60).alias("fp"))
+    occ = hamming_band_buckets(fp, "_id", "fp", bits_per_band=15).groupBy(
+        "band", "bv"
+    ).agg(F.count("*").alias("occ"))
+    row = occ.agg(
+        F.max("occ").alias("max_bucket"),
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("join_rows"),
+    ).collect()[0]
+    return {
+        "n_docs": docs.count(),
+        "max_bucket": int(row["max_bucket"]),
+        "candidate_join_rows": int(row["join_rows"]),
+        "verified_pairs": simhash_near_dups(docs, id_col, text_col).count(),
+    }
+
+
+def span_growth_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_k: int = 8,
+    max_df: int = 64,
+) -> dict:
+    """df-gated gram-join stats for the duplicated-spans operator: the
+    positional-gram equi-join shuffles sum(m*(m-1)/2) rows over grams
+    whose document frequency passes the 2..max_df gate (m = the gram's
+    total positions).  Also counts the verified output spans — both
+    should track the corpus' (linear) duplicate structure."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        duplicated_spans,
+        span_gram_positions,
+    )
+
+    grams = span_gram_positions(docs, id_col, text_col, gram_k)
+    per_gram = grams.groupBy("gh").agg(
+        F.count("*").alias("m"), F.count_distinct("_id_").alias("df")
+    )
+    gated = per_gram.filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+    row = gated.agg(
+        F.max("m").alias("max_m"),
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).alias("join_rows"),
+        F.count("*").alias("n_gated_grams"),
+    ).collect()[0]
+    return {
+        "n_docs": docs.count(),
+        "max_gram_positions": int(row["max_m"] or 0),
+        "candidate_join_rows": int(row["join_rows"] or 0),
+        "n_gated_grams": int(row["n_gated_grams"]),
+        "verified_spans": duplicated_spans(
+            docs, id_col, text_col, gram_k=gram_k, max_df=max_df
+        ).count(),
+    }

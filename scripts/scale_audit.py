@@ -27,6 +27,8 @@ from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_a
     ppjoin_growth_stats,
     replicate_documents,
     replicate_embeddings,
+    simhash_growth_stats,
+    span_growth_stats,
 )
 
 
@@ -62,6 +64,19 @@ def main() -> None:
         s = ppjoin_growth_stats(rd)
         record("ppjoin_prefix", k, s["n_docs"], s["candidate_pairs"],
                s, time.time() - t0)
+
+        t0 = time.time()
+        s = span_growth_stats(rd)
+        record("span_df_gated_grams", k, s["n_docs"], s["candidate_join_rows"],
+               s, time.time() - t0)
+
+        # fixed-band-width control: 4x15-bit SimHash bands collide by
+        # birthday math once n ~ 2^15 — candidates grow superlinearly,
+        # the exact Hamming check absorbs them (cost, not correctness)
+        t0 = time.time()
+        s = simhash_growth_stats(rd)
+        record("simhash_fixed_15bit_bands", k, s["n_docs"],
+               s["candidate_join_rows"], s, time.time() - t0)
 
         t0 = time.time()
         s = ivf_growth_stats(re_, n_cells=16 * k, trained=True)
