@@ -48,19 +48,16 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-8 rotation (VERDICT r7 item 1) ========
-    # Consolidation round: the registry's §2 surface is complete and
-    # 277/277 latest-green, so this window is almost entirely the
-    # STANDING oldest-green-first re-attestation policy.  61 queries'
-    # latest driver row dates from r1/r2 while ~10k LoC churned since;
-    # this window re-attests the 30 r1 rows (all of them) plus 15 of
-    # the 31 r2 rows, prioritizing families whose implementation files
-    # churned most (dedup/sim/mm/text/source/sink/stream).  The 16
-    # remaining r2 rows roll to the r9 window.  New r8 queries take
-    # slots immediately per the standing rule, displacing the least-
-    # churned r2 rows at the tail.  Families with no slot this round
-    # are 100% driver-attested r1-r7 (family test enforces exactly
-    # that).
+    # ======== round-9 rotation (VERDICT r8 item 1) ========
+    # Freshness-completion round: re-attest the 19 remaining r2-stale
+    # rows (the full list VERDICT r8 item 1 names), then fill the
+    # remaining slots oldest-r3-row-first, churn-prioritized (dedup/
+    # sim/text/mm/stream modules churned most in r8-r9).  After this
+    # round no registered query's latest driver row is older than r3.
+    # New r9 queries take slots immediately per the standing rule,
+    # displacing the least-churned r3 rows at the tail.  Families with
+    # no slot (audit_/profile_, sample_) are 100% driver-attested
+    # r4-r7 (family test enforces exactly that).
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -69,57 +66,56 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- oldest-first re-attestation: latest driver row = r1 --
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "agg_having",
-    "distinct_status_priority",
-    "join_cross_region_segments",
-    "join_left_semi_active_customers",
-    "join_range_price_bands",
-    "join_right_outer_part_lines",
-    "scalar_subquery_above_avg",
-    "set_except_nations",
-    "set_intersect_nations",
-    "window_lag_lead",
-    "window_ntile_distribution",
-    "window_rank_customers",
-    "window_running_total",
-    # -- oldest-first re-attestation: latest driver row = r2,
+    # -- oldest-first re-attestation: latest driver row = r2 (all 19) --
+    "agg_grouping_sets",
+    "date_functions",
+    "emb_norm_stats",
+    "explode_tokens",
+    "filter_predicates",
+    "pandas_scalar_token_count",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "set_union_all_parties",
+    "sink_partitioned_pruning",
+    "sink_versioned_changes",
+    "source_corrupt_records",
+    "source_csv_roundtrip",
+    "sql_recursive_date_spine",
+    "string_functions",
+    "topk_per_group",
+    "window_range_frame",
+    # -- oldest-first re-attestation: latest driver row = r3,
     #    highest-churn families first --
-    "join_salted_skew",
-    "dedup_exact_documents",
-    "dedup_fingerprint_md5",
-    "sim_threshold_pairs",
-    "mm_decode_features",
-    "mm_resize",
-    "text_pii_redaction",
-    "text_quality_gopher",
-    "text_tfidf_distinctive_terms",
-    "source_python_datasource",
-    "sink_versioned_time_travel",
-    "stream_dedup_keys",
-    # -- r2 displacement buffer: swapped out one-for-one as new r8
+    "dedup_connected_components",
+    "dedup_embedding_cosine",
+    "dedup_entity_resolution_blocked",
+    "text_decontaminate_ngram",
+    "text_language_id",
+    "text_token_stats",
+    "sim_topk_bruteforce",
+    "mm_ahash_neardup",
+    "mm_binary_metadata",
+    "mm_frame_sample",
+    "pipeline_image_dedup",
+    "stream_image_ingest",
+    "stream_session_windows",
+    "stream_stateful_user_counts",
+    "stream_tumbling_counts",
+    "source_versioned_stream",
+    "matview_incremental_refresh",
+    "sink_bucketed_join",
+    "sink_merge_upsert",
+    "emb_gram_matrix",
+    "emb_label_centroids",
+    "events_sessionize",
+    # -- r3 displacement buffer: swapped out one-for-one as new r9
     #    queries register (a new query takes a slot immediately) --
-    # -- new in r8 (a new query takes a slot immediately) --
-    "text_bpe_iterative",
-    "text_quality_classifier",
-    "sim_hnsw_search",
+    "events_asof_purchase_click",
+    "events_forward_fill",
+    "sql_lateral_topk_per_group",
+    "udtf_parse_delimited_dynamic",
 )
 
 
