@@ -914,6 +914,7 @@ def jaccard_prefix_candidate_pairs(
     text_col: str,
     threshold: float = 0.5,
     k: int = 3,
+    shingle_rel: DataFrame | None = None,
 ) -> DataFrame:
     """The PPJoin CANDIDATE stage of :func:`jaccard_prefix_filter_pairs`
     — distinct ``(id_a, id_b)`` pairs sharing at least one prefix
@@ -922,11 +923,18 @@ def jaccard_prefix_candidate_pairs(
     candidate volume — THE quantity whose growth order decides whether
     the operator survives a 100x scale-up — on exactly the relation the
     production operator verifies.  See the parent docstring for the
-    correctness argument of the prefix bound."""
-    sh = (
-        scale_out(df)
-        .select(F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh"))
-    )
+    correctness argument of the prefix bound.
+
+    ``shingle_rel``: optional pre-built ``(_id_, sh)`` exploded-shingle
+    relation.  The parent builds it once and shares it between the
+    candidate and verify stages (the r8 audit-seam extraction had each
+    stage rebuilding it, costing one extra tokenize+shingle corpus scan
+    per invocation — ADVICE r8); standalone callers omit it."""
+    sh = shingle_rel
+    if sh is None:
+        sh = scale_out(df).select(
+            F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh")
+        )
     counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
 
@@ -1011,7 +1019,9 @@ def jaccard_prefix_filter_pairs(
         scale_out(df)
         .select(F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh"))
     )
-    cand = jaccard_prefix_candidate_pairs(df, id_col, text_col, threshold, k)
+    cand = jaccard_prefix_candidate_pairs(
+        df, id_col, text_col, threshold, k, shingle_rel=sh
+    )
     # Exact verify on candidates only: per-document sorted shingle
     # arrays, referenced by both sides -> one materialization.
     sets = (

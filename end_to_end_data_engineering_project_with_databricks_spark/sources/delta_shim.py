@@ -62,6 +62,43 @@ def _delta_table(spark: SparkSession, root: str):
     return DeltaTable.forPath(spark, root)
 
 
+def _timestamp_as_of(epoch: float, session_tz: str) -> str:
+    """Render an epoch-seconds instant as the wall-clock string Delta's
+    ``timestampAsOf`` option expects.
+
+    Delta parses the option string in ``spark.sql.session.timeZone``,
+    NOT in UTC — formatting the epoch as UTC wall-clock would time-travel
+    to a different instant on any non-UTC session (exactly the target
+    Databricks environment).  Fractional seconds are kept: truncating to
+    whole seconds rounds the instant DOWN and can select an earlier
+    version than the twin's epoch-seconds comparison.
+
+    Accepts region ids (``America/Los_Angeles``), ``UTC``/``GMT``, and
+    fixed-offset ids (``GMT+08:00``, ``UTC-5``, ``+09:30``) — the forms
+    Spark itself accepts for the conf.  Unparseable zones raise rather
+    than silently falling back to UTC (which would reproduce the bug)."""
+    import re
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        tz: _dt.tzinfo = ZoneInfo(session_tz)
+    except Exception:
+        m = re.fullmatch(
+            r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", session_tz.strip()
+        )
+        if not m:
+            raise ValueError(
+                f"unrecognized spark.sql.session.timeZone: {session_tz!r}"
+            ) from None
+        sign = 1 if m.group(1) == "+" else -1
+        minutes = int(m.group(2)) * 60 + int(m.group(3) or 0)
+        tz = _dt.timezone(sign * _dt.timedelta(minutes=minutes))
+    return _dt.datetime.fromtimestamp(epoch, tz=tz).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+
+
 def write_append(df: DataFrame, root: str, evolve_schema: bool = False) -> int:
     """Append a batch; returns the committed version.
 
@@ -95,9 +132,9 @@ def read_snapshot(
         if version is not None:
             reader = reader.option("versionAsOf", int(version))
         if timestamp is not None:
-            ts = _dt.datetime.fromtimestamp(timestamp, tz=_dt.timezone.utc)
+            session_tz = spark.conf.get("spark.sql.session.timeZone")
             reader = reader.option(
-                "timestampAsOf", ts.strftime("%Y-%m-%d %H:%M:%S")
+                "timestampAsOf", _timestamp_as_of(timestamp, session_tz)
             )
         return reader.load(root)
     return _twin.read(spark, root, version=version, timestamp=timestamp)
@@ -128,9 +165,16 @@ def table_changes(
 ) -> DataFrame:
     """Row-level change feed between versions, normalized to the twin's
     two-primitive contract: table columns + ``_change_type`` in
-    {'insert', 'delete'}.  Delta's CDF splits updates into
-    update_preimage/update_postimage; those map to delete/insert so the
-    two backends agree row-for-row (the mapping documented in
+    {'insert', 'delete'}, NET over the whole version window.
+
+    The twin diffs the two endpoint snapshots, so its output is the net
+    change; Delta CDF accumulates per-commit events, so over a
+    multi-commit window a row inserted then deleted (or an update later
+    reverted) appears as cancelling insert/delete pairs.  The Delta
+    branch therefore cancels complementary rows with ``exceptAll``
+    (multiset difference — multiplicities are respected) after mapping
+    update_preimage/update_postimage to delete/insert, making the two
+    backends agree row-for-row on any window (the mapping documented in
     docs/DELTA_MAPPING.md)."""
     if delta_available(spark):
         from pyspark.sql import functions as F
@@ -143,14 +187,24 @@ def table_changes(
         if to_version is not None:
             reader = reader.option("endingVersion", int(to_version))
         cdf = reader.load(root)
-        mapped = cdf.withColumn(
-            "_change_type",
-            F.when(
-                F.col("_change_type").isin("insert", "update_postimage"),
-                F.lit("insert"),
-            ).otherwise(F.lit("delete")),
+        data_cols = [
+            c
+            for c in cdf.columns
+            if c not in ("_change_type", "_commit_version", "_commit_timestamp")
+        ]
+        ins = cdf.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*data_cols)
+        dels = cdf.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(*data_cols)
+        return (
+            ins.exceptAll(dels)
+            .withColumn("_change_type", F.lit("insert"))
+            .unionByName(
+                dels.exceptAll(ins).withColumn("_change_type", F.lit("delete"))
+            )
         )
-        return mapped.drop("_commit_version", "_commit_timestamp")
     return _twin.table_changes(spark, root, from_version, to_version)
 
 

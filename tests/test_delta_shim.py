@@ -38,12 +38,54 @@ def test_probe_is_honest(spark) -> None:
     except ImportError:
         importable = False
     assert D.delta_available() == importable
-    if importable:
-        # the session-level probe may still be False (python package
-        # without jars); it must never be True when the bare import fails
-        assert D.delta_available(spark) in (True, False)
-    else:
+    if not importable:
         assert D.delta_available(spark) is False
+
+
+def test_probe_refuses_without_jvm_classes(spark, monkeypatch) -> None:
+    """The documented split-brain case: Python delta package importable
+    but the Scala extension absent from the JVM classpath (pip install
+    without configure_spark_with_delta_pip).  The bare probe must say
+    True, the session probe False — exercised here by injecting a fake
+    ``delta`` package and a session whose JVM resolution raises."""
+    import sys
+    import types
+
+    fake = types.ModuleType("delta")
+    fake_tables = types.ModuleType("delta.tables")
+    fake_tables.DeltaTable = object
+    fake.tables = fake_tables
+    monkeypatch.setitem(sys.modules, "delta", fake)
+    monkeypatch.setitem(sys.modules, "delta.tables", fake_tables)
+    assert D.delta_available() is True
+
+    class _RaisingJvm:
+        def __getattr__(self, name):
+            raise RuntimeError("ClassNotFoundException: io.delta.tables")
+
+    class _NoDeltaSession:
+        _jvm = _RaisingJvm()
+
+    assert D.delta_available(_NoDeltaSession()) is False
+
+
+def test_timestamp_as_of_uses_session_timezone() -> None:
+    """Delta parses timestampAsOf in spark.sql.session.timeZone — the
+    same instant must render as DIFFERENT wall-clock strings per zone,
+    with fractional seconds kept (truncation selects an earlier
+    version)."""
+    epoch = 1723726800.25  # 2024-08-15T13:00:00.25Z
+    assert D._timestamp_as_of(epoch, "UTC") == "2024-08-15 13:00:00.250000"
+    assert (
+        D._timestamp_as_of(epoch, "America/Los_Angeles")
+        == "2024-08-15 06:00:00.250000"
+    )
+    # fixed-offset ids Spark accepts but zoneinfo rejects
+    assert D._timestamp_as_of(epoch, "GMT+08:00") == "2024-08-15 21:00:00.250000"
+    assert D._timestamp_as_of(epoch, "UTC-5") == "2024-08-15 08:00:00.250000"
+    assert D._timestamp_as_of(epoch, "+09:30") == "2024-08-15 22:30:00.250000"
+    with pytest.raises(ValueError):
+        D._timestamp_as_of(epoch, "Not/AZone")
 
 
 def test_facade_append_read_time_travel(spark, root) -> None:
@@ -125,3 +167,62 @@ class TestDeltaParity:
             for r in V.table_changes(spark, troot, tv1).collect()
         )
         assert dch == tch
+
+    def test_timestamp_read_parity(self, spark, tmp_path) -> None:
+        """timestampAsOf must select the same snapshot as the twin's
+        epoch-seconds comparison — on a session pinned to a NON-UTC
+        zone, the case the UTC-formatting bug broke (ADVICE r8)."""
+        import time
+
+        from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+            versioned as V,
+        )
+
+        droot, troot = str(tmp_path / "delta_ts"), str(tmp_path / "twin_ts")
+        old_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        try:
+            D.write_append(_df(spark, [("a", 1)]), droot)
+            V.append(_df(spark, [("a", 1)]), troot)
+            time.sleep(1.5)
+            cut = time.time()
+            time.sleep(1.5)
+            D.write_append(_df(spark, [("b", 2)]), droot)
+            V.append(_df(spark, [("b", 2)]), troot)
+            drows = sorted(
+                r.k
+                for r in D.read_snapshot(spark, droot, timestamp=cut).collect()
+            )
+            trows = sorted(
+                r.k for r in V.read(spark, troot, timestamp=cut).collect()
+            )
+            assert drows == trows == ["a"]
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+    def test_multi_commit_net_cdf_parity(self, spark, tmp_path) -> None:
+        """Update-then-revert across two commits: Delta CDF emits
+        cancelling pairs, the twin's snapshot diff omits them — the
+        facade must net them out (ADVICE r8)."""
+        from end_to_end_data_engineering_project_with_databricks_spark.sources import (
+            versioned as V,
+        )
+
+        droot, troot = str(tmp_path / "delta_net"), str(tmp_path / "twin_net")
+        spark.sql(
+            "SET spark.databricks.delta.properties.defaults.enableChangeDataFeed=true"
+        )
+        dv1 = D.write_append(_df(spark, [("x", 1), ("y", 9)]), droot)
+        tv1 = V.append(_df(spark, [("x", 1), ("y", 9)]), troot)
+        for batch in ([("x", 2)], [("x", 1)]):  # update then revert
+            D.merge_upsert(_df(spark, batch), droot, key="k")
+            V.merge_upsert(_df(spark, batch), troot, key="k")
+        dch = sorted(
+            (r.k, r.n, r._change_type)
+            for r in D.table_changes(spark, droot, dv1).collect()
+        )
+        tch = sorted(
+            (r.k, r.n, r._change_type)
+            for r in V.table_changes(spark, troot, tv1).collect()
+        )
+        assert dch == tch == []
