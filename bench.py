@@ -12,10 +12,13 @@ Methodology:
   executors, zero driver-collect cost) — the fair proxy for cluster
   throughput, since .collect() would bill Arrow transfer of the whole
   result to the driver;
-- best of 2 runs per query: the first run pays one-off whole-stage
-  codegen compilation (~1-2 s per unique plan, a fixed cost that is
-  noise at cluster scale), the second measures steady-state execution;
+- best of 5 interleaved runs per query (see run_suite): run 1 pays
+  one-off whole-stage codegen compilation, later runs measure the
+  steady state a long-lived cluster executor would see;
 - per-query wall-clock, summed into `value`;
+- idle-retry loop (see main): the suite re-runs until an attempt
+  starts on an idle host or a ~30 min cap expires, and the best
+  idle-attested attempt is the one reported;
 - the bench-flagged headline set is PINNED to the round-1 composition
   (12 queries spanning TPC-H agg/join, dedup exact+LSH, similarity,
   text, curation pipeline, and events windows) so `value` is comparable
@@ -83,19 +86,10 @@ def wait_for_idle_host(max_wait_sec: float) -> dict:
     }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    idle = wait_for_idle_host(
-        float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
-    )
-    spark = get_spark(app_name="bench")
-    pin_session_conf(spark)
-
-    specs = [s for s in all_specs().values() if s.bench]
-
-    # warm-up: JVM, codegen, parquet footer reads — not billed to any query
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-
+def run_suite(spark, specs, sf_dir: str) -> dict:
+    """One full interleaved best-of-5 pass over the headline set.
+    Returns the per-attempt measurement dict (timings, raw runs,
+    per-pass loadavgs)."""
     # best of 5: run 1 pays whole-stage-codegen compilation; queries built
     # on interpreted higher-order functions (the MinHash signature fold)
     # additionally need several runs of C2 JIT warmup before reaching
@@ -125,19 +119,67 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             all_runs[spec.name].append(round(time.perf_counter() - t0, 4))
     timings = {name: min(runs) for name, runs in all_runs.items()}
+    return {
+        "value": round(sum(timings.values()), 4),
+        "queries": timings,
+        "runs": all_runs,
+        "loadavg_1m_per_pass": loadavg_per_pass,
+    }
 
-    total = round(sum(timings.values()), 4)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    per_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "180"))
+    # VERDICT r8 item 2: a bounded WAIT alone still shipped a non-idle
+    # artifact when the host stayed loaded past the wait (BENCH_r08,
+    # idle_at_start: false).  Close the loop: RETRY the whole suite —
+    # wait-for-idle, run, check — until an attempt starts idle or the
+    # hard wall-clock cap (~30 min) expires, and emit the best attempt
+    # (idle ones strictly preferred).  The printed artifact is therefore
+    # idle-attested whenever an idle window exists within the cap; a
+    # non-idle artifact now means the host never drained for 30 minutes,
+    # and the attempt history inside the JSON shows exactly that.
+    retry_cap = float(os.environ.get("SPARK_GRAFT_BENCH_RETRY_CAP", "1800"))
+    started = time.monotonic()
+
+    spark = get_spark(app_name="bench")
+    pin_session_conf(spark)
+    specs = [s for s in all_specs().values() if s.bench]
+
+    # warm-up: JVM, codegen, parquet footer reads — not billed to any query
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    attempts: list[dict] = []
+    while True:
+        remaining = retry_cap - (time.monotonic() - started)
+        idle = wait_for_idle_host(min(per_wait, max(0.0, remaining)))
+        attempt = {**run_suite(spark, specs, sf_dir), **idle}
+        attempts.append(attempt)
+        remaining = retry_cap - (time.monotonic() - started)
+        # one suite pass costs ~2 min at sf0.1; don't start an attempt
+        # that can't also afford the idle wait before the cap
+        if idle["idle_at_start"] or remaining < per_wait + 120.0:
+            break
+
+    idle_attempts = [a for a in attempts if a["idle_at_start"]]
+    best = min(idle_attempts or attempts, key=lambda a: a["value"])
     print(
         json.dumps(
             {
                 "metric": "headline_suite_seconds",
-                "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf_from_dir(sf_dir),
-                "runs": all_runs,
-                "loadavg_1m_per_pass": loadavg_per_pass,
-                **idle,
+                **best,
+                "attempts": len(attempts),
+                "attempt_summaries": [
+                    {
+                        "value": a["value"],
+                        "idle_at_start": a["idle_at_start"],
+                        "idle_wait_sec": a["idle_wait_sec"],
+                        "loadavg_at_start": a["loadavg_at_start"],
+                    }
+                    for a in attempts
+                ],
             }
         )
     )
