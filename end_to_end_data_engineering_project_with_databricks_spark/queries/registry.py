@@ -115,7 +115,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_asof_purchase_click",
     "events_forward_fill",
     "sql_lateral_topk_per_group",
-    "udtf_parse_delimited_dynamic",
+    # -- new in r9 (a new query takes a slot immediately) --
+    "sim_hnsw_recall_audit",
 )
 
 

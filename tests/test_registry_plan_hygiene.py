@@ -67,6 +67,9 @@ _ALLOWED_THETA = {
     # broadcast, and the per-hop <=16-row hub broadcast; edges and cell
     # members join by equi-key
     "sim_hnsw_search",
+    # recall audit composing the HNSW pipeline above with the bounded
+    # broadcast-8-query exact baseline (sim_topk_bruteforce class)
+    "sim_hnsw_recall_audit",
     # broadcast crossJoin against a tiny literal spine/dim side
     "events_forward_fill",
     "events_linear_interpolation",

@@ -71,7 +71,9 @@ def test_hnsw_search_routing_quality(spark, sf_dir) -> None:
     than centroid routing — see the docstring), so the bar is recall
     evidence, not exactness: every query returns exactly 5 ranked
     neighbors, a query that is its own corpus member finds itself at
-    rank 1, and mean exact-top-5 overlap clears 1/5."""
+    rank 1, and mean exact-top-5 overlap clears 1/2 (the r9 beam-width
+    bar, VERDICT r8 item 3; sim_hnsw_recall_audit is the oracled
+    driver-row twin of this measurement)."""
     from pyspark.sql import functions as F
 
     res = all_specs()["sim_hnsw_search"].fn(spark, sf_dir).collect()
@@ -119,4 +121,4 @@ def test_hnsw_search_routing_quality(spark, sf_dir) -> None:
         len(truth[qid] & {r.nbr_id for r in rows}) / 5.0
         for qid, rows in by_q.items()
     ]
-    assert sum(overlap) / len(overlap) >= 0.2, overlap
+    assert sum(overlap) / len(overlap) >= 0.5, overlap
