@@ -319,3 +319,283 @@ def span_growth_stats(
             docs, id_col, text_col, gram_k=gram_k, max_df=max_df
         ).count(),
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-9 extension (VERDICT r8 item 4): the candidate-bounded joins the
+# r8 audit did not yet cover — binned range/interval joins, the
+# decontamination eval-gram join, ER blocking, and raw-shingle
+# containment.
+# ---------------------------------------------------------------------------
+
+
+def replicate_numeric(
+    df: DataFrame, k: int, value_cols: tuple[str, ...], span: float, id_col: str
+) -> DataFrame:
+    """k-fold numeric replica for range/interval-join audits: replica
+    ``r`` offsets every column in ``value_cols`` by ``r * span``, so
+    replicas occupy disjoint value ranges — the domain-grows-with-corpus
+    regime of time-keyed range joins (a corpus 30x bigger spans ~30x
+    more timestamps; account-balance bands, session windows, and
+    validity intervals all stretch their domain with volume).  ``span``
+    must cover the source column's range so replicas cannot overlap.
+    ``span=0`` is the FIXED-DOMAIN negative control: k-fold rows pile
+    into the same bins and the bin join must go quadratic — the
+    contrast proving domain growth (not luck) is what keeps the join
+    linear.  Ids interleave (``id*k + r``) as in replicate_documents."""
+    rep = _with_replica_spine(df, k)
+    out = [(F.col(id_col) * k + F.col("_rep")).alias(id_col)]
+    for c in df.columns:
+        if c == id_col:
+            continue
+        if c in value_cols:
+            out.append(
+                (F.col(c) + F.col("_rep").cast("double") * float(span)).alias(c)
+            )
+        else:
+            out.append(F.col(c))
+    return rep.select(*out)
+
+
+def range_join_growth_stats(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> dict:
+    """Bin-join volume for :func:`operators.scaling.binned_range_join`:
+    the equi-join on bin id shuffles sum_over_bins(|points| x
+    |intervals|) rows before the exact predicate refines.  Occupancy
+    aggregates compute that volume without materializing the join; the
+    refined output is counted through the production operator itself."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        binned_range_join,
+    )
+
+    p_occ = points.select(
+        F.floor(F.col(point_col) / bin_width).alias("_bin")
+    ).groupBy("_bin").agg(F.count("*").alias("p"))
+    iv_occ = (
+        intervals.select(
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo_col) / bin_width),
+                    F.floor(F.col(hi_col) / bin_width),
+                )
+            ).alias("_bin")
+        )
+        .groupBy("_bin")
+        .agg(F.count("*").alias("iv"))
+    )
+    row = (
+        p_occ.join(iv_occ, "_bin")
+        .agg(
+            F.sum(F.col("p") * F.col("iv")).alias("join_rows"),
+            F.max(F.col("p") * F.col("iv")).alias("max_bin_product"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_points": points.count(),
+        "n_intervals": intervals.count(),
+        "candidate_join_rows": int(row["join_rows"] or 0),
+        "max_bin_product": int(row["max_bin_product"] or 0),
+        "output_rows": binned_range_join(
+            points, intervals, point_col, lo_col, hi_col, bin_width
+        ).count(),
+    }
+
+
+def interval_join_growth_stats(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    bin_width: float,
+) -> dict:
+    """Bin-join volume for
+    :func:`operators.scaling.binned_interval_overlap_join` — both sides
+    explode into the bins they touch, so the shuffle pays
+    sum_over_bins(|left| x |right|); the first-shared-bin refine then
+    keeps overlapping pairs exactly once."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        binned_interval_overlap_join,
+    )
+
+    def occ(df: DataFrame, lo: str, hi: str, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(lo) / bin_width),
+                        F.floor(F.col(hi) / bin_width),
+                    )
+                ).alias("_bin")
+            )
+            .groupBy("_bin")
+            .agg(F.count("*").alias(name))
+        )
+
+    row = (
+        occ(left, l_lo, l_hi, "l")
+        .join(occ(right, r_lo, r_hi, "r"), "_bin")
+        .agg(
+            F.sum(F.col("l") * F.col("r")).alias("join_rows"),
+            F.max(F.col("l") * F.col("r")).alias("max_bin_product"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_left": left.count(),
+        "n_right": right.count(),
+        "candidate_join_rows": int(row["join_rows"] or 0),
+        "max_bin_product": int(row["max_bin_product"] or 0),
+        "output_rows": binned_interval_overlap_join(
+            left, right, l_lo, l_hi, r_lo, r_hi, bin_width
+        ).count(),
+    }
+
+
+def decontaminate_growth_stats(
+    docs: DataFrame,
+    k_reps: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    eval_mod: int = 97,
+    fixed_eval: bool = True,
+) -> dict:
+    """Eval-gram join volume for operators/curation.decontaminate: the
+    training side joins the eval slice's DISTINCT gram set, so the
+    shuffle (or broadcast probe) pays exactly |t_grams ⋈ e_grams| rows.
+
+    ``fixed_eval=True`` is the operator's contract: the benchmark set
+    does NOT grow with the training corpus (the decontaminate docstring
+    says exactly that — eval sets are a few thousand documents), so the
+    eval slice is pinned to the REPLICA-0 originals
+    (``id % k_reps == 0 AND (id div k_reps) % eval_mod == 0`` under the
+    interleaved id scheme) while train grows k-fold around it.  Only
+    all-hub grams can match eval across replicas, so candidate volume
+    tracks the corpus linearly.
+
+    ``fixed_eval=False`` is the NEGATIVE CONTROL — the eval slice grows
+    with the corpus (``id % eval_mod``, spanning all replicas).  Both
+    join sides then grow k-fold and any gram shared across replicas
+    (hub grams) contributes quadratically: measured 1.75 at sf0.01
+    (docs/SCALE.md) — the blowup a pipeline that "decontaminates"
+    against an ever-growing holdout walks into."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.curation import (
+        decontaminate,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        shingles,
+    )
+
+    if fixed_eval:
+        is_eval = (F.col(id_col) % k_reps == 0) & (
+            (F.col(id_col) / k_reps).cast("long") % eval_mod == 0
+        )
+    else:
+        is_eval = F.col(id_col) % eval_mod == 0
+    evalset = docs.filter(is_eval)
+    train = docs.filter(~is_eval)
+    t_grams = train.select(F.explode(shingles(text_col, n)).alias("gram"))
+    e_grams = evalset.select(F.explode(shingles(text_col, n)).alias("gram")).distinct()
+    return {
+        "n_docs": docs.count(),
+        "n_eval_grams": e_grams.count(),
+        "candidate_join_rows": t_grams.join(e_grams, "gram").count(),
+        "contaminated_docs": decontaminate(
+            train, evalset, id_col, text_col, n=n
+        ).count(),
+    }
+
+
+def blocked_er_growth_stats(
+    names: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """Block-join volume for the entity-resolution blocking stage
+    (queries/dedup.dedup_entity_resolution_blocked): candidate pairs
+    share a last-token blocking key, so the expensive Levenshtein runs
+    on sum_over_blocks(occ*(occ-1)/2) pairs.  Replica tagging makes
+    blocks replica-local, so block skew (the mega-block hazard the
+    query docstring names) is preserved within each replica while
+    candidate volume grows linearly in k."""
+    keyed = names.select(
+        F.col(text_col).alias("name"),
+        F.element_at(F.split(text_col, " "), -1).alias("block"),
+    ).distinct()
+    occ = keyed.groupBy("block").agg(F.count("*").alias("occ"))
+    row = occ.agg(
+        F.max("occ").alias("max_block"),
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("join_rows"),
+    ).collect()[0]
+    b = keyed.select(F.col("name").alias("name_b"), "block")
+    verified = (
+        keyed.withColumnRenamed("name", "name_a")
+        .join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 3)
+        .count()
+    )
+    return {
+        "n_names": keyed.count(),
+        "max_block": int(row["max_block"] or 0),
+        "candidate_join_rows": int(row["join_rows"] or 0),
+        "verified_pairs": verified,
+    }
+
+
+def containment_growth_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> dict:
+    """Raw-shingle-join volume for dedup_containment's candidate stage:
+    the inverted-index self-join pays sum_over_shingles(occ*(occ-1)/2)
+    rows.  Unlike LSH (doc-level band keys) this join keys on INDIVIDUAL
+    shingles, so corpus-wide frequent grams are a real quadratic hazard
+    — the query docstring's stated 100 TB answer is to swap candidate
+    generation to the MinHash band join and keep containment as the
+    verify.  The audit measures both the growth exponent AND the max
+    shingle occupancy (the hazard's size on this corpus); replica
+    tagging keeps frequent shingles replica-local, hub grams excepted."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        shingles,
+    )
+
+    sh = scale_out(docs).select(
+        F.col(id_col).alias("_id_"), F.explode(shingles(text_col, shingle_k)).alias("sh")
+    )
+    occ = sh.groupBy("sh").agg(F.count("*").alias("occ"))
+    row = occ.agg(
+        F.max("occ").alias("max_occ"),
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("join_rows"),
+    ).collect()[0]
+    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("_id_").alias("id_small"), "sh")
+    b = sh.select(F.col("_id_").alias("id_big"), "sh")
+    verified = (
+        a.join(b, "sh")
+        .filter(F.col("id_small") != F.col("id_big"))
+        .groupBy("id_small", "id_big")
+        .agg(F.count("*").alias("novl"))
+        .join(counts.withColumnRenamed("_id_", "id_small"), "id_small")
+        .filter(
+            F.col("novl").cast("double") / F.col("n").cast("double")
+            >= float(threshold)
+        )
+        .count()
+    )
+    return {
+        "n_docs": docs.count(),
+        "max_shingle_occ": int(row["max_occ"] or 0),
+        "candidate_join_rows": int(row["join_rows"] or 0),
+        "verified_pairs": verified,
+    }

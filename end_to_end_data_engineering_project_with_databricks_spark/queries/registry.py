@@ -114,9 +114,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     #    queries register (a new query takes a slot immediately) --
     "events_asof_purchase_click",
     "events_forward_fill",
-    "sql_lateral_topk_per_group",
     # -- new in r9 (a new query takes a slot immediately) --
     "sim_hnsw_recall_audit",
+    "text_bpe_iterative_deep",
 )
 
 

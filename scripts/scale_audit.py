@@ -21,12 +21,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from end_to_end_data_engineering_project_with_databricks_spark.session import get_spark
 from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+    blocked_er_growth_stats,
+    containment_growth_stats,
+    decontaminate_growth_stats,
     growth_exponent,
+    interval_join_growth_stats,
     ivf_growth_stats,
     lsh_growth_stats,
     ppjoin_growth_stats,
+    range_join_growth_stats,
     replicate_documents,
     replicate_embeddings,
+    replicate_numeric,
     simhash_growth_stats,
     span_growth_stats,
 )
@@ -36,8 +42,30 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     ks = [int(k) for k in os.environ.get("SCALE_AUDIT_KS", "1,3,10,30").split(",")]
     spark = get_spark(app_name="scale-audit")
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet")).select(
+        "s_suppkey", F.col("s_acctbal").alias("lo"), (F.col("s_acctbal") + 500).alias("hi")
+    )
+    names = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    day = lambda c: F.datediff(F.col(c).cast("date"), F.lit("1992-01-01").cast("date"))  # noqa: E731
+    ivals = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .groupBy("l_orderkey")
+        .agg(F.min(day("l_shipdate")).alias("s_day"), F.max(day("l_shipdate")).alias("e_day"))
+    )
+    promos = spark.range(0, 51).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * 45).alias("p_start"),
+        (F.col("id") * 45 + 9).alias("p_end"),
+    )
 
     curves: dict[str, list[tuple[float, float]]] = {}
 
@@ -94,6 +122,56 @@ def main() -> None:
         s = ivf_growth_stats(re_, n_cells=16, trained=False)
         record("ivf_fixed_16_cells", k, s["n_vecs"], s["within_cell_pairs"],
                s, time.time() - t0)
+
+        # -- round-9 extension (VERDICT r8 item 4) --
+        t0 = time.time()
+        s = range_join_growth_stats(
+            replicate_numeric(cust, k, ("c_acctbal",), 20000.0, "c_custkey"),
+            replicate_numeric(supp, k, ("lo", "hi"), 20000.0, "s_suppkey"),
+            "c_acctbal", "lo", "hi", 500.0,
+        )
+        record("binned_range_join", k, s["n_points"], s["candidate_join_rows"],
+               s, time.time() - t0)
+
+        t0 = time.time()
+        s = range_join_growth_stats(
+            replicate_numeric(cust, k, ("c_acctbal",), 0.0, "c_custkey"),
+            replicate_numeric(supp, k, ("lo", "hi"), 0.0, "s_suppkey"),
+            "c_acctbal", "lo", "hi", 500.0,
+        )
+        record("binned_range_join_fixed_domain", k, s["n_points"],
+               s["candidate_join_rows"], s, time.time() - t0)
+
+        t0 = time.time()
+        s = interval_join_growth_stats(
+            replicate_numeric(ivals, k, ("s_day", "e_day"), 3000.0, "l_orderkey"),
+            replicate_numeric(promos, k, ("p_start", "p_end"), 3000.0, "promo_id"),
+            "s_day", "e_day", "p_start", "p_end", 32.0,
+        )
+        record("binned_interval_overlap", k, s["n_left"],
+               s["candidate_join_rows"], s, time.time() - t0)
+
+        t0 = time.time()
+        s = decontaminate_growth_stats(rd, k_reps=k)
+        record("decontaminate_fixed_evalset", k, s["n_docs"],
+               s["candidate_join_rows"], s, time.time() - t0)
+
+        # negative control: an eval slice that GROWS with the corpus
+        # makes both join sides scale and hub grams go quadratic
+        t0 = time.time()
+        s = decontaminate_growth_stats(rd, k_reps=k, fixed_eval=False)
+        record("decontaminate_growing_evalset", k, s["n_docs"],
+               s["candidate_join_rows"], s, time.time() - t0)
+
+        t0 = time.time()
+        s = blocked_er_growth_stats(replicate_documents(names, k))
+        record("er_last_token_blocking", k, s["n_names"],
+               s["candidate_join_rows"], s, time.time() - t0)
+
+        t0 = time.time()
+        s = containment_growth_stats(rd)
+        record("containment_shingle_join", k, s["n_docs"],
+               s["candidate_join_rows"], s, time.time() - t0)
 
     summary = {
         op: round(growth_exponent(pts), 3) for op, pts in curves.items()

@@ -178,3 +178,200 @@ def test_simhash_fixed_band_width_knee_is_measured(doc_replicas) -> None:
         [(s["n_docs"], s["verified_pairs"]) for s in stats.values()]
     )
     assert vexp <= SUBQUADRATIC_BOUND, vexp
+
+
+# ---------------------------------------------------------------------------
+# Round-9 extension (VERDICT r8 item 4): the remaining candidate-bounded
+# joins — binned range/interval, decontamination, ER blocking,
+# containment.
+# ---------------------------------------------------------------------------
+
+
+def test_binned_range_join_grows_linearly(spark, sf_dir) -> None:
+    """Domain-grows-with-corpus regime (replicate_numeric span > 0):
+    replicas occupy disjoint acctbal ranges, so per-bin occupancy stays
+    flat while the bin count grows — candidate join rows and refined
+    output both track the corpus linearly."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        range_join_growth_stats,
+        replicate_numeric,
+    )
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    stats = {}
+    for k in KS:
+        rc = replicate_numeric(cust, k, ("c_acctbal",), 20000.0, "c_custkey")
+        rs = replicate_numeric(supp, k, ("lo", "hi"), 20000.0, "s_suppkey")
+        stats[k] = range_join_growth_stats(rc, rs, "c_acctbal", "lo", "hi", 500.0)
+    cexp = growth_exponent(
+        [(s["n_points"], s["candidate_join_rows"]) for s in stats.values()]
+    )
+    assert cexp <= SUBQUADRATIC_BOUND, (stats, cexp)
+    oexp = growth_exponent(
+        [(s["n_points"], s["output_rows"]) for s in stats.values()]
+    )
+    assert oexp <= SUBQUADRATIC_BOUND, (stats, oexp)
+    # per-bin products stay flat: replicas never share bins
+    assert stats[KS[-1]]["max_bin_product"] <= 4 * max(
+        stats[KS[0]]["max_bin_product"], 1
+    )
+
+
+def test_binned_range_join_fixed_domain_control(spark, sf_dir) -> None:
+    """Negative control (span=0): k-fold rows pile into the SAME bins,
+    so the bin join must go ~quadratic — proving domain growth, not the
+    synthetic data, is what keeps the positive test linear.  (The
+    refined OUTPUT is genuinely quadratic here too: k-fold customers
+    match k-fold suppliers in the same bands — a fixed-domain big-big
+    range join has inherently quadratic output, which is why the
+    replication offsets the domain in the positive test.)"""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        range_join_growth_stats,
+        replicate_numeric,
+    )
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    )
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500).alias("hi"),
+    )
+    pts = []
+    for k in KS:
+        rc = replicate_numeric(cust, k, ("c_acctbal",), 0.0, "c_custkey")
+        rs = replicate_numeric(supp, k, ("lo", "hi"), 0.0, "s_suppkey")
+        s = range_join_growth_stats(rc, rs, "c_acctbal", "lo", "hi", 500.0)
+        pts.append((s["n_points"], s["candidate_join_rows"]))
+    exp = growth_exponent(pts)
+    assert exp >= 1.6, (pts, exp)
+
+
+def test_binned_interval_overlap_grows_linearly(spark, sf_dir) -> None:
+    """The interval-x-interval sibling: order fulfillment windows vs a
+    promo spine, both domains growing with the corpus (a 30x corpus
+    spans ~30x more days, and the promo calendar covers the whole
+    timeline)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        interval_join_growth_stats,
+        replicate_numeric,
+    )
+    from pyspark.sql import functions as F
+
+    day = lambda c: F.datediff(  # noqa: E731
+        F.col(c).cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    ivals = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(
+            F.min(day("l_shipdate")).alias("s_day"),
+            F.max(day("l_shipdate")).alias("e_day"),
+        )
+    )
+    promos = spark.range(0, 51).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * 45).alias("p_start"),
+        (F.col("id") * 45 + 9).alias("p_end"),
+    )
+    stats = {}
+    for k in KS:
+        ri = replicate_numeric(ivals, k, ("s_day", "e_day"), 3000.0, "l_orderkey")
+        rp = replicate_numeric(promos, k, ("p_start", "p_end"), 3000.0, "promo_id")
+        stats[k] = interval_join_growth_stats(
+            ri, rp, "s_day", "e_day", "p_start", "p_end", 32.0
+        )
+    cexp = growth_exponent(
+        [(s["n_left"], s["candidate_join_rows"]) for s in stats.values()]
+    )
+    assert cexp <= SUBQUADRATIC_BOUND, (stats, cexp)
+    oexp = growth_exponent(
+        [(s["n_left"], s["output_rows"]) for s in stats.values()]
+    )
+    assert oexp <= SUBQUADRATIC_BOUND, (stats, oexp)
+
+
+def test_decontaminate_gram_join_grows_linearly(doc_replicas) -> None:
+    """The eval-gram join under the operator's contract: the benchmark
+    set stays FIXED (the replica-0 originals) while the training corpus
+    grows k-fold — only hub grams can match eval across replicas, so
+    the join volume the training scan pays grows with the corpus, not
+    its square.  (Letting the eval slice grow with the corpus instead
+    is measured superlinear — 1.75 at sf0.01 — the documented negative
+    control in docs/SCALE.md.)"""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        decontaminate_growth_stats,
+    )
+
+    stats = {k: decontaminate_growth_stats(doc_replicas[k], k_reps=k) for k in KS}
+    cexp = growth_exponent(
+        [(s["n_docs"], s["candidate_join_rows"]) for s in stats.values()]
+    )
+    assert cexp <= SUBQUADRATIC_BOUND, (stats, cexp)
+    vexp = growth_exponent(
+        [(s["n_docs"], s["contaminated_docs"]) for s in stats.values()]
+    )
+    assert vexp <= SUBQUADRATIC_BOUND, (stats, vexp)
+
+
+def test_blocked_er_candidates_grow_linearly(spark, sf_dir) -> None:
+    """ER blocking: last-token block keys are replica-tagged, so block
+    sizes (and the Levenshtein volume they gate) stay at the original
+    corpus' skew while block count grows — the mega-block hazard the
+    query docstring names would show here as a superlinear exponent."""
+    from pyspark.sql import functions as F
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        blocked_er_growth_stats,
+        replicate_documents,
+    )
+
+    # replicate the query's ACTUAL name relation (part names, blocked on
+    # their last token) — document texts would be unfaithful AND their
+    # hub-token endings ('... the') would share a block across every
+    # replica, measuring the replication scheme instead of the operator
+    names = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    stats = {
+        k: blocked_er_growth_stats(replicate_documents(names, k)) for k in KS
+    }
+    cexp = growth_exponent(
+        [(s["n_names"], s["candidate_join_rows"]) for s in stats.values()]
+    )
+    assert cexp <= SUBQUADRATIC_BOUND, (stats, cexp)
+    assert stats[KS[-1]]["max_block"] <= 4 * max(stats[KS[0]]["max_block"], 1)
+
+
+def test_containment_shingle_join_grows_linearly(doc_replicas) -> None:
+    """The raw inverted-index shingle join behind dedup_containment's
+    candidate stage.  Replica-local tagging keeps frequent shingles
+    bounded, so growth is linear HERE; the max-occupancy stat is the
+    honest caveat — a corpus-wide frequent gram would make this join
+    quadratic, which is why the operator's documented 100 TB path swaps
+    candidate generation to the MinHash band join."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        containment_growth_stats,
+    )
+
+    stats = {k: containment_growth_stats(doc_replicas[k]) for k in KS}
+    cexp = growth_exponent(
+        [(s["n_docs"], s["candidate_join_rows"]) for s in stats.values()]
+    )
+    assert cexp <= SUBQUADRATIC_BOUND, (stats, cexp)
+    vexp = growth_exponent(
+        [(s["n_docs"], s["verified_pairs"]) for s in stats.values()]
+    )
+    assert vexp <= SUBQUADRATIC_BOUND, (stats, vexp)
+    assert stats[KS[-1]]["max_shingle_occ"] <= 4 * max(
+        stats[KS[0]]["max_shingle_occ"], 1
+    )
