@@ -1956,3 +1956,169 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("keep"),
         )
     )
+
+
+def _qcls2_feats_sql() -> str:
+    """DuckDB CTE chain ending at ``feats(doc_id, lang, b)`` — the
+    unigram+bigram feature UNION: unigrams hash into buckets
+    [0, {m}), bigrams into [{m}, 2*{m}) (disjoint ranges, the fastText
+    wordNgrams=2 feature space)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_duck,
+    )
+
+    m = _QCLS_BUCKETS
+    bigram = "toks[i] || ' ' || toks[i + 1]"
+    return f"""
+    t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    el AS (SELECT * FROM t WHERE len(toks) >= 2),
+    feats AS (
+      SELECT doc_id, lang, {h60_duck("tok")} % {m} AS b
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM el)
+      UNION ALL
+      SELECT doc_id, lang, {m} + {h60_duck(bigram)} % {m} AS b
+      FROM (SELECT doc_id, lang, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM el)
+    )"""
+
+
+def _qcls2_oracle() -> str:
+    s, m, tb = _QCLS_FP_SCALE, _QCLS_BUCKETS, _QCLS_TRAIN_BOUND
+    return f"""
+    WITH {_qcls2_feats_sql()},
+    hist AS (
+      SELECT b,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos_c,
+             SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg_c
+      FROM feats WHERE doc_id < {tb} GROUP BY b
+    ),
+    tots AS (SELECT SUM(pos_c) AS pt, SUM(neg_c) AS nt FROM hist),
+    bias AS (
+      SELECT (({s} * (pt + 1)) // (pt + nt + 2) * {s})
+               // GREATEST(({s} * (nt + 1)) // (pt + nt + 2), 1) AS b_fp
+      FROM tots
+    ),
+    spine AS (SELECT unnest(generate_series(0, {2 * m - 1})) AS b),
+    wt AS (
+      SELECT spine.b,
+             (({s} * (COALESCE(pos_c, 0) + 1)) // (pt + {2 * m}) * {s})
+               // GREATEST(({s} * (COALESCE(neg_c, 0) + 1)) // (nt + {2 * m}), 1)
+               AS w_fp
+      FROM spine LEFT JOIN hist ON spine.b = hist.b, tots
+    ),
+    sc AS (
+      SELECT doc_id, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_feats,
+             SUM(w_fp) AS score_fp
+      FROM feats JOIN wt USING (b) GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_feats,
+           CAST((score_fp + (SELECT b_fp FROM bias)) // (n_feats + 1)
+                AS BIGINT) AS avg_score_fp,
+           CAST(CASE WHEN (score_fp + (SELECT b_fp FROM bias)) // (n_feats + 1)
+                          >= {_QCLS_THRESHOLD_FP}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM sc
+    """
+
+
+def _qcls2_spark_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
+        h60_spark,
+    )
+
+    m = _QCLS_BUCKETS
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(tokens("text")) >= 2).select(
+        "doc_id", "lang", tokens("text").alias("_tk")
+    )
+    bg_sql = "concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))"
+    # one generator: the unigram and bigram bucket arrays concatenate
+    # BEFORE the explode, so the whole feature union is a single narrow
+    # map stage feeding one hash-agg
+    feats = F.explode(
+        F.expr(
+            f"concat("
+            f"transform(_tk, t -> pmod({h60_spark('t')}, {m})), "
+            f"transform(sequence(1, size(_tk) - 1), "
+            f"i -> {m} + pmod({h60_spark(bg_sql)}, {m})))"
+        )
+    ).alias("b")
+    return base.select("doc_id", "lang", feats)
+
+
+@query(
+    "text_quality_classifier2",
+    oracle=_qcls2_oracle(),
+    tags=("text", "curation", "quality", "training-data"),
+)
+def text_quality_classifier2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full fastText recipe (VERDICT r8 item 6) on top of
+    text_quality_classifier's machinery: UNIGRAM + BIGRAM feature union
+    (fastText ``wordNgrams=2`` — unigrams hash into buckets [0, 128),
+    bigrams into [128, 256), disjoint so the fit never conflates an
+    n-gram order) plus a BIAS term — the class-prior ratio over the
+    labeled slice's feature mass, entering the score as one always-on
+    feature (fastText's constant-feature trick):
+    ``avg = (bias_fp + sum(w_fp)) div (n_feats + 1)``.
+
+    Fit is unchanged in shape: ONE bounded histogram collect, now
+    <= 2*128 = 256 rows (the VERDICT bound), with the bias derived from
+    the same histogram's totals — no extra pass, no extra collect.
+    Python ``//`` == DuckDB ``//`` on the non-negative operands, so the
+    oracle re-derives weights AND bias from scratch.
+
+    Deploy shape identical to v1 and pinned by the same plan test: the
+    256 weights ship as an array literal, scoring is map + ONE
+    (doc_id, lang) hash-agg — no join, no Python, one shuffle.  At
+    100 TB the richer feature space costs ~2x the per-token map work
+    (two hashes per token instead of one per adjacent pair) and the
+    same single shuffle.  Int64 envelope: ``w_fp <= S^2 = 1e12``,
+    per-doc sums safe to ~9e6 features/doc."""
+    s, m = _QCLS_FP_SCALE, _QCLS_BUCKETS
+    feats = _qcls2_spark_feats(spark, sf_dir)
+    hist = (
+        feats.filter(F.col("doc_id") < _QCLS_TRAIN_BOUND)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos_c"),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg_c"),
+        )
+        .collect()  # bounded: <= 256 feature-bucket rows (the fit)
+    )
+    pos = {int(r["b"]): int(r["pos_c"]) for r in hist}
+    neg = {int(r["b"]): int(r["neg_c"]) for r in hist}
+    pt, nt = sum(pos.values()), sum(neg.values())
+    bias_fp = ((s * (pt + 1)) // (pt + nt + 2) * s) // max(
+        (s * (nt + 1)) // (pt + nt + 2), 1
+    )
+    weights = [
+        ((s * (pos.get(b, 0) + 1)) // (pt + 2 * m) * s)
+        // max((s * (neg.get(b, 0) + 1)) // (nt + 2 * m), 1)
+        for b in range(2 * m)
+    ]
+    w_expr = (
+        f"element_at(array({','.join(str(w) + 'L' for w in weights)}), "
+        f"CAST(b AS INT) + 1)"
+    )
+    return (
+        feats.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.expr(w_expr)).alias("score_fp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.expr(f"(score_fp + {bias_fp}L) div (n_feats + 1)").alias(
+                "avg_score_fp"
+            ),
+            (
+                F.expr(f"(score_fp + {bias_fp}L) div (n_feats + 1)")
+                >= _QCLS_THRESHOLD_FP
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )

@@ -182,19 +182,25 @@ _COS_Q_CENT = sql_cosine("q.embedding", "ct.centroid")
 _COS_P_A = sql_cosine("p.q_vec", "a.embedding")
 
 def ivf_replay_ctes(
-    corpus_where: str = "TRUE", query_where: str = "q.vec_id < 8"
+    corpus_where: str = "TRUE",
+    query_where: str = "q.vec_id < 8",
+    cents_where: str | None = None,
 ) -> str:
     """DuckDB replay of the deterministic-centroid IVF index (16
     lowest-id vectors as the codebook, nearest-cell assignment,
     nprobe-cell probe per query) — shared by the raw top-k oracle, the
     recall oracle, and (with corpus/query predicates) the streaming ANN
-    oracle (queries/streaming_queries.py).  Parameterized so the chain
+    oracles (queries/streaming_queries.py).  Parameterized so the chain
     exists ONCE; predicates are unqualified for the cents/assigned
-    scans and ``q.``-qualified for the probe."""
+    scans and ``q.``-qualified for the probe.  ``cents_where`` lets the
+    CODEBOOK come from a different corpus slice than the assignment —
+    the stream_ann_refresh regime, where the index grows but the
+    centroids stay trained on the initial corpus."""
     return f"""
     WITH cents AS (
       SELECT vec_id AS cell_id, embedding AS centroid
-      FROM embeddings WHERE {corpus_where} ORDER BY vec_id LIMIT 16
+      FROM embeddings WHERE {cents_where or corpus_where}
+      ORDER BY vec_id LIMIT 16
     ),
     assigned AS (
       SELECT vec_id, embedding, cell_id FROM (

@@ -584,3 +584,160 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_alarm_stream(stream, _CUSUM_K_FP, _CUSUM_H_FP),
         output_mode="append",
     )
+
+
+def _stream_ann_refresh_oracle() -> str:
+    """DuckDB replay of serving against a GROWING index: query cohort j
+    (``(vec_id // 10) % 4 = j``) is served against the initial corpus
+    plus ingest slices 0..j, with the codebook pinned to the initial
+    corpus — four full IVF replays (one per index version) unioned,
+    each a CTE chain inside its own subquery."""
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
+        sql_cosine,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
+        ivf_replay_ctes,
+    )
+
+    cos = sql_cosine("p.q_vec", "a.embedding")
+    cents_w = "vec_id % 10 <> 0 AND vec_id % 10 <> 5"
+    parts = []
+    for j in range(4):
+        corpus_w = (
+            f"((vec_id % 10 <> 0 AND vec_id % 10 <> 5) OR "
+            f"(vec_id % 10 = 5 AND (vec_id // 10) % 4 <= {j}))"
+        )
+        query_w = (
+            f"q.vec_id % 10 = 0 AND q.vec_id < 80 AND (q.vec_id // 10) % 4 = {j}"
+        )
+        parts.append(
+            f"""SELECT * FROM (
+    {ivf_replay_ctes(corpus_w, query_w, cents_where=cents_w)}
+    SELECT query_id, neighbor_id, score, rank,
+           CAST({j} AS BIGINT) AS index_version FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS score,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY p.query_id ORDER BY {cos} DESC, a.vec_id
+             ) AS BIGINT) AS rank
+      FROM probed p JOIN assigned a USING (cell_id)
+      WHERE a.vec_id <> p.query_id
+    ) r WHERE rank <= 5)"""
+        )
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+@query(
+    "stream_ann_refresh",
+    oracle=_stream_ann_refresh_oracle(),
+    tags=("streaming", "similarity", "ann", "incremental"),
+)
+def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN with IN-STREAM INDEX REFRESH (VERDICT r8 item 7) —
+    the production serving+ingest loop stream_ann_lookup's static index
+    omits: while queries stream in, new vectors (the ``vec_id % 10 ==
+    5`` slice) fold into the IVF index, so later query cohorts are
+    served against a LARGER index.
+
+    Determinism without trusting micro-batch composition: the index
+    version a query sees is keyed to the query itself — cohort
+    ``j = (vec_id div 10) % 4`` is served against the initial corpus
+    plus ingest slices 0..j — so any file-to-batch assignment the file
+    source produces yields the identical result (the sink groups each
+    micro-batch by cohort).  The codebook stays trained on the initial
+    corpus (refresh reassigns, retraining is a rarer offline event);
+    folding costs ONE assignment pass over all ingest vectors
+    (localCheckpointed, sliced per cohort) — per-arrival cost stays
+    independent of history, and the oracle replays all four index
+    versions end-to-end.
+
+    Retry safety: per-(batch, cohort) overwrite directories — the
+    directory-granular idempotent-sink contract of stream_ann_lookup.
+
+    100 TB shape: index growth is an APPEND to the assigned relation
+    (new vectors assign against the broadcast codebook — one narrow
+    map), never a rebuild; serving cost per query is unchanged (probe 4
+    of 16 cells).  The bounded per-batch driver action is a <=4-row
+    cohort-id collect."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_topk,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qdir, outdir, ckpt = (
+        _tmp("ann_refresh_queries"),
+        _tmp("ann_refresh_results"),
+        _tmp("ann_refresh_ckpt"),
+    )
+    for p in (qdir, outdir, ckpt):
+        shutil.rmtree(p, ignore_errors=True)  # fresh stream per run
+    (
+        e.filter((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 80))
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(qdir)
+    )
+
+    corpus0 = e.filter((F.col("vec_id") % 10 != 0) & (F.col("vec_id") % 10 != 5))
+    ingest = e.filter(F.col("vec_id") % 10 == 5)
+    cents = deterministic_centroids(corpus0, 16, "vec_id", "embedding").localCheckpoint(
+        eager=True
+    )
+    # ONE assignment pass covers the initial corpus AND every future
+    # ingest slice; per-version indexes are filters of this relation
+    # (assignment is per-vector nearest-centroid — independent of the
+    # rest of the corpus, so filter == assign-the-filtered-corpus)
+    assigned_full = ivf_assign(
+        corpus0.unionByName(ingest), cents, "vec_id", "embedding"
+    ).localCheckpoint(eager=True)
+    slice_expr = "(CASE WHEN vec_id % 10 = 5 THEN (vec_id div 10) % 4 ELSE -1 END)"
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cohorts = [
+            int(r["j"])
+            for r in batch_df.select(
+                F.expr("(vec_id div 10) % 4").alias("j")
+            )
+            .distinct()
+            .collect()  # bounded: <= 4 cohort ids per micro-batch
+        ]
+        for j in sorted(cohorts):
+            part = batch_df.filter(F.expr(f"(vec_id div 10) % 4 = {j}"))
+            idx_j = assigned_full.filter(F.expr(f"{slice_expr} <= {j}"))
+            (
+                ivf_topk(
+                    corpus0, part, n_cells=16, nprobe=4, k=5,
+                    centroids=cents, assigned=idx_j,
+                )
+                .withColumn("index_version", F.lit(j).cast("long"))
+                .write.mode("overwrite")
+                .parquet(f"{outdir}/b{batch_id}_c{j}")
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{outdir}/b*")

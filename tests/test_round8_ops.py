@@ -57,11 +57,12 @@ def test_quality_classifier_scoring_is_one_shuffle(spark, sf_dir) -> None:
         shuffle_count,
     )
 
-    df = all_specs()["text_quality_classifier"].fn(spark, sf_dir)
-    assert shuffle_count(df) == 1, formatted_plan(df)
-    plan = formatted_plan(df)
-    assert "Join" not in plan, plan
-    assert "Pandas" not in plan and "PythonUDF" not in plan
+    for name in ("text_quality_classifier", "text_quality_classifier2"):
+        df = all_specs()[name].fn(spark, sf_dir)
+        assert shuffle_count(df) == 1, (name, formatted_plan(df))
+        plan = formatted_plan(df)
+        assert "Join" not in plan, (name, plan)
+        assert "Pandas" not in plan and "PythonUDF" not in plan, name
 
 
 def test_hnsw_search_routing_quality(spark, sf_dir) -> None:
