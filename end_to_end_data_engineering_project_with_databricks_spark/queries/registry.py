@@ -112,11 +112,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "events_sessionize",
     # -- r3 displacement buffer: swapped out one-for-one as new r9
     #    queries register (a new query takes a slot immediately) --
-    "events_asof_purchase_click",
     # -- new in r9 (a new query takes a slot immediately) --
     "sim_hnsw_recall_audit",
     "text_bpe_iterative_deep",
     "text_quality_classifier2",
+    "stream_ann_refresh",
 )
 
 
