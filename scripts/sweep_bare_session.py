@@ -33,8 +33,21 @@ from pyspark.sql import SparkSession
 def main() -> int:
     sf_dir = os.environ.get("SWEEP_SF_DIR", "/root/testdata/sf0.01")
     # deliberately bare: no master, memory, shuffle, or Arrow confs —
-    # the whole point is surviving Spark's defaults
-    spark = SparkSession.builder.getOrCreate()
+    # the whole point is surviving Spark's defaults.  At the driver's
+    # correctness scale (sf0.01) the sweep runs on PURE defaults.  At
+    # sf0.1 the default 1 GiB heap is under Spark's own sizing floor
+    # for this host's parallelism: 32 concurrent tasks x 200-partition
+    # bypass shuffle writers allocate ~600 MB of transient LZ4/serializer
+    # buffers alone, and the sweep OOMs at a NONDETERMINISTIC query (r9:
+    # two runs died at different, individually-passing queries).  For
+    # 10x-scale sweeps SWEEP_DRIVER_MEMORY sizes the heap (everything
+    # else stays default) — exactly the "size executor memory to the
+    # shuffle" rule docs/SCALE.md prescribes for real deployments.
+    builder = SparkSession.builder
+    mem = os.environ.get("SWEEP_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     heap = spark.sparkContext.getConf().get("spark.driver.memory", "<default 1g>")
     print(f"bare session: driver.memory={heap} sf_dir={sf_dir}", flush=True)
 
@@ -42,9 +55,12 @@ def main() -> int:
         all_specs,
     )
 
+    import gc
+
     failures: list[str] = []
     for name, spec in all_specs().items():
         t0 = time.perf_counter()
+        df = None
         try:
             df = spec.fn(spark, sf_dir)
             n = len(df.collect()) if spec.oracle is not None else df.count()
@@ -53,6 +69,18 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}", flush=True)
             traceback.print_exc()
+        # A long-lived driver reclaims finished queries' localCheckpoint
+        # blocks through Spark's ContextCleaner, which only fires when
+        # the JVM garbage-collects the unreferenced RDDs.  284 heavy
+        # pipelines back-to-back in ONE bare 1 GiB JVM outrun that lazy
+        # cycle (r9: an LZ4 shuffle-write buffer allocation OOMed ~130
+        # queries in at sf0.1, killing the session for every query
+        # after it — each query passes alone).  Drop the Python refs
+        # and hint a JVM GC so the cleaner keeps pace, exactly what the
+        # natural reference lifecycle does at a saner query cadence.
+        del df
+        gc.collect()
+        spark._jvm.System.gc()
     print(f"\n{len(failures)} failures of {len(all_specs())}: {failures}", flush=True)
     return 1 if failures else 0
 
