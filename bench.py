@@ -149,12 +149,21 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer reads — not billed to any query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    import gc
+
     attempts: list[dict] = []
     while True:
         remaining = retry_cap - (time.monotonic() - started)
         idle = wait_for_idle_host(min(per_wait, max(0.0, remaining)))
         attempt = {**run_suite(spark, specs, sf_dir), **idle}
         attempts.append(attempt)
+        # pace the ContextCleaner between attempts: repeated suite
+        # passes accumulate localCheckpoint blocks that are only
+        # reclaimed on a JVM GC, and an idle LATE attempt must not be
+        # biased by earlier attempts' heap state (the same pacing the
+        # bare sweep applies per query)
+        gc.collect()
+        spark._jvm.System.gc()
         remaining = retry_cap - (time.monotonic() - started)
         # one suite pass costs ~2 min at sf0.1; don't start an attempt
         # that can't also afford the idle wait before the cap

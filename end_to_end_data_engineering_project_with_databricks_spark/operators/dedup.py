@@ -926,10 +926,16 @@ def jaccard_prefix_candidate_pairs(
     correctness argument of the prefix bound.
 
     ``shingle_rel``: optional pre-built ``(_id_, sh)`` exploded-shingle
-    relation.  The parent builds it once and shares it between the
-    candidate and verify stages (the r8 audit-seam extraction had each
-    stage rebuilding it, costing one extra tokenize+shingle corpus scan
-    per invocation — ADVICE r8); standalone callers omit it."""
+    relation, passed by the parent so both stages share ONE definition
+    of the shingling (ADVICE r8).  Honest scope note: the shared
+    DataFrame is deliberately LAZY, so the physical plan still scans the
+    corpus once per consuming stage — measured at sf0.1, materializing
+    it (localCheckpoint) is NET SLOWER (8.9 s vs 8.0 s full-pipeline
+    avg) because writing the full exploded-shingle relation costs more
+    than the narrow tokenize+shingle re-scan it saves, the same verdict
+    as the r6 hashed-shingle A/B.  The sharing buys definitional
+    consistency (one place to change k/tokenization), not a saved scan;
+    standalone callers omit it."""
     sh = shingle_rel
     if sh is None:
         sh = scale_out(df).select(

@@ -1819,6 +1819,73 @@ _QCLS_TRAIN_BOUND = 200
 _QCLS_THRESHOLD_FP = _QCLS_FP_SCALE  # mean ratio 1.0 = neutral
 
 
+def _qcls_fit_weights(
+    hist: list, n_buckets: int
+) -> tuple[list[int], int, int]:
+    """Closed-form Laplace-smoothed class-ratio weights from a collected
+    (b, pos_c, neg_c) histogram — the fixed-point algebra shared by
+    text_quality_classifier and text_quality_classifier2 (and replayed
+    verbatim by both DuckDB oracles: Python ``//`` == DuckDB ``//`` on
+    these non-negative operands).  Returns (weights, pos_total,
+    neg_total)."""
+    s = _QCLS_FP_SCALE
+    pos = {int(r["b"]): int(r["pos_c"]) for r in hist}
+    neg = {int(r["b"]): int(r["neg_c"]) for r in hist}
+    pt, nt = sum(pos.values()), sum(neg.values())
+    weights = [
+        ((s * (pos.get(b, 0) + 1)) // (pt + n_buckets) * s)
+        // max((s * (neg.get(b, 0) + 1)) // (nt + n_buckets), 1)
+        for b in range(n_buckets)
+    ]
+    return weights, pt, nt
+
+
+def _qcls_fit_histogram(feats: DataFrame) -> list:
+    """The bounded fit collect shared by both classifier versions:
+    per-bucket class counts over the labeled slice — at most n_buckets
+    rows (128 for v1, 256 for v2)."""
+    return (
+        feats.filter(F.col("doc_id") < _QCLS_TRAIN_BOUND)
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos_c"),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg_c"),
+        )
+        .collect()
+    )
+
+
+def _qcls_score(
+    feats: DataFrame, weights: list[int], bias_fp: int | None = None
+) -> DataFrame:
+    """The shared deploy shape: weights ship as an array literal, so
+    scoring is map + ONE (doc_id, lang) hash-agg (the shuffle_count==1
+    plan test covers both callers).  ``bias_fp`` enters as one always-on
+    feature: ``avg = (bias + sum w) div (n_feats + 1)``."""
+    w_expr = (
+        f"element_at(array({','.join(str(w) + 'L' for w in weights)}), "
+        f"CAST(b AS INT) + 1)"
+    )
+    if bias_fp is None:
+        avg = "score_fp div n_feats"
+    else:
+        avg = f"(score_fp + {int(bias_fp)}L) div (n_feats + 1)"
+    return (
+        feats.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.expr(w_expr)).alias("score_fp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.expr(avg).alias("avg_score_fp"),
+            (F.expr(avg) >= _QCLS_THRESHOLD_FP).cast("int").alias("keep"),
+        )
+    )
+
+
 def _qcls_bg_sql() -> str:
     """DuckDB CTE chain ending at ``bg(doc_id, lang, b)`` — one row per
     bigram occurrence, hashed to its feature bucket."""
@@ -1920,42 +1987,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs exactly one corpus scan + one map-side-combinable shuffle.
     Int64 envelope: ``w_fp <= S^2 = 1e12``; per-doc sums stay below
     ``n_bigrams * 1e12`` (safe to ~9e6 bigrams/doc)."""
-    s, m = _QCLS_FP_SCALE, _QCLS_BUCKETS
     bg = _qcls_spark_bg(spark, sf_dir)
-    hist = (
-        bg.filter(F.col("doc_id") < _QCLS_TRAIN_BOUND)
-        .groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos_c"),
-            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg_c"),
-        )
-        .collect()  # bounded: <= 128 feature-bucket rows (the fit)
-    )
-    pos = {int(r["b"]): int(r["pos_c"]) for r in hist}
-    neg = {int(r["b"]): int(r["neg_c"]) for r in hist}
-    pt, nt = sum(pos.values()), sum(neg.values())
-    weights = [
-        ((s * (pos.get(b, 0) + 1)) // (pt + m) * s)
-        // max((s * (neg.get(b, 0) + 1)) // (nt + m), 1)
-        for b in range(m)
-    ]
-    w_expr = f"element_at(array({','.join(str(w) + 'L' for w in weights)}), CAST(b AS INT) + 1)"
-    return (
-        bg.groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum(F.expr(w_expr)).alias("score_fp"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_feats",
-            F.expr("score_fp div n_feats").alias("avg_score_fp"),
-            (F.expr("score_fp div n_feats") >= _QCLS_THRESHOLD_FP)
-            .cast("int")
-            .alias("keep"),
-        )
-    )
+    # bounded: <= 128 feature-bucket rows (the fit)
+    weights, _, _ = _qcls_fit_weights(_qcls_fit_histogram(bg), _QCLS_BUCKETS)
+    return _qcls_score(bg, weights)
 
 
 def _qcls2_feats_sql() -> str:
@@ -1969,12 +2004,17 @@ def _qcls2_feats_sql() -> str:
 
     m = _QCLS_BUCKETS
     bigram = "toks[i] || ' ' || toks[i + 1]"
+    # unigrams come from EVERY document with >= 1 token (single-token
+    # docs are scoreable now that the feature space has unigrams and an
+    # always-on bias — v1's >= 2 gate was inherent to bigram-only);
+    # bigrams still require >= 2
     return f"""
-    t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+          FROM documents WHERE len(string_split(text, ' ')) >= 1),
     el AS (SELECT * FROM t WHERE len(toks) >= 2),
     feats AS (
       SELECT doc_id, lang, {h60_duck("tok")} % {m} AS b
-      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM el)
+      FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t)
       UNION ALL
       SELECT doc_id, lang, {m} + {h60_duck(bigram)} % {m} AS b
       FROM (SELECT doc_id, lang, toks,
@@ -2029,19 +2069,24 @@ def _qcls2_spark_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _QCLS_BUCKETS
     d = load_table(spark, sf_dir, "documents")
-    base = d.filter(F.size(tokens("text")) >= 2).select(
+    base = d.filter(F.size(tokens("text")) >= 1).select(
         "doc_id", "lang", tokens("text").alias("_tk")
     )
     bg_sql = "concat(element_at(_tk, i), ' ', element_at(_tk, i + 1))"
     # one generator: the unigram and bigram bucket arrays concatenate
     # BEFORE the explode, so the whole feature union is a single narrow
-    # map stage feeding one hash-agg
+    # map stage feeding one hash-agg.  The bigram branch is guarded:
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) rather than returning
+    # empty, so a single-token doc would fabricate grams without the
+    # size >= 2 case
     feats = F.explode(
         F.expr(
             f"concat("
             f"transform(_tk, t -> pmod({h60_spark('t')}, {m})), "
+            f"if(size(_tk) >= 2, "
             f"transform(sequence(1, size(_tk) - 1), "
-            f"i -> {m} + pmod({h60_spark(bg_sql)}, {m})))"
+            f"i -> {m} + pmod({h60_spark(bg_sql)}, {m})), "
+            f"array()))"
         )
     ).alias("b")
     return base.select("doc_id", "lang", feats)
@@ -2065,6 +2110,11 @@ def text_quality_classifier2(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fit is unchanged in shape: ONE bounded histogram collect, now
     <= 2*128 = 256 rows (the VERDICT bound), with the bias derived from
     the same histogram's totals — no extra pass, no extra collect.
+    Unlike v1 (bigram-only, where a single-token document has zero
+    features by construction), v2 scores every document with >= 1
+    token: the unigram branch covers it and the bias keeps the
+    denominator positive — no document silently drops out of the
+    keep/reject decision.
     Python ``//`` == DuckDB ``//`` on the non-negative operands, so the
     oracle re-derives weights AND bias from scratch.
 
@@ -2075,50 +2125,13 @@ def text_quality_classifier2(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two hashes per token instead of one per adjacent pair) and the
     same single shuffle.  Int64 envelope: ``w_fp <= S^2 = 1e12``,
     per-doc sums safe to ~9e6 features/doc."""
-    s, m = _QCLS_FP_SCALE, _QCLS_BUCKETS
+    s = _QCLS_FP_SCALE
     feats = _qcls2_spark_feats(spark, sf_dir)
-    hist = (
-        feats.filter(F.col("doc_id") < _QCLS_TRAIN_BOUND)
-        .groupBy("b")
-        .agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("pos_c"),
-            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("neg_c"),
-        )
-        .collect()  # bounded: <= 256 feature-bucket rows (the fit)
+    # bounded: <= 256 feature-bucket rows (the fit)
+    weights, pt, nt = _qcls_fit_weights(
+        _qcls_fit_histogram(feats), 2 * _QCLS_BUCKETS
     )
-    pos = {int(r["b"]): int(r["pos_c"]) for r in hist}
-    neg = {int(r["b"]): int(r["neg_c"]) for r in hist}
-    pt, nt = sum(pos.values()), sum(neg.values())
     bias_fp = ((s * (pt + 1)) // (pt + nt + 2) * s) // max(
         (s * (nt + 1)) // (pt + nt + 2), 1
     )
-    weights = [
-        ((s * (pos.get(b, 0) + 1)) // (pt + 2 * m) * s)
-        // max((s * (neg.get(b, 0) + 1)) // (nt + 2 * m), 1)
-        for b in range(2 * m)
-    ]
-    w_expr = (
-        f"element_at(array({','.join(str(w) + 'L' for w in weights)}), "
-        f"CAST(b AS INT) + 1)"
-    )
-    return (
-        feats.groupBy("doc_id", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum(F.expr(w_expr)).alias("score_fp"),
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n_feats",
-            F.expr(f"(score_fp + {bias_fp}L) div (n_feats + 1)").alias(
-                "avg_score_fp"
-            ),
-            (
-                F.expr(f"(score_fp + {bias_fp}L) div (n_feats + 1)")
-                >= _QCLS_THRESHOLD_FP
-            )
-            .cast("int")
-            .alias("keep"),
-        )
-    )
+    return _qcls_score(feats, weights, bias_fp=bias_fp)

@@ -1364,7 +1364,7 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip-list-over-proximity-graph idea, re-expressed with the repo's
     deterministic building blocks so every step replays in SQL):
 
-    - LAYER 1 (routing): a deterministic 1-in-{_HNSW_SPARSITY}
+    - LAYER 1 (routing): a deterministic 1-in-8
       sparsification (``vec_id % 8 == 0``).  Its edge set is the
       sim_knn_graph construction on the subset (top-2 cosine within the
       vector's IVF cell) PLUS one hub per cell (the cell's lowest-id
@@ -1372,13 +1372,13 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
       HNSW's long-range links: within-cell edges refine locally, hub
       links let the walk jump regions (the navigable-small-world role).
     - SEARCH: from a single global entry point (lowest-id layer-1
-      node), 3 hops of a width-{_HNSW_BEAM} BEAM (HNSW's efSearch > 1,
+      node), 3 hops of a width-2 BEAM (HNSW's efSearch > 1,
       VERDICT r8 item 3): each hop scores the frontier nodes, their
       <=2 graph neighbors each, and the <=16 hubs against the query —
       deduped on (query, node) so duplicates can't double-fill beam
-      slots — and keeps the top-{_HNSW_BEAM} (ties: lowest id; frontier
+      slots — and keeps the top-2 (ties: lowest id; frontier
       nodes compete, so the walk never degrades).  Then DESCEND: the
-      full IVF cells of ALL beam endpoints (<= {_HNSW_BEAM} distinct
+      full IVF cells of ALL beam endpoints (<= 2 distinct
       cells) are scored exactly and the global top-5 returned — upper
       layer routes, bottom layer refines, and the beam's second
       opinion doubles the refine coverage exactly where greedy routing

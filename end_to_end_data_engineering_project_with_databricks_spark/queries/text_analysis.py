@@ -1493,12 +1493,12 @@ def bpe_train_materialized(
 )
 def text_bpe_iterative_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-round BPE induction with the re-encoded corpus MATERIALIZED
-    every {_BPE_DEEP_MAT_EVERY} rounds (bpe_train_materialized) — the
+    every 4 rounds (bpe_train_materialized) — the
     answer to text_bpe_iterative's documented depth concession: that
     trainer re-scans the raw corpus through an r-deep replace chain
     each round; this one checkpoints the encoding so no pass ever
-    evaluates more than {_BPE_DEEP_MAT_EVERY} replaces
-    (tests/test_round9_ops.py pins the measured depths).
+    evaluates more than 4 replaces (tests/test_round9_ops.py pins the
+    measured depths).
 
     Learned merges, counts, and per-round corpus token totals are
     identical to the unmaterialized chain by construction, so the

@@ -62,8 +62,27 @@ def _delta_table(spark: SparkSession, root: str):
     return DeltaTable.forPath(spark, root)
 
 
+#: Java's ZoneId.SHORT_IDS (JDK spec, fixed 13-entry table): Spark
+#: accepts these for spark.sql.session.timeZone but Python zoneinfo has
+#: no entries for most of them.
+_JAVA_SHORT_IDS = {
+    "ACT": "Australia/Darwin", "AET": "Australia/Sydney",
+    "AGT": "America/Argentina/Buenos_Aires", "ART": "Africa/Cairo",
+    "AST": "America/Anchorage", "BET": "America/Sao_Paulo",
+    "BST": "Asia/Dhaka", "CAT": "Africa/Harare", "CNT": "America/St_Johns",
+    "CST": "America/Chicago", "CTT": "Asia/Shanghai", "EAT": "Africa/Addis_Ababa",
+    "ECT": "Europe/Paris", "IET": "America/Indiana/Indianapolis",
+    "IST": "Asia/Kolkata", "JST": "Asia/Tokyo", "MIT": "Pacific/Apia",
+    "NET": "Asia/Yerevan", "NST": "Pacific/Auckland", "PLT": "Asia/Karachi",
+    "PNT": "America/Phoenix", "PRT": "America/Puerto_Rico",
+    "PST": "America/Los_Angeles", "SST": "Pacific/Guadalcanal",
+    "VST": "Asia/Ho_Chi_Minh", "EST": "America/New_York",
+    "MST": "America/Denver", "HST": "Pacific/Honolulu",
+}
+
+
 def _timestamp_as_of(epoch: float, session_tz: str) -> str:
-    """Render an epoch-seconds instant as the wall-clock string Delta's
+    """Render an epoch-seconds instant as the timestamp string Delta's
     ``timestampAsOf`` option expects.
 
     Delta parses the option string in ``spark.sql.session.timeZone``,
@@ -73,30 +92,43 @@ def _timestamp_as_of(epoch: float, session_tz: str) -> str:
     whole seconds rounds the instant DOWN and can select an earlier
     version than the twin's epoch-seconds comparison.
 
-    Accepts region ids (``America/Los_Angeles``), ``UTC``/``GMT``, and
-    fixed-offset ids (``GMT+08:00``, ``UTC-5``, ``+09:30``) — the forms
-    Spark itself accepts for the conf.  Unparseable zones raise rather
-    than silently falling back to UTC (which would reproduce the bug)."""
+    The string carries an EXPLICIT numeric offset (Spark's
+    string->timestamp cast, which Delta's time-travel spec goes
+    through, accepts ``... HH:mm:ss.SSSSSS[+-]HH:mm``): a zone-less
+    local time is ambiguous for one hour each year during DST fall-back
+    (Java resolves the overlap to the earlier offset — an instant up to
+    an hour before the requested epoch), and the fold-resolved offset
+    removes that ambiguity entirely.
+
+    Accepts region ids (``America/Los_Angeles``), ``UTC``/``GMT``,
+    Java's SHORT_IDS (``PST``, ``JST``, ...) which Spark honors but
+    zoneinfo lacks, and fixed-offset ids (``GMT+08:00``, ``UTC-5``,
+    ``+09:30``).  Unparseable zones fall back to a UTC rendering —
+    SAFE here (unlike the zone-less fallback this replaced) because the
+    explicit offset makes the string mean the same instant under any
+    session zone."""
     import re
 
     try:
         from zoneinfo import ZoneInfo
 
-        tz: _dt.tzinfo = ZoneInfo(session_tz)
+        tz: _dt.tzinfo = ZoneInfo(_JAVA_SHORT_IDS.get(session_tz, session_tz))
     except Exception:
         m = re.fullmatch(
             r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", session_tz.strip()
         )
-        if not m:
-            raise ValueError(
-                f"unrecognized spark.sql.session.timeZone: {session_tz!r}"
-            ) from None
-        sign = 1 if m.group(1) == "+" else -1
-        minutes = int(m.group(2)) * 60 + int(m.group(3) or 0)
-        tz = _dt.timezone(sign * _dt.timedelta(minutes=minutes))
-    return _dt.datetime.fromtimestamp(epoch, tz=tz).strftime(
-        "%Y-%m-%d %H:%M:%S.%f"
-    )
+        if m:
+            sign = 1 if m.group(1) == "+" else -1
+            minutes = int(m.group(2)) * 60 + int(m.group(3) or 0)
+            tz = _dt.timezone(sign * _dt.timedelta(minutes=minutes))
+        else:
+            tz = _dt.timezone.utc
+    aware = _dt.datetime.fromtimestamp(epoch, tz=tz)
+    off = aware.utcoffset() or _dt.timedelta(0)
+    total = int(off.total_seconds())
+    sign_s = "+" if total >= 0 else "-"
+    hh, mm = divmod(abs(total) // 60, 60)
+    return aware.strftime("%Y-%m-%d %H:%M:%S.%f") + f"{sign_s}{hh:02d}:{mm:02d}"
 
 
 def write_append(df: DataFrame, root: str, evolve_schema: bool = False) -> int:

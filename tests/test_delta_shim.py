@@ -75,17 +75,41 @@ def test_timestamp_as_of_uses_session_timezone() -> None:
     with fractional seconds kept (truncation selects an earlier
     version)."""
     epoch = 1723726800.25  # 2024-08-15T13:00:00.25Z
-    assert D._timestamp_as_of(epoch, "UTC") == "2024-08-15 13:00:00.250000"
+    assert D._timestamp_as_of(epoch, "UTC") == "2024-08-15 13:00:00.250000+00:00"
     assert (
         D._timestamp_as_of(epoch, "America/Los_Angeles")
-        == "2024-08-15 06:00:00.250000"
+        == "2024-08-15 06:00:00.250000-07:00"
     )
+    # Java SHORT_IDS Spark honors but zoneinfo lacks
+    assert D._timestamp_as_of(epoch, "PST") == "2024-08-15 06:00:00.250000-07:00"
+    assert D._timestamp_as_of(epoch, "JST") == "2024-08-15 22:00:00.250000+09:00"
+    assert D._timestamp_as_of(epoch, "IST") == "2024-08-15 18:30:00.250000+05:30"
     # fixed-offset ids Spark accepts but zoneinfo rejects
-    assert D._timestamp_as_of(epoch, "GMT+08:00") == "2024-08-15 21:00:00.250000"
-    assert D._timestamp_as_of(epoch, "UTC-5") == "2024-08-15 08:00:00.250000"
-    assert D._timestamp_as_of(epoch, "+09:30") == "2024-08-15 22:30:00.250000"
-    with pytest.raises(ValueError):
+    assert (
+        D._timestamp_as_of(epoch, "GMT+08:00")
+        == "2024-08-15 21:00:00.250000+08:00"
+    )
+    assert D._timestamp_as_of(epoch, "UTC-5") == "2024-08-15 08:00:00.250000-05:00"
+    assert D._timestamp_as_of(epoch, "+09:30") == "2024-08-15 22:30:00.250000+09:30"
+    # unknown zones fall back to UTC — safe: the explicit offset makes
+    # the string mean the same instant under any session zone
+    assert (
         D._timestamp_as_of(epoch, "Not/AZone")
+        == "2024-08-15 13:00:00.250000+00:00"
+    )
+
+
+def test_timestamp_as_of_dst_fold_is_unambiguous() -> None:
+    """The second occurrence of 01:30 on the US fall-back day must carry
+    the POST-transition offset (-08:00): a zone-less '01:30:00' string
+    would parse to the earlier (PDT) instant, one hour off."""
+    first = 1730622600.5   # 2024-11-03 01:30:00.5 PDT (UTC-7)
+    second = 1730626200.5  # 2024-11-03 01:30:00.5 PST (UTC-8), same wall clock
+    a = D._timestamp_as_of(first, "America/Los_Angeles")
+    b = D._timestamp_as_of(second, "America/Los_Angeles")
+    assert a == "2024-11-03 01:30:00.500000-07:00"
+    assert b == "2024-11-03 01:30:00.500000-08:00"
+    assert a != b
 
 
 def test_facade_append_read_time_travel(spark, root) -> None:
