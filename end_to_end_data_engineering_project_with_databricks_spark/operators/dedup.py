@@ -364,6 +364,91 @@ def minhash_lsh_dedup(
     return jaccard_verify(cands, cand_docs, id_col, text_col, shingle_k, threshold)
 
 
+def containment_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over MinHash-LSH band candidates —
+    the scale path :func:`queries.dedup.dedup_containment`'s docstring
+    promises: the raw inverted-index shingle join (quadratic on
+    corpus-frequent grams, measured in docs/SCALE.md's r9 table) is
+    replaced by the banded candidate join, and containment
+    ``|sh(A) ∩ sh(B)| / |sh(A)|`` re-verifies on candidates only.
+
+    Emits DIRECTED rows (id_small, id_big, containment >= threshold):
+    each unordered band candidate is scored in both directions (one
+    intersection computation feeds both), so output semantics match the
+    exact operator restricted to the candidate set.
+
+    Honest recall caveat: MinHash-LSH banding recalls by JACCARD, and a
+    high-containment pair can have LOW Jaccard when the containing
+    document is much larger (|A∩B|/|A∪B| ≈ |A|/|B|) — the 16x4 S-curve
+    gives such a pair a small candidate probability, so this path can
+    MISS extreme-size-ratio quotes the exact join finds.  The published
+    fix is containment-calibrated banding (LSH Ensemble, Zhu et al.
+    VLDB'16 — partition by set size, tune bands per partition) or
+    asymmetric extensions of minwise hashing; the query-side test
+    (tests/test_round9_ops.py) measures the banded path's recall
+    against the exact operator on the fixtures so the trade is a
+    number, not a guess.
+
+    Plan shape: the signature/banding pipeline is minhash_lsh_dedup's
+    (candidates localCheckpointed once, corpus semi-filtered to
+    candidate docs before the verify scan), and the verify is two
+    id-equi-joins against per-document sorted shingle arrays — cost
+    O(candidates), never O(n^2)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band).localCheckpoint(
+        eager=True
+    )
+    ids = (
+        cands.select(F.col("id_a").alias("_cid"))
+        .union(cands.select("id_b"))
+        .distinct()
+    )
+    cand_docs = df.join(ids, F.col(id_col) == F.col("_cid"), "left_semi")
+    sets = (
+        scale_out(cand_docs)
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.explode(shingles(text_col, shingle_k)).alias("sh"),
+        )
+        .groupBy("_id_")
+        .agg(F.sort_array(F.collect_list("sh")).alias("_set"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # referenced by both join sides
+    )
+    a = sets.select(
+        F.col("_id_").alias("id_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
+    )
+    b = sets.select(
+        F.col("_id_").alias("id_b"), F.col("_set").alias("_sb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb"))).cast("double")
+    scored = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", inter.alias("novl"), "na", "nb")
+    )
+    directed = scored.select(
+        F.col("id_a").alias("id_small"),
+        F.col("id_b").alias("id_big"),
+        (F.col("novl") / F.col("na")).alias("containment"),
+    ).unionByName(
+        scored.select(
+            F.col("id_b").alias("id_small"),
+            F.col("id_a").alias("id_big"),
+            (F.col("novl") / F.col("nb")).alias("containment"),
+        )
+    )
+    return directed.filter(F.col("containment") >= float(threshold))
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

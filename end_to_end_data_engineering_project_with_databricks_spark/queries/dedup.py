@@ -119,23 +119,65 @@ def _lsh_verify_sql(threshold: float, pair_filter: str = "") -> str:
     WHERE CAST(i.inter AS DOUBLE) / (ca.n + cb.n - i.inter) >= {threshold}"""
 
 
+def _sig_cte_sql() -> str:
+    """The 64-permutation MinHash signature CTE over ``hs`` — shared by
+    the Jaccard replay and the containment-LSH replay."""
+    sig_cols = ",\n             ".join(
+        f"MIN({minhash_perm_duck(i, 'h')}) AS s{i}" for i in range(64)
+    )
+    return f"""sig AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM hs GROUP BY doc_id
+    )"""
+
+
 def _minhash_replay_sql(threshold: float, pair_filter: str = "") -> str:
     """Full DuckDB replay of minhash_lsh_dedup: 64 affine-permutation
     minima over the mod-P base hash, 16x4 banding, candidate equi-join,
     exact-Jaccard verify."""
-    sig_cols = ",\n             ".join(
-        f"MIN({minhash_perm_duck(i, 'h')}) AS s{i}" for i in range(64)
-    )
     return f"""
     WITH {_SHINGLE_CTES},{_HS_CTE},
-    sig AS (
-      SELECT doc_id,
-             {sig_cols}
-      FROM hs GROUP BY doc_id
-    ),
+    {_sig_cte_sql()},
     bands AS (
       {_band_cte_sql('sig')}
     ),{_lsh_verify_sql(threshold, pair_filter)}
+    """
+
+
+def _containment_lsh_replay_sql(threshold: float = 0.8) -> str:
+    """Full DuckDB replay of operators/dedup.containment_lsh_pairs:
+    the minhash_lsh_dedup signature+banding chain, then the ASYMMETRIC
+    containment verify in both directions per unordered candidate."""
+    return f"""
+    WITH {_SHINGLE_CTES},{_HS_CTE},
+    {_sig_cte_sql()},
+    bands AS (
+      {_band_cte_sql('sig')}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS novl
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_a
+      JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+      GROUP BY c.id_a, c.id_b
+    ),
+    directed AS (
+      SELECT i.id_a AS id_small, i.id_b AS id_big,
+             CAST(i.novl AS DOUBLE) / ca.n AS containment
+      FROM inter i JOIN counts ca ON i.id_a = ca.doc_id
+      UNION ALL
+      SELECT i.id_b, i.id_a, CAST(i.novl AS DOUBLE) / cb.n
+      FROM inter i JOIN counts cb ON i.id_b = cb.doc_id
+    )
+    SELECT id_small, id_big, containment
+    FROM directed WHERE containment >= {threshold}
     """
 
 
@@ -901,6 +943,39 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("novl").cast("double") / F.col("n").cast("double")).alias("containment"),
     )
     return scored.filter(F.col("containment") >= 0.8)
+
+
+@query(
+    "dedup_containment_lsh",
+    oracle=_containment_lsh_replay_sql(threshold=0.8),
+    tags=("dedup", "containment", "approx", "lsh", "curation"),
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_containment's documented 100 TB path made real
+    (operators/dedup.containment_lsh_pairs): candidate generation is the
+    MinHash 16x4 band join — linear in corpus size, the measured
+    exponent-1.000 pipeline — and the asymmetric containment
+    ``|sh(A) ∩ sh(B)| / |sh(A)|`` verifies on candidates only, scored in
+    both directions per unordered pair.  Runs on the FULL corpus (the
+    exact query bounds itself to doc_id < 600 precisely because its raw
+    shingle join carries the corpus-frequent-gram quadratic hazard this
+    path removes).
+
+    Recall trade stated where it bites: banding recalls by Jaccard, so
+    an extreme-size-ratio quote (high containment, low Jaccard) can be
+    missed — LSH Ensemble-style size-partitioned banding is the
+    published fix; tests/test_round9_ops.py measures this path's recall
+    against the exact operator on the fixtures.  Full value-hash
+    oracle: signatures, banding, candidates, and both directed verifies
+    replay from the shared hash family."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        containment_lsh_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_lsh_pairs(
+        d, "doc_id", "text", num_hashes=64, bands=16, shingle_k=3, threshold=0.8
+    )
 
 
 @query(

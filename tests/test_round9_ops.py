@@ -91,3 +91,37 @@ def test_hnsw_recall_audit_consistent_with_search(spark, sf_dir) -> None:
         assert n_exact == 5
         assert n_hits == len(truth[qid] & by_q[qid])
         assert recall_fp == (1_000_000 * n_hits) // 5
+
+
+def test_containment_lsh_recall_vs_exact(spark, sf_dir) -> None:
+    """The banded containment path must agree with the exact operator
+    where both run (the doc_id < 600 slice the exact query bounds
+    itself to): every banded pair is a true containment pair (the
+    verify is exact, so precision is 1 by construction — asserted
+    anyway), and recall on the fixtures is high because their
+    containment pairs are near-duplicates (high Jaccard).  The recall
+    floor is the documented trade: extreme-size-ratio quotes can be
+    missed by Jaccard-calibrated banding."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    specs = all_specs()
+    exact = {
+        (r.id_small, r.id_big)
+        for r in specs["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    banded_df = specs["dedup_containment_lsh"].fn(spark, sf_dir)
+    banded_sub = {
+        (r.id_small, r.id_big)
+        for r in banded_df.filter(
+            (F.col("id_small") < 600) & (F.col("id_big") < 600)
+        ).collect()
+    }
+    # exactness of the verify: no banded pair outside the exact answer
+    assert banded_sub <= exact, banded_sub - exact
+    if exact:
+        recall = len(banded_sub) / len(exact)
+        assert recall >= 0.9, (recall, len(banded_sub), len(exact))
