@@ -449,6 +449,114 @@ def containment_lsh_pairs(
     return directed.filter(F.col("containment") >= float(threshold))
 
 
+#: LSH-Ensemble size strata: (lo, hi, bands, rows_per_band).  Larger
+#: indexed sets get MORE bands of FEWER rows: containment of a small
+#: query in a big set has low Jaccard (J ~ t*|q| / (|q| + |i| - t*|q|)),
+#: and the banding S-curve must still fire there — at t=0.8, |q|=20,
+#: |i|=90, J ~ 0.17: P(candidate) is ~1.0 under 64x1 but ~0.01 under
+#: 16x4 (exactly the pairs containment_lsh_pairs misses).
+ENSEMBLE_STRATA: tuple[tuple[int, int | None, int, int], ...] = (
+    (0, 32, 16, 4),
+    (32, 64, 32, 2),
+    (64, None, 64, 1),
+)
+
+
+def containment_lsh_ensemble_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    strata: tuple[tuple[int, int | None, int, int], ...] = ENSEMBLE_STRATA,
+) -> DataFrame:
+    """Containment search via SIZE-STRATIFIED MinHash banding — the
+    LSH Ensemble idea (Zhu, Nazi, et al., "LSH Ensemble: Internet-Scale
+    Domain Search", VLDB'16) in its deterministic fixed-strata form:
+    the INDEX partitions by shingle-set size, each partition gets
+    banding tuned to the Jaccard a containment-qualified pair would
+    have against sets of that size, and every query probes every
+    partition under that partition's scheme.  This closes
+    :func:`containment_lsh_pairs`' documented recall gap: one global
+    Jaccard-calibrated banding cannot recall an extreme-size-ratio
+    quote, a size-tuned ensemble can.
+
+    Output is DIRECTED (id_small = the contained query, id_big = the
+    indexed container, containment >= threshold); a pair in which each
+    side contains the other appears twice, once per direction — each
+    direction is discovered by the container's stratum, so the
+    asymmetry of the index IS the asymmetry of the relation.
+
+    Scale shape: ONE signature pass (localCheckpointed — all schemes
+    and both join roles reference it), one band-bucket relation per
+    scheme (each a self-equi-join on (band, bh), index side
+    semi-filtered to its stratum), candidates unioned and deduped, and
+    the exact containment verify on candidate docs only.  Candidate
+    volume is the per-stratum banding volume — each stratum's (b, r)
+    trades its own recall against its own candidate count, the knob the
+    paper optimizes per partition; the strata bounds here are fixture-
+    calibrated literals, a deployment derives them from the size
+    histogram (a one-pass aggregate)."""
+    rows_total = num_hashes
+    sigs = minhash_signatures(
+        df, id_col, text_col, rows_total, shingle_k
+    ).localCheckpoint(eager=True)
+    sh = scale_out(df).select(
+        F.col(id_col).alias("_id_"),
+        F.explode(shingles(text_col, shingle_k)).alias("sh"),
+    )
+    counts = sh.groupBy("_id_").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=True
+    )
+
+    cand = None
+    for lo, hi, bands, rows_per_band in strata:
+        buckets = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
+        in_stratum = F.col("n") >= lo if hi is None else (
+            (F.col("n") >= lo) & (F.col("n") < hi)
+        )
+        idx_ids = counts.filter(in_stratum).select(F.col("_id_").alias("_iid"))
+        q_side = buckets.select(F.col("_id").alias("id_q"), "band", "bh")
+        i_side = buckets.join(
+            idx_ids, F.col("_id") == F.col("_iid"), "left_semi"
+        ).select(F.col("_id").alias("id_i"), "band", "bh")
+        pairs = (
+            q_side.join(i_side, ["band", "bh"])
+            .filter(F.col("id_q") != F.col("id_i"))
+            .select("id_q", "id_i")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates().localCheckpoint(eager=True)
+
+    ids = (
+        cand.select(F.col("id_q").alias("_cid"))
+        .union(cand.select("id_i"))
+        .distinct()
+    )
+    sets = (
+        sh.join(ids, F.col("_id_") == F.col("_cid"), "left_semi")
+        .groupBy("_id_")
+        .agg(F.sort_array(F.collect_list("sh")).alias("_set"), F.count("*").alias("n"))
+        .localCheckpoint(eager=True)  # referenced by both join sides
+    )
+    a = sets.select(
+        F.col("_id_").alias("id_q"), F.col("_set").alias("_sq"), F.col("n").alias("nq")
+    )
+    b = sets.select(F.col("_id_").alias("id_i"), F.col("_set").alias("_si"))
+    inter = F.size(F.array_intersect(F.col("_sq"), F.col("_si"))).cast("double")
+    return (
+        cand.join(a, "id_q")
+        .join(b, "id_i")
+        .select(
+            F.col("id_q").alias("id_small"),
+            F.col("id_i").alias("id_big"),
+            (inter / F.col("nq")).alias("containment"),
+        )
+        .filter(F.col("containment") >= float(threshold))
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

@@ -978,6 +978,77 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _containment_ensemble_replay_sql(threshold: float = 0.8) -> str:
+    """Full DuckDB replay of containment_lsh_ensemble_pairs: shared
+    signature CTE, one banding CTE per stratum scheme, the size-gated
+    candidate union, and the directed containment verify."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        ENSEMBLE_STRATA,
+    )
+
+    band_ctes, cand_arms = [], []
+    for k, (lo, hi, bands, rows) in enumerate(ENSEMBLE_STRATA):
+        band_ctes.append(f"bands{k} AS (\n      {_band_cte_sql('sig', bands, rows)}\n    )")
+        size_pred = f"ci.n >= {lo}" if hi is None else f"ci.n >= {lo} AND ci.n < {hi}"
+        cand_arms.append(
+            f"""SELECT q.doc_id AS id_q, i.doc_id AS id_i
+      FROM bands{k} q
+      JOIN bands{k} i ON q.band = i.band AND q.bh = i.bh
+      JOIN counts ci ON i.doc_id = ci.doc_id
+      WHERE {size_pred} AND q.doc_id <> i.doc_id"""
+        )
+    bands_joined = ",\n    ".join(band_ctes)
+    arms_joined = "\n      UNION\n      ".join(cand_arms)
+    return f"""
+    WITH {_SHINGLE_CTES},{_HS_CTE},
+    {_sig_cte_sql()},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    {bands_joined},
+    cand AS (
+      {arms_joined}
+    ),
+    inter AS (
+      SELECT c.id_q, c.id_i, COUNT(*) AS novl
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.id_q
+      JOIN sh y ON y.doc_id = c.id_i AND y.shingle = x.shingle
+      GROUP BY c.id_q, c.id_i
+    )
+    SELECT i.id_q AS id_small, i.id_i AS id_big,
+           CAST(i.novl AS DOUBLE) / cq.n AS containment
+    FROM inter i JOIN counts cq ON i.id_q = cq.doc_id
+    WHERE CAST(i.novl AS DOUBLE) / cq.n >= {threshold}
+    """
+
+
+@query(
+    "dedup_containment_ensemble",
+    oracle=_containment_ensemble_replay_sql(threshold=0.8),
+    tags=("dedup", "containment", "approx", "lsh", "ensemble", "curation"),
+)
+def dedup_containment_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment search with SIZE-STRATIFIED banding (LSH Ensemble,
+    Zhu et al. VLDB'16 — operators/dedup.containment_lsh_ensemble_pairs):
+    the index partitions by shingle-set size and each stratum's banding
+    is tuned to the Jaccard a containment-qualified pair has against
+    sets THAT size (16x4 / 32x2 / 64x1 for small/medium/large), so the
+    extreme-size-ratio quotes dedup_containment_lsh's single global
+    banding misses become recallable.  tests/test_round9_ops.py pins
+    ensemble recall >= plain-LSH recall against the exact operator.
+
+    Full value-hash oracle: signatures, all three banding schemes, the
+    size-gated candidate union, and the directed verify replay from the
+    shared hash family."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_lsh_ensemble_pairs(
+        d, "doc_id", "text", num_hashes=64, shingle_k=3, threshold=0.8
+    )
+
+
 @query(
     "dedup_minhash_oph",
     oracle=_oph_replay_sql(threshold=0.5),

@@ -108,7 +108,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sink_bucketed_join",
     "sink_merge_upsert",
     "emb_gram_matrix",
-    "emb_label_centroids",
     # -- r3 displacement buffer: swapped out one-for-one as new r9
     #    queries register (a new query takes a slot immediately) --
     # -- new in r9 (a new query takes a slot immediately) --
@@ -117,6 +116,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_classifier2",
     "stream_ann_refresh",
     "dedup_containment_lsh",
+    "dedup_containment_ensemble",
 )
 
 

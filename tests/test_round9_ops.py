@@ -125,3 +125,68 @@ def test_containment_lsh_recall_vs_exact(spark, sf_dir) -> None:
     if exact:
         recall = len(banded_sub) / len(exact)
         assert recall >= 0.9, (recall, len(banded_sub), len(exact))
+
+
+def test_containment_ensemble_recalls_extreme_size_ratio(spark) -> None:
+    """The pair class that motivates LSH Ensemble: a 12-token document
+    quoted verbatim inside an ~90-token one has containment 1.0 but
+    Jaccard ~0.12 — the global 16x4 banding's candidate probability
+    there is ~16 * 0.12^4 ~ 0.003 (and deterministically zero on this
+    corpus), while the large stratum's 64x1 scheme fires with
+    probability ~1 - 0.88^64 ~ 1.  Plain LSH must MISS the planted
+    pair; the ensemble must find it with containment exactly 1.0."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+        containment_lsh_pairs,
+    )
+
+    small = " ".join(f"tok{i}" for i in range(12))
+    big = small + " " + " ".join(f"filler{i}" for i in range(80))
+    decoys = [
+        (100 + j, " ".join(f"d{j}w{i}" for i in range(20))) for j in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(1, small), (2, big)] + decoys, "doc_id long, text string"
+    )
+    plain = {
+        (r.id_small, r.id_big)
+        for r in containment_lsh_pairs(df, "doc_id", "text").collect()
+    }
+    ens = {
+        (r.id_small, r.id_big, r.containment)
+        for r in containment_lsh_ensemble_pairs(df, "doc_id", "text").collect()
+    }
+    assert (1, 2) not in plain  # the documented global-banding miss
+    assert (1, 2, 1.0) in ens
+
+
+def test_containment_ensemble_dominates_plain_on_fixtures(spark, sf_dir) -> None:
+    """On the registry corpus the ensemble must be exact-verified
+    (subset of the exact answer) and recall at least what the plain
+    banding recalls — strictly more whenever a low-Jaccard containment
+    pair exists."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    specs = all_specs()
+    exact = {
+        (r.id_small, r.id_big)
+        for r in specs["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    sub = (F.col("id_small") < 600) & (F.col("id_big") < 600)
+    plain = {
+        (r.id_small, r.id_big)
+        for r in specs["dedup_containment_lsh"].fn(spark, sf_dir).filter(sub).collect()
+    }
+    ens = {
+        (r.id_small, r.id_big)
+        for r in specs["dedup_containment_ensemble"]
+        .fn(spark, sf_dir)
+        .filter(sub)
+        .collect()
+    }
+    assert ens <= exact, ens - exact
+    assert len(ens & exact) >= len(plain & exact)
