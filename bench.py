@@ -154,6 +154,14 @@ def main() -> None:
     attempts: list[dict] = []
     while True:
         remaining = retry_cap - (time.monotonic() - started)
+        # The cap bounds attempt STARTS, not total runtime: an attempt
+        # begun just inside the cap still runs its full suite (~2 min at
+        # sf0.1), so wall-clock can exceed retry_cap by at most one
+        # suite duration.  Never begin a FOLLOW-UP attempt past the cap
+        # (the first attempt always runs — the driver expects exactly
+        # one artifact).
+        if attempts and remaining <= 0.0:
+            break
         idle = wait_for_idle_host(min(per_wait, max(0.0, remaining)))
         attempt = {**run_suite(spark, specs, sf_dir), **idle}
         attempts.append(attempt)

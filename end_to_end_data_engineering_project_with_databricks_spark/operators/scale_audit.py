@@ -497,7 +497,7 @@ def decontaminate_growth_stats(
 
     if fixed_eval:
         is_eval = (F.col(id_col) % k_reps == 0) & (
-            (F.col(id_col) / k_reps).cast("long") % eval_mod == 0
+            F.expr(f"({id_col} div {k_reps}) % {eval_mod}") == 0
         )
     else:
         is_eval = F.col(id_col) % eval_mod == 0

@@ -62,9 +62,13 @@ def _delta_table(spark: SparkSession, root: str):
     return DeltaTable.forPath(spark, root)
 
 
-#: Java's ZoneId.SHORT_IDS (JDK spec, fixed 13-entry table): Spark
+#: Java's ZoneId.SHORT_IDS (JDK spec, fixed 28-entry table): Spark
 #: accepts these for spark.sql.session.timeZone but Python zoneinfo has
-#: no entries for most of them.
+#: no entries for most of them.  EST/MST/HST are FIXED OFFSETS in Java
+#: (ZoneId.of resolves them to -05:00/-07:00/-10:00, never observing
+#: DST) — mapping them to region zones would render a DST-shifted
+#: wall-clock half the year; the offset strings below are parsed by the
+#: numeric-offset fallback in :func:`_timestamp_as_of`.
 _JAVA_SHORT_IDS = {
     "ACT": "Australia/Darwin", "AET": "Australia/Sydney",
     "AGT": "America/Argentina/Buenos_Aires", "ART": "Africa/Cairo",
@@ -76,8 +80,8 @@ _JAVA_SHORT_IDS = {
     "NET": "Asia/Yerevan", "NST": "Pacific/Auckland", "PLT": "Asia/Karachi",
     "PNT": "America/Phoenix", "PRT": "America/Puerto_Rico",
     "PST": "America/Los_Angeles", "SST": "Pacific/Guadalcanal",
-    "VST": "Asia/Ho_Chi_Minh", "EST": "America/New_York",
-    "MST": "America/Denver", "HST": "Pacific/Honolulu",
+    "VST": "Asia/Ho_Chi_Minh", "EST": "-05:00",
+    "MST": "-07:00", "HST": "-10:00",
 }
 
 
@@ -109,13 +113,14 @@ def _timestamp_as_of(epoch: float, session_tz: str) -> str:
     session zone."""
     import re
 
+    zone_id = _JAVA_SHORT_IDS.get(session_tz, session_tz)
     try:
         from zoneinfo import ZoneInfo
 
-        tz: _dt.tzinfo = ZoneInfo(_JAVA_SHORT_IDS.get(session_tz, session_tz))
+        tz: _dt.tzinfo = ZoneInfo(zone_id)
     except Exception:
         m = re.fullmatch(
-            r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", session_tz.strip()
+            r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", zone_id.strip()
         )
         if m:
             sign = 1 if m.group(1) == "+" else -1

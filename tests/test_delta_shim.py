@@ -84,6 +84,11 @@ def test_timestamp_as_of_uses_session_timezone() -> None:
     assert D._timestamp_as_of(epoch, "PST") == "2024-08-15 06:00:00.250000-07:00"
     assert D._timestamp_as_of(epoch, "JST") == "2024-08-15 22:00:00.250000+09:00"
     assert D._timestamp_as_of(epoch, "IST") == "2024-08-15 18:30:00.250000+05:30"
+    # EST/MST/HST are FIXED offsets in Java's ZoneId.of (never DST):
+    # an August instant must still render at -05:00, not EDT's -04:00
+    assert D._timestamp_as_of(epoch, "EST") == "2024-08-15 08:00:00.250000-05:00"
+    assert D._timestamp_as_of(epoch, "MST") == "2024-08-15 06:00:00.250000-07:00"
+    assert D._timestamp_as_of(epoch, "HST") == "2024-08-15 03:00:00.250000-10:00"
     # fixed-offset ids Spark accepts but zoneinfo rejects
     assert (
         D._timestamp_as_of(epoch, "GMT+08:00")

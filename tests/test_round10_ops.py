@@ -1,0 +1,55 @@
+"""Round-10 operator tests.
+
+Covers the r10 additions plus regression pins for the round's ADVICE
+items (delta_shim fixed-offset SHORT_IDS live in test_delta_shim.py;
+the scale-audit integer-div change is covered by test_scale_growth's
+existing decontamination run).
+"""
+
+from __future__ import annotations
+
+from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+    containment_lsh_ensemble_pairs,
+    containment_lsh_pairs,
+    lsh_band_buckets,
+    minhash_signatures,
+)
+
+
+def test_shingleless_docs_never_reach_banding(spark) -> None:
+    """ADVICE r9 claimed sub-``shingle_k``-token documents get all-NULL
+    signatures and collide in every band bucket.  They do not:
+    ``_hashed_shingle_docs`` filters ``size(tokens) >= shingle_k``
+    BEFORE signing, so such documents produce no signature row, no band
+    bucket, and no candidate — on the Spark side exactly as in the
+    DuckDB oracle.  This pins that invariant (the quadratic
+    empty-signature bucket the ADVICE worried about can never form)."""
+    df = spark.createDataFrame(
+        [
+            (1, "one two"),  # 2 tokens < k=3 -> no shingles
+            (2, "solo"),
+            (3, ""),
+            (4, None),
+            (5, "alpha beta gamma delta"),
+            (6, "alpha beta gamma delta epsilon"),
+        ],
+        "id long, text string",
+    )
+    sigs = minhash_signatures(df, "id", "text", num_hashes=8, shingle_k=3)
+    sig_rows = sigs.collect()
+    assert sorted(r["id"] for r in sig_rows) == [5, 6]
+    assert all(v is not None for r in sig_rows for v in r["sig"])
+    buckets = lsh_band_buckets(sigs, "id", bands=4, rows_per_band=2)
+    assert sorted(set(r["_id"] for r in buckets.collect())) == [5, 6]
+
+    # end-to-end: both containment paths emit only the real pair, in
+    # both directions where containment clears the threshold
+    pairs = containment_lsh_pairs(
+        df, "id", "text", num_hashes=8, bands=4, shingle_k=3, threshold=0.5
+    ).collect()
+    assert {(r["id_small"], r["id_big"]) for r in pairs} == {(5, 6), (6, 5)}
+    # ensemble strata slice up to 64 signature elements -> default hashes
+    ens = containment_lsh_ensemble_pairs(
+        df, "id", "text", shingle_k=3, threshold=0.99
+    ).collect()
+    assert {(r["id_small"], r["id_big"]) for r in ens} == {(5, 6)}
