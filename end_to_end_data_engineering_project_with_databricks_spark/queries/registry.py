@@ -48,16 +48,15 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-9 rotation (VERDICT r8 item 1) ========
-    # Freshness-completion round: re-attest the 19 remaining r2-stale
-    # rows (the full list VERDICT r8 item 1 names), then fill the
-    # remaining slots oldest-r3-row-first, churn-prioritized (dedup/
-    # sim/text/mm/stream modules churned most in r8-r9).  After this
-    # round no registered query's latest driver row is older than r3.
-    # New r9 queries take slots immediately per the standing rule,
-    # displacing the least-churned r3 rows at the tail.  Families with
-    # no slot (audit_/profile_, sample_) are 100% driver-attested
-    # r4-r7 (family test enforces exactly that).
+    # ======== round-10 rotation (VERDICT r9 item 2) ========
+    # Freshness program: after r9 no driver row is older than r3
+    # (17 r3 rows + 39 r4 rows remain stale).  This window re-attests
+    # ALL 17 r3 rows plus the 28 highest-churn r4 rows (dedup/agg/text/
+    # emb/events/graph/stream/sink/source families — the modules r9-r10
+    # touched most); the 11 deferred r4 rows (ids_/mm_bmp/pandas_/
+    # pipeline_declarative/pack/sample_/sql_identifier/sql_scalar_udf)
+    # rotate in r11.  New r10 queries take slots immediately per the
+    # standing rule, displacing the r4 tail one-for-one.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -66,57 +65,53 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- oldest-first re-attestation: latest driver row = r2 (all 19) --
-    "agg_grouping_sets",
-    "date_functions",
-    "emb_norm_stats",
-    "explode_tokens",
-    "filter_predicates",
-    "pandas_scalar_token_count",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "set_union_all_parties",
-    "sink_partitioned_pruning",
-    "sink_versioned_changes",
-    "source_corrupt_records",
-    "source_csv_roundtrip",
-    "sql_recursive_date_spine",
-    "string_functions",
-    "topk_per_group",
-    "window_range_frame",
-    # -- oldest-first re-attestation: latest driver row = r3,
-    #    highest-churn families first --
-    "dedup_connected_components",
-    "dedup_embedding_cosine",
-    "dedup_entity_resolution_blocked",
-    "text_decontaminate_ngram",
-    "text_language_id",
-    "text_token_stats",
-    "sim_topk_bruteforce",
-    "mm_ahash_neardup",
-    "mm_binary_metadata",
-    "mm_frame_sample",
-    "pipeline_image_dedup",
-    "stream_image_ingest",
-    "stream_session_windows",
-    "stream_stateful_user_counts",
-    "stream_tumbling_counts",
-    "source_versioned_stream",
-    "matview_incremental_refresh",
-    "sink_bucketed_join",
-    "sink_merge_upsert",
-    "emb_gram_matrix",
-    # -- r3 displacement buffer: swapped out one-for-one as new r9
-    #    queries register (a new query takes a slot immediately) --
-    # -- new in r9 (a new query takes a slot immediately) --
-    "sim_hnsw_recall_audit",
-    "text_bpe_iterative_deep",
-    "text_quality_classifier2",
-    "stream_ann_refresh",
-    "dedup_containment_lsh",
-    "dedup_containment_ensemble",
+    # -- oldest-first re-attestation: latest driver row = r3 (all 17) --
+    "agg_exact_corr_regression",
+    "emb_label_centroids",
+    "events_asof_purchase_click",
+    "events_forward_fill",
+    "events_hierarchical_rollup",
+    "events_sessionize",
+    "events_sliding_windows",
+    "events_tumbling_counts",
+    "json_functions",
+    "sink_versioned_vacuum_travel",
+    "sink_versioned_zorder_skipping",
+    "source_orc_roundtrip",
+    "source_text_wordcount",
+    "sql_lateral_topk_per_group",
+    "sql_listagg_nations",
+    "sql_variant_extraction",
+    "udtf_parse_delimited_dynamic",
+    # -- latest driver row = r4, highest-churn families first --
+    "dedup_cluster_canonical",
+    "dedup_containment",
+    "dedup_cross_source_leakage",
+    "agg_bitmap_exact_distinct",
+    "agg_heavy_hitter_tokens",
+    "agg_histogram_width_bucket",
+    "agg_percentile_disc",
+    "text_bm25_search",
+    "text_bpe_pair_merges",
+    "text_chunk_dedup_rewrite",
+    "text_pmi_collocations",
+    "text_repetition_filter",
+    "text_zipf_token_share",
+    "emb_int8_quantization",
+    "emb_minmax_scaling",
+    "events_funnel",
+    "events_gap_detection",
+    "graph_pagerank_fixed_point",
+    "graph_triangle_count",
+    "stream_matview_pipeline",
+    "stream_multibatch_tumbling",
+    "sink_dynamic_partition_overwrite",
+    "sink_versioned_schema_evolution",
+    "source_jsonlines_roundtrip",
+    "source_python_datasource_stream",
+    "higher_order_functions",
+    "map_functions",
+    "udtf_table_arg_user_stats",
 )
 
 
