@@ -1724,3 +1724,124 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml MinHashLSH interop twin (round 10, VERDICT r9 item 5) — the
+# stock ML path (HashingTF -> MinHashLSH -> approxSimilarityJoin) audited
+# against the exact PPJoin truth set, proving the engine interoperates
+# with Spark's built-in LSH, not just its own md5-60 hash family.
+# ---------------------------------------------------------------------------
+
+_ML_TRUTH_ORACLE = f"""
+    WITH {_SHINGLE_CTES},
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+      SELECT p.id_a, p.id_b
+      FROM pairs p
+      JOIN counts ca ON p.id_a = ca.doc_id
+      JOIN counts cb ON p.id_b = cb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / (ca.n + cb.n - p.inter) >= 0.5
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+           TRUE AS recall_ok, TRUE AS subset_ok, TRUE AS nonempty_ok
+    FROM truth
+    """
+
+
+@query(
+    "dedup_minhash_ml",
+    oracle=_ML_TRUTH_ORACLE,
+    tags=("dedup", "approx", "ml", "audit"),
+)
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair search through the STOCK pyspark.ml LSH path —
+    ``HashingTF`` (murmur3 feature hashing, binary) over the same
+    distinct-3-gram shingle sets as the hand-rolled ladder, then
+    ``MinHashLSH.approxSimilarityJoin`` at Jaccard distance <= 0.5 —
+    audited against the exact PPJoin truth set
+    (operators/dedup.jaccard_prefix_filter_pairs, threshold 0.5).
+    SURVEY §2.3 names this the standard Spark dedup recipe; the ladder
+    deliberately hand-rolls its hash family for DuckDB oracle-ability,
+    and this query proves both paths agree on the answer.
+
+    BOUNDED-CHECK oracle, not a value replay: DuckDB cannot replay
+    murmur3 HashingTF or the ML MinHash coefficients, and the interop
+    point is precisely that the hash family is NOT ours.  The row emits
+    the exact truth-pair count (fully replayed) plus three booleans —
+    recall >= 0.9 of truth (fixed seed, 8 OR-ed hash tables: P(candidate)
+    = 1-(1-J)^8 >= 0.996 at J=0.5, ~1.0 on the fixtures' near-dup
+    profile), every emitted pair exact-Jaccard >= 0.47 (subset property;
+    the 0.03 margin absorbs HashingTF feature collisions, which perturb
+    the hashed-set Jaccard approxSimilarityJoin filters on away from the
+    true shingle Jaccard), and non-emptiness (guards a vacuous subset).
+    Determinism: HashingTF's murmur3 seed and MinHashLSH(seed=42) are
+    fixed, so the emitted pair set — hence every boolean — is identical
+    run to run (verified; cf. the randomized-KLL contrast in
+    agg_quantile_sketch).
+
+    100 TB shape: approxSimilarityJoin explodes each document to its 8
+    (table, minhash) keys and self-equi-joins — the same banded-join
+    physique as the hand-rolled path (exponent 1.000 in docs/SCALE.md),
+    with the exact-distance filter running on candidates only.  The
+    audit adds the truth pipeline (audited PPJoin plan) and two
+    pair-key joins + a 1-row aggregate, nothing quadratic."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        jaccard_verify,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(F.col("doc_id"), shingles("text", 3).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    feat = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 20, binary=True
+    ).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    emitted = (
+        model.approxSimilarityJoin(feat, feat, 0.5, distCol="jd")
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .localCheckpoint(eager=True)  # referenced by 2 joins below
+    )
+    truth = jaccard_prefix_filter_pairs(d, "doc_id", "text", threshold=0.5, k=3)
+    ver = jaccard_verify(emitted, d, "doc_id", "text", 3, threshold=0.47).select(
+        "id_a", "id_b", F.lit(1).alias("in_ver")
+    )
+    m = (
+        truth.select("id_a", "id_b", F.lit(1).alias("in_truth"))
+        .join(emitted.withColumn("in_em", F.lit(1)), ["id_a", "id_b"], "full")
+        .join(ver, ["id_a", "id_b"], "left")
+        .select(
+            F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+            F.coalesce("in_em", F.lit(0)).alias("in_em"),
+            F.coalesce("in_ver", F.lit(0)).alias("in_ver"),
+        )
+    )
+    return (
+        m.agg(
+            F.sum("in_truth").alias("n_truth"),
+            F.sum("in_em").alias("n_em"),
+            F.sum(F.expr("in_truth * in_em")).alias("tp"),
+            F.sum(F.expr("in_em * in_ver")).alias("n_ver"),
+        )
+        .select(
+            F.col("n_truth").cast("bigint").alias("n_truth"),
+            (F.expr("10 * tp") >= F.expr("9 * n_truth")).alias("recall_ok"),
+            (F.col("n_ver") == F.col("n_em")).alias("subset_ok"),
+            (F.col("n_em") >= 1).alias("nonempty_ok"),
+        )
+    )

@@ -110,8 +110,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "source_jsonlines_roundtrip",
     "source_python_datasource_stream",
     "higher_order_functions",
-    "map_functions",
-    "udtf_table_arg_user_stats",
+    # -- new in r10 (a new query takes a slot immediately, displacing
+    #    the r4 tail one-for-one; displaced rows join the r11 backlog) --
+    "agg_quantile_sketch",
+    "dedup_minhash_ml",
 )
 
 

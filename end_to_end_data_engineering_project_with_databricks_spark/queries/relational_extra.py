@@ -744,6 +744,100 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_quantile_sketch",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_disc(o_totalprice, 0.50) AS p50_disc, TRUE AS p50_ok,
+           quantile_disc(o_totalprice, 0.90) AS p90_disc, TRUE AS p90_ok,
+           TRUE AS n_ok
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+           quantile_disc(o_totalprice, 0.50), TRUE,
+           quantile_disc(o_totalprice, 0.90), TRUE, TRUE
+    FROM orders
+    """,
+    tags=("agg", "percentile", "approx", "sketch"),
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KLL quantile sketches (Karnin-Lang-Liberty, FOCS'16;
+    Spark 4's DataSketches ``kll_sketch_agg_double`` family): p50/p90
+    of order totals per status, plus an 'ALL' row whose quantiles come
+    from MERGING the per-group sketches with ``kll_merge_agg_double`` —
+    not from re-scanning the data.  The quantile counterpart of
+    agg_hll_sketch_union: at 100 TB a length-distribution gate (e.g.
+    "drop documents above the corpus p99 token count") needs per-
+    partition quantile state that rolls up across partitions, shards,
+    and time windows with FIXED size; exact percentile_disc must sort
+    each group, and agg_approx_percentile's t-digest, while mergeable
+    inside one aggregate, exposes no sketch value to carry across
+    rollup levels.  KLL state is O(k log(n/k)) with a worst-case rank
+    error guarantee (~0.56% at k=800, 99% confidence).
+
+    HASH-CHECKABLE via the bounded-check pattern: KLL compaction is
+    RANDOMIZED (verified: back-to-back runs return different estimates),
+    so raw estimates can never be hash-compared.  Each row emits the
+    exact discrete percentile plus booleans — the estimate must land
+    inside the exact +/-3%-rank window (>5x the sketch's k=800 bound,
+    so the booleans are stable TRUE unless the sketch is broken), and
+    ``kll_sketch_get_n_double(sk) == COUNT(*)`` — exact and
+    deterministic: KLL tracks the total item count losslessly, so a
+    merged sketch whose n is the full table count PROVES no partition's
+    partial state was dropped on the rollup path.  (The rank-query API
+    ``kll_sketch_get_rank_double`` takes only foldable quantile
+    literals in Spark 4.1, so the inverse check is not expressible
+    per-group.)  The merged-ALL row proves union correctness, not just
+    per-group sketching (cf. reference ETL_pipeline_countries.py:129-138, whose
+    gold-table rollups this engine generalizes)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH per_status AS (
+          SELECT o_orderstatus,
+                 COUNT(*) AS n_orders,
+                 kll_sketch_agg_double(o_totalprice, 800) AS sk,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+                 percentile_disc(0.47) WITHIN GROUP (ORDER BY o_totalprice) AS p50_lo,
+                 percentile_disc(0.53) WITHIN GROUP (ORDER BY o_totalprice) AS p50_hi,
+                 percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
+                 percentile_disc(0.87) WITHIN GROUP (ORDER BY o_totalprice) AS p90_lo,
+                 percentile_disc(0.93) WITHIN GROUP (ORDER BY o_totalprice) AS p90_hi
+          FROM orders GROUP BY o_orderstatus
+        ),
+        rows_out AS (
+          SELECT o_orderstatus, n_orders, sk,
+                 p50_disc, p50_lo, p50_hi, p90_disc, p90_lo, p90_hi
+          FROM per_status
+          UNION ALL
+          SELECT 'ALL', (SELECT COUNT(*) FROM orders),
+                 kll_merge_agg_double(sk),
+                 (SELECT percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
+                 (SELECT percentile_disc(0.47) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
+                 (SELECT percentile_disc(0.53) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
+                 (SELECT percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
+                 (SELECT percentile_disc(0.87) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
+                 (SELECT percentile_disc(0.93) WITHIN GROUP (ORDER BY o_totalprice) FROM orders)
+          FROM per_status
+        )
+        SELECT o_orderstatus, n_orders,
+               p50_disc,
+               kll_sketch_get_quantile_double(sk, 0.50)
+                 BETWEEN p50_lo AND p50_hi AS p50_ok,
+               p90_disc,
+               kll_sketch_get_quantile_double(sk, 0.90)
+                 BETWEEN p90_lo AND p90_hi AS p90_ok,
+               kll_sketch_get_n_double(sk) = n_orders AS n_ok
+        FROM rows_out
+        """
+    )
+
+
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
