@@ -22,7 +22,15 @@ Methodology:
 - the bench-flagged headline set is PINNED to the round-1 composition
   (12 queries spanning TPC-H agg/join, dedup exact+LSH, similarity,
   text, curation pipeline, and events windows) so `value` is comparable
-  round-over-round; widening the set would read as a perf regression.
+  round-over-round; widening the set would read as a perf regression;
+- TRACKING tier (round 10, VERDICT r9 item 6): the heaviest r7-r9
+  operators post-date the pinned set, so regressions in them were
+  invisible between rounds.  Each attempt additionally times the
+  TRACKING_QUERIES best-of-3 (same session, same idle gate, run AFTER
+  the headline passes so they cannot contaminate headline timings).
+  Tracking timings are reported under `tracking` and are EXCLUDED from
+  `value` and from round-over-round comparison until 3 rounds of
+  history exist (first artifact: BENCH_r10).
 """
 
 from __future__ import annotations
@@ -86,7 +94,17 @@ def wait_for_idle_host(max_wait_sec: float) -> dict:
     }
 
 
-def run_suite(spark, specs, sf_dir: str) -> dict:
+#: Non-headline tracking tier: the heaviest post-r1 operators, timed
+#: per attempt but never folded into `value` (see module docstring).
+TRACKING_QUERIES = (
+    "sim_hnsw_search",
+    "dedup_containment_ensemble",
+    "text_bpe_iterative_deep",
+    "stream_ann_refresh",
+)
+
+
+def run_suite(spark, specs, sf_dir: str, tracking_specs=()) -> dict:
     """One full interleaved best-of-5 pass over the headline set.
     Returns the per-attempt measurement dict (timings, raw runs,
     per-pass loadavgs)."""
@@ -119,11 +137,24 @@ def run_suite(spark, specs, sf_dir: str) -> dict:
             df.write.mode("overwrite").format("noop").save()
             all_runs[spec.name].append(round(time.perf_counter() - t0, 4))
     timings = {name: min(runs) for name, runs in all_runs.items()}
+    # tracking tier AFTER all headline passes (a heavy tracking query
+    # mid-pass would contaminate headline steady-state runs); best-of-3
+    # interleaved — these queries are 1.5-8 s each, so 3 runs reach the
+    # C2 steady state the 12-query set needs 5 for
+    tracking_runs: dict[str, list[float]] = {s.name: [] for s in tracking_specs}
+    for _pass in range(3):
+        for spec in tracking_specs:
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            tracking_runs[spec.name].append(round(time.perf_counter() - t0, 4))
     return {
         "value": round(sum(timings.values()), 4),
         "queries": timings,
         "runs": all_runs,
         "loadavg_1m_per_pass": loadavg_per_pass,
+        "tracking": {n: min(r) for n, r in tracking_runs.items()},
+        "tracking_runs": tracking_runs,
     }
 
 
@@ -144,7 +175,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     pin_session_conf(spark)
-    specs = [s for s in all_specs().values() if s.bench]
+    registry = all_specs()
+    specs = [s for s in registry.values() if s.bench]
+    tracking_specs = [registry[n] for n in TRACKING_QUERIES]
 
     # warm-up: JVM, codegen, parquet footer reads — not billed to any query
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
@@ -163,7 +196,7 @@ def main() -> None:
         if attempts and remaining <= 0.0:
             break
         idle = wait_for_idle_host(min(per_wait, max(0.0, remaining)))
-        attempt = {**run_suite(spark, specs, sf_dir), **idle}
+        attempt = {**run_suite(spark, specs, sf_dir, tracking_specs), **idle}
         attempts.append(attempt)
         # pace the ContextCleaner between attempts: repeated suite
         # passes accumulate localCheckpoint blocks that are only
@@ -187,6 +220,12 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_from_dir(sf_dir),
                 **best,
+                "tracking_note": (
+                    "tracking tier (non-headline): best-of-3 per attempt, "
+                    "run after the headline passes; EXCLUDED from `value` "
+                    "and from round-over-round comparison until 3 rounds "
+                    "of history exist (first artifact: BENCH_r10)"
+                ),
                 "attempts": len(attempts),
                 "attempt_summaries": [
                     {

@@ -599,3 +599,131 @@ def containment_growth_stats(
         "candidate_join_rows": int(row["join_rows"] or 0),
         "verified_pairs": verified,
     }
+
+
+# ---------------------------------------------------------------------------
+# Round-10 extension (VERDICT r9 item 3): the two r9 operator families
+# the audit did not yet cover — the LSH-Ensemble size strata and the
+# HNSW beam walk.
+# ---------------------------------------------------------------------------
+
+
+def ensemble_growth_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> dict:
+    """Per-stratum candidate volume for the LSH-Ensemble containment
+    search (operators/dedup.containment_lsh_ensemble_pairs): every
+    query probes every stratum under that stratum's (bands, rows) —
+    candidate rows per stratum = the (band, bh) bucket join of the FULL
+    query side against the stratum-semi-filtered index side.  The size
+    strata are the knob: replica tagging preserves each document's
+    shingle COUNT (tokens are suffixed, never added), so stratum
+    membership is replica-invariant and each stratum's index grows
+    exactly k-fold — any super-linear candidate growth would be the
+    banding's, not the data's.  Stats mirror lsh_growth_stats: per-
+    stratum join rows + max index-side bucket occupancy (the skew
+    hazard), plus the deduped union the verify actually pays."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        ENSEMBLE_STRATA,
+        lsh_band_buckets,
+        minhash_signatures,
+        shingles,
+    )
+
+    sigs = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_k
+    ).localCheckpoint(eager=True)
+    counts = (
+        scale_out(docs)
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.explode(shingles(text_col, shingle_k)).alias("sh"),
+        )
+        .groupBy("_id_")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    per_stratum: dict[str, dict] = {}
+    cand = None
+    for lo, hi, bands, rows_per_band in ENSEMBLE_STRATA:
+        buckets = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
+        in_stratum = F.col("n") >= lo if hi is None else (
+            (F.col("n") >= lo) & (F.col("n") < hi)
+        )
+        idx_ids = counts.filter(in_stratum).select(F.col("_id_").alias("_iid"))
+        i_side = buckets.join(
+            idx_ids, F.col("_id") == F.col("_iid"), "left_semi"
+        )
+        i_occ = i_side.groupBy("band", "bh").agg(F.count("*").alias("iocc"))
+        q_occ = buckets.groupBy("band", "bh").agg(F.count("*").alias("qocc"))
+        row = (
+            q_occ.join(i_occ, ["band", "bh"])
+            .agg(
+                # every (q, i) bucket pairing the join emits, minus the
+                # self pairs (an index doc always shares its own bucket
+                # on the query side) — exactly the id_q != id_i volume
+                F.sum(F.col("qocc") * F.col("iocc")).alias("join_rows"),
+                F.max("iocc").alias("max_bucket"),
+            )
+            .collect()[0]
+        )
+        n_idx = idx_ids.count()
+        label = f"{lo}-{hi if hi is not None else 'inf'}@{bands}x{rows_per_band}"
+        per_stratum[label] = {
+            "n_index_docs": n_idx,
+            "candidate_join_rows": int(row["join_rows"] or 0) - n_idx * bands,
+            "max_index_bucket": int(row["max_bucket"] or 0),
+        }
+        pairs = (
+            buckets.select(F.col("_id").alias("id_q"), "band", "bh")
+            .join(
+                i_side.select(F.col("_id").alias("id_i"), "band", "bh"),
+                ["band", "bh"],
+            )
+            .filter(F.col("id_q") != F.col("id_i"))
+            .select("id_q", "id_i")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    return {
+        "n_docs": docs.count(),
+        "per_stratum": per_stratum,
+        "summed_candidate_rows": sum(
+            s["candidate_join_rows"] for s in per_stratum.values()
+        ),
+        "distinct_candidates": cand.dropDuplicates().count(),
+    }
+
+
+def hnsw_growth_stats(
+    spark,
+    emb: DataFrame,
+    n_cells: int = 16,
+) -> dict:
+    """Walk-cost stats for the HNSW beam search
+    (queries/similarity._hnsw_topk): per-hop deduped candidate rows
+    (what the walk scores — the claim is O(|Q| * beam * (degree +
+    n_cells)) per hop, CORPUS-SIZE-INDEPENDENT for a fixed query set
+    and fixed knob) and the final refine rows (the beam's <= 2 distinct
+    cells' full membership — corpus/n_cells per cell, so linear in N at
+    fixed knob and FLAT under the scaled-knob protocol n_cells ~ N,
+    the nprobe regime sim_ivf_topk documents).  Both regimes are
+    measured in tests/test_scale_growth.py; docs/SCALE.md carries the
+    table."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
+        _hnsw_topk,
+    )
+
+    stats: dict = {}
+    # the walk's result is materialized only through the stat counts
+    _hnsw_topk(spark, sf_dir="", emb=emb, n_cells=n_cells, walk_stats=stats)
+    return {
+        "n_vecs": emb.count(),
+        "n_cells": n_cells,
+        "hop_candidate_rows": stats["hop_candidate_rows"],
+        "total_hop_candidates": sum(stats["hop_candidate_rows"]),
+        "refine_rows": stats["refine_rows"],
+    }

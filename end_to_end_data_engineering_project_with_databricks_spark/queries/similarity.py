@@ -1249,10 +1249,23 @@ def _hnsw_recall_oracle() -> str:
     """
 
 
-def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnsw_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    emb: DataFrame | None = None,
+    n_cells: int = 16,
+    walk_stats: dict | None = None,
+) -> DataFrame:
     """The shared HNSW pipeline behind sim_hnsw_search and
     sim_hnsw_recall_audit — see sim_hnsw_search's docstring for the
-    algorithm and scale analysis."""
+    algorithm and scale analysis.
+
+    ``emb``/``n_cells``/``walk_stats`` exist for the scale-growth audit
+    (operators/scale_audit.hnsw_growth_stats): an injected corpus
+    replaces the fixture table, and when ``walk_stats`` is a dict the
+    per-hop deduped candidate row counts and the final refine row count
+    are recorded into it (each a counting action — never used on the
+    registry-query path, where all three keep their defaults)."""
     from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
         cosine_similarity,
     )
@@ -1262,8 +1275,8 @@ def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    e = load_table(spark, sf_dir, "embeddings")
-    cent = deterministic_centroids(e, 16)
+    e = emb if emb is not None else load_table(spark, sf_dir, "embeddings")
+    cent = deterministic_centroids(e, n_cells)
     assigned = ivf_assign(e, cent).localCheckpoint(eager=True)
     layer1 = assigned.filter(F.col("vec_id") % _HNSW_SPARSITY == 0)
 
@@ -1328,6 +1341,8 @@ def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             # slots, so candidates dedup on (query, node) first
             .dropDuplicates(["query_id", "node_id"])
         )
+        if walk_stats is not None:
+            walk_stats.setdefault("hop_candidate_rows", []).append(cand.count())
         cur = (
             cand.withColumn("hscore", cosine_similarity("q_vec", "node_vec"))
             .withColumn("rn", F.row_number().over(wq))
@@ -1344,6 +1359,8 @@ def _hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = assigned.select(
         F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("m_vec"), "cell_id"
     )
+    if walk_stats is not None:
+        walk_stats["refine_rows"] = final.join(members, "cell_id").count()
     wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("nbr_id"))
     return (
         final.join(members, "cell_id")

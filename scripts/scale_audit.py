@@ -24,7 +24,9 @@ from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_a
     blocked_er_growth_stats,
     containment_growth_stats,
     decontaminate_growth_stats,
+    ensemble_growth_stats,
     growth_exponent,
+    hnsw_growth_stats,
     interval_join_growth_stats,
     ivf_growth_stats,
     lsh_growth_stats,
@@ -172,6 +174,27 @@ def main() -> None:
         s = containment_growth_stats(rd)
         record("containment_shingle_join", k, s["n_docs"],
                s["candidate_join_rows"], s, time.time() - t0)
+
+        # -- round-10 extension (VERDICT r9 item 3) --
+        t0 = time.time()
+        s = ensemble_growth_stats(rd)
+        record("containment_ensemble_strata", k, s["n_docs"],
+               s["summed_candidate_rows"], s, time.time() - t0)
+
+        # HNSW walk, fixed knob: per-hop scored candidates must be flat
+        # (|Q| x beam x (degree + n_cells) per hop); refine grows as
+        # corpus/n_cells — the documented counter-curve
+        t0 = time.time()
+        s = hnsw_growth_stats(spark, re_, n_cells=16)
+        record("hnsw_walk_fixed_16_cells", k, s["n_vecs"],
+               s["total_hop_candidates"], s, time.time() - t0)
+
+        # HNSW, scaled knob (n_cells ~ N): refine flattens, the walk
+        # picks up the O(n_cells) hub term — the IVF nprobe trade
+        t0 = time.time()
+        s = hnsw_growth_stats(spark, re_, n_cells=16 * k)
+        record("hnsw_refine_scaled_cells", k, s["n_vecs"],
+               s["refine_rows"], s, time.time() - t0)
 
     summary = {
         op: round(growth_exponent(pts), 3) for op, pts in curves.items()
