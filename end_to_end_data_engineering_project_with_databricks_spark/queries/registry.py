@@ -109,11 +109,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sink_versioned_schema_evolution",
     "source_jsonlines_roundtrip",
     "source_python_datasource_stream",
-    "higher_order_functions",
     # -- new in r10 (a new query takes a slot immediately, displacing
     #    the r4 tail one-for-one; displaced rows join the r11 backlog) --
     "agg_quantile_sketch",
     "dedup_minhash_ml",
+    "agg_theta_sketch_setops",
 )
 
 

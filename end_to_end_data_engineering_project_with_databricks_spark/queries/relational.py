@@ -443,6 +443,92 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_theta_sketch_setops",
+    oracle="""
+    WITH sets AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f,
+             MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_o
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_union, TRUE AS union_ok,
+           CAST(SUM(in_f * in_o) AS BIGINT) AS n_inter, TRUE AS inter_ok,
+           CAST(SUM(in_f * (1 - in_o)) AS BIGINT) AS n_f_only, TRUE AS diff_ok
+    FROM sets
+    """,
+    tags=("agg", "approx", "sketch"),
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA (Spark 4's DataSketches theta family):
+    distinct-customer UNION, INTERSECTION, and DIFFERENCE across the
+    'F' and 'O' order-status audiences, estimated from two fixed-size
+    mergeable sketches — never from the key sets.  This is the
+    capability HLL (agg_hll_sketch_union) cannot express: HLL unions
+    only; theta sketches carry enough sample structure for A∩B and A\\B
+    — at 100 TB exactly the train/eval CONTAMINATION-OVERLAP question
+    ("how many document ids does shard A share with shard B") answered
+    per shard pair with kilobytes of state instead of a distinct join.
+
+    HASH-CHECKABLE via the bounded-check pattern: theta aggregation is
+    hash-threshold sampling — fully DETERMINISTIC for given data
+    (verified: repeated runs return identical estimates; contrast the
+    randomized KLL in agg_quantile_sketch) — but DuckDB cannot replay
+    the DataSketches hash, so each row emits the exact count (a
+    conditional aggregation over one customer-grain hash-agg, fully
+    replayed) plus an estimate-within-8%-of-the-union boolean (default
+    lgK=12 gives ~1.6% 1-sigma relative error on the union, and the
+    intersection/difference errors are bounded relative to the UNION
+    size, not their own — the documented theta property, hence one
+    shared denominator; below 4096 distincts the sketch is in exact
+    mode and the estimates are exact)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH per AS (
+          SELECT o_orderstatus, theta_sketch_agg(o_custkey) AS sk
+          FROM orders WHERE o_orderstatus IN ('F', 'O')
+          GROUP BY o_orderstatus
+        ),
+        est AS (
+          SELECT
+            (SELECT theta_sketch_estimate(theta_union_agg(sk)) FROM per)
+              AS est_union,
+            (SELECT theta_sketch_estimate(theta_intersection_agg(sk)) FROM per)
+              AS est_inter,
+            theta_sketch_estimate(theta_difference(f.sk, o.sk)) AS est_diff
+          FROM (SELECT sk FROM per WHERE o_orderstatus = 'F') f,
+               (SELECT sk FROM per WHERE o_orderstatus = 'O') o
+        ),
+        sets AS (
+          SELECT o_custkey,
+                 MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_f,
+                 MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_o
+          FROM orders WHERE o_orderstatus IN ('F', 'O')
+          GROUP BY o_custkey
+        ),
+        exact AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+                 CAST(SUM(in_f * in_o) AS BIGINT) AS n_inter,
+                 CAST(SUM(in_f * (1 - in_o)) AS BIGINT) AS n_f_only
+          FROM sets
+        )
+        SELECT n_union,
+               abs(est_union - n_union) <= 0.08 * n_union AS union_ok,
+               n_inter,
+               abs(est_inter - n_inter) <= 0.08 * n_union AS inter_ok,
+               n_f_only,
+               abs(est_diff - n_f_only) <= 0.08 * n_union AS diff_ok
+        FROM exact, est
+        """
+    )
+
+
+@query(
     "agg_rollup_year_status",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,

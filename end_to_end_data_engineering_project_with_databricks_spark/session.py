@@ -68,4 +68,25 @@ def pin_session_conf(spark: SparkSession) -> SparkSession:
     # events.parquet stores timestamp[ns], which Spark's vectorized Parquet
     # reader rejects; read the raw int64 nanos and convert in the reader.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Memory-envelope guard for externally provided BARE sessions
+    # (VERDICT r9 item 1 — the sf0.1 bare-sweep OOM): Spark's stock 200
+    # shuffle partitions under the stock 1 GiB local-mode heap allocate
+    # up to ~2 GB of TRANSIENT bypass-merge shuffle-writer buffers at
+    # 32-way task parallelism (each running task opens numPartitions
+    # DiskBlockObjectWriters, each holding ~32-128 KB of serializer +
+    # LZ4 buffers; 200 partitions is exactly Spark's
+    # shuffle.sort.bypassMergeThreshold, so every no-map-combine shuffle
+    # takes the bypass path).  When the session still carries the stock
+    # default, size the partition count to the actual parallelism —
+    # cores in local mode, total executor cores on a cluster, the
+    # standard baseline — and let AQE (pinned on above) re-split skewed
+    # or oversized partitions at runtime.  A session tuned to anything
+    # other than 200 is deliberately left alone; 200-on-purpose is
+    # indistinguishable from the default and gets resized (docs/SCALE.md
+    # "Round-10 memory envelope" records the measurement).
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(spark.sparkContext.defaultParallelism, 16)),
+        )
     return spark

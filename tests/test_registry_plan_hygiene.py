@@ -76,6 +76,11 @@ _ALLOWED_THETA = {
     "events_gap_detection",
     "events_cohort_retention",
     "audit_referential_integrity",
+    # theta set-algebra: the only theta node is the 1-row x 1-row join
+    # of the two per-status sketch scalars (plus 1-row scalar subqueries
+    # for the union/intersection estimates); every data-sized relation
+    # is a hash-agg, never a join side
+    "agg_theta_sketch_setops",
     # 1-row scalar broadcast (global totals / thresholds / dangling mass)
     "emb_minmax_scaling",
     "emb_int8_quantization",
