@@ -727,3 +727,59 @@ def hnsw_growth_stats(
         "total_hop_candidates": sum(stats["hop_candidate_rows"]),
         "refine_rows": stats["refine_rows"],
     }
+
+
+def ml_lsh_growth_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> dict:
+    """Candidate/emitted-pair volume for the STOCK pyspark.ml LSH path
+    (queries/dedup.dedup_minhash_ml): HashingTF(binary, 2^20) shingle
+    features -> MinHashLSH(seed=42, 8 OR-ed tables).  Candidate volume
+    is reconstructed from the model's own hash output — one (table,
+    min-hash) bucket per table per doc, sum(occ*(occ-1)/2) over buckets
+    is exactly what ``approxSimilarityJoin``'s internal explode+equi-join
+    shuffles — and ``emitted_pairs`` counts the post-exact-distance-
+    filter output (what a consumer verifies).  Single-value band keys
+    share hub-gram min-hashes across replicas (the same sublinear
+    max-bucket hazard measured on the hand-rolled 64x1 ensemble
+    stratum), so the max bucket is reported as the honest skew stat."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        shingles,
+    )
+
+    sh = scale_out(docs).select(
+        F.col(id_col).alias("_id_"), shingles(text_col, 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    feat = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 20, binary=True
+    ).transform(sh)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    hashed = model.transform(feat).select(
+        "_id_", F.posexplode("hashes").alias("table", "hv")
+    )
+    buckets = hashed.select(
+        "table", vector_to_array("hv").getItem(0).alias("h")
+    )
+    occ = buckets.groupBy("table", "h").agg(F.count("*").alias("occ"))
+    row = occ.agg(
+        F.max("occ").alias("max_bucket"),
+        F.sum(F.col("occ") * (F.col("occ") - 1) / 2).alias("join_rows"),
+    ).collect()[0]
+    emitted = (
+        model.approxSimilarityJoin(feat, feat, 0.5, distCol="jd")
+        .select(
+            F.col("datasetA._id_").alias("id_a"),
+            F.col("datasetB._id_").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .count()
+    )
+    return {
+        "n_docs": docs.count(),
+        "max_bucket": int(row["max_bucket"] or 0),
+        "candidate_join_rows": int(row["join_rows"] or 0),
+        "emitted_pairs": emitted,
+    }

@@ -53,3 +53,45 @@ def test_shingleless_docs_never_reach_banding(spark) -> None:
         df, "id", "text", shingle_k=3, threshold=0.99
     ).collect()
     assert {(r["id_small"], r["id_big"]) for r in ens} == {(5, 6)}
+
+
+def test_theta_setops_deterministic_and_tight(spark, sf_dir) -> None:
+    """agg_theta_sketch_setops' docstring claims theta hash-threshold
+    sampling is deterministic for given data (contrast the randomized
+    KLL): two runs must return IDENTICAL rows, and every bounds boolean
+    must hold."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    fn = all_specs()["agg_theta_sketch_setops"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert a == b
+    (row,) = a
+    assert row["union_ok"] and row["inter_ok"] and row["diff_ok"]
+    # |F ∪ O| = |F∩O| + |F\O| + |O\F| >= the two emitted components
+    assert row["n_union"] >= row["n_inter"] + row["n_f_only"]
+    assert row["n_union"] >= row["n_inter"] >= 0
+
+
+def test_kll_quantile_sketch_booleans_stable(spark, sf_dir) -> None:
+    """KLL compaction is randomized, so agg_quantile_sketch's VALUES
+    must come only from exact anchors while the booleans stay TRUE
+    across repeated runs (3 probes; the bounded-check contract the
+    oracle states as constant TRUE)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    fn = all_specs()["agg_quantile_sketch"].fn
+    anchors = None
+    for _ in range(3):
+        rows = {r["o_orderstatus"]: r for r in fn(spark, sf_dir).collect()}
+        assert all(
+            r["p50_ok"] and r["p90_ok"] and r["n_ok"] for r in rows.values()
+        ), rows
+        fixed = {k: (r["n_orders"], r["p50_disc"], r["p90_disc"]) for k, r in rows.items()}
+        assert anchors is None or fixed == anchors
+        anchors = fixed
+    assert "ALL" in rows

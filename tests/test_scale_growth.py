@@ -457,3 +457,30 @@ def test_hnsw_scaled_knob_flattens_refine(emb_replicas) -> None:
         [(s["n_vecs"], s["refine_rows"]) for s in stats.values()]
     )
     assert rexp <= 0.5, (stats, rexp)
+
+
+def test_ml_lsh_candidates_grow_linearly(doc_replicas) -> None:
+    """The stock pyspark.ml MinHashLSH path (dedup_minhash_ml) is
+    candidate-bounded too: bucket-join volume (reconstructed from the
+    model's own hash output — exactly what approxSimilarityJoin's
+    internal explode+equi-join shuffles) and the emitted verified pairs
+    both grow ~linearly under replication.  The max bucket is reported,
+    not pinned flat: 8 single-value OR-ed hash tables share hub-gram
+    min-hashes across replicas (the 64x1-ensemble-stratum hazard), so
+    it grows sublinearly — pinned <= k/2-fold at 16x."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        ml_lsh_growth_stats,
+    )
+
+    stats = {k: ml_lsh_growth_stats(doc_replicas[k]) for k in KS}
+    cexp = growth_exponent(
+        [(s["n_docs"], s["candidate_join_rows"]) for s in stats.values()]
+    )
+    assert cexp <= SUBQUADRATIC_BOUND, (stats, cexp)
+    eexp = growth_exponent(
+        [(s["n_docs"], s["emitted_pairs"]) for s in stats.values()]
+    )
+    assert eexp <= SUBQUADRATIC_BOUND, (stats, eexp)
+    assert stats[KS[-1]]["max_bucket"] <= (KS[-1] // 2) * max(
+        stats[KS[0]]["max_bucket"], 1
+    ), stats
