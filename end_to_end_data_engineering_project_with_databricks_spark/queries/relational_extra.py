@@ -796,34 +796,52 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     register_views(spark, sf_dir, ("orders",))
+    # ONE scan of orders: GROUPING SETS computes the per-status AND the
+    # global exact anchors in a single Expand+aggregate (the first
+    # version paid 7 scalar-subquery re-scans for the ALL row's
+    # anchors — at 100 TB, 7 extra table scans).  The <=4-row aggregate
+    # is localCheckpointed before its three consumers: CTE inlining
+    # pushes DIFFERENT is_all filters into each copy, so exchange reuse
+    # cannot dedupe them (measured: 6 runtime scans without the
+    # checkpoint, 1 with).  The ALL row's SKETCH still comes from
+    # kll_merge_agg_double over the per-status sketches — the
+    # mergeability demonstration — via a constant-key equi-join of two
+    # 1-row relations (no theta node); the grouping sets'
+    # directly-built global sketch is deliberately discarded.
+    per = spark.sql(
+        """
+        SELECT GROUPING(o_orderstatus) AS is_all,
+               COALESCE(o_orderstatus, 'ALL') AS st,
+               COUNT(*) AS n_orders,
+               kll_sketch_agg_double(o_totalprice, 800) AS sk,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
+               percentile_disc(0.47) WITHIN GROUP (ORDER BY o_totalprice) AS p50_lo,
+               percentile_disc(0.53) WITHIN GROUP (ORDER BY o_totalprice) AS p50_hi,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
+               percentile_disc(0.87) WITHIN GROUP (ORDER BY o_totalprice) AS p90_lo,
+               percentile_disc(0.93) WITHIN GROUP (ORDER BY o_totalprice) AS p90_hi
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), ())
+        """
+    ).localCheckpoint(eager=True)
+    per.createOrReplaceTempView("agg_quantile_sketch_per")
     return spark.sql(
         """
-        WITH per_status AS (
-          SELECT o_orderstatus,
-                 COUNT(*) AS n_orders,
-                 kll_sketch_agg_double(o_totalprice, 800) AS sk,
-                 percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50_disc,
-                 percentile_disc(0.47) WITHIN GROUP (ORDER BY o_totalprice) AS p50_lo,
-                 percentile_disc(0.53) WITHIN GROUP (ORDER BY o_totalprice) AS p50_hi,
-                 percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) AS p90_disc,
-                 percentile_disc(0.87) WITHIN GROUP (ORDER BY o_totalprice) AS p90_lo,
-                 percentile_disc(0.93) WITHIN GROUP (ORDER BY o_totalprice) AS p90_hi
-          FROM orders GROUP BY o_orderstatus
+        WITH per AS (SELECT * FROM agg_quantile_sketch_per),
+        merged AS (
+          SELECT 1 AS k, kll_merge_agg_double(sk) AS sk_m
+          FROM per WHERE is_all = 0
         ),
         rows_out AS (
-          SELECT o_orderstatus, n_orders, sk,
+          SELECT st AS o_orderstatus, n_orders, sk,
                  p50_disc, p50_lo, p50_hi, p90_disc, p90_lo, p90_hi
-          FROM per_status
+          FROM per WHERE is_all = 0
           UNION ALL
-          SELECT 'ALL', (SELECT COUNT(*) FROM orders),
-                 kll_merge_agg_double(sk),
-                 (SELECT percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
-                 (SELECT percentile_disc(0.47) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
-                 (SELECT percentile_disc(0.53) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
-                 (SELECT percentile_disc(0.90) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
-                 (SELECT percentile_disc(0.87) WITHIN GROUP (ORDER BY o_totalprice) FROM orders),
-                 (SELECT percentile_disc(0.93) WITHIN GROUP (ORDER BY o_totalprice) FROM orders)
-          FROM per_status
+          SELECT p.st, p.n_orders, m.sk_m,
+                 p.p50_disc, p.p50_lo, p.p50_hi,
+                 p.p90_disc, p.p90_lo, p.p90_hi
+          FROM (SELECT 1 AS k, * FROM per WHERE is_all = 1) p
+          JOIN merged m USING (k)
         )
         SELECT o_orderstatus, n_orders,
                p50_disc,
