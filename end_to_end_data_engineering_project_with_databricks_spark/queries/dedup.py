@@ -1802,9 +1802,13 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(F.col("doc_id"), shingles("text", 3).alias("sh")).filter(
         F.size("sh") > 0
     )
+    # materialized once: fit + BOTH approxSimilarityJoin sides reference
+    # this subtree, and without a checkpoint the tokenize+shingle+
+    # murmur3-HashingTF pipeline re-plans per reference (the
+    # lsh_candidate_pairs lesson; measured below in the module tests)
     feat = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 20, binary=True
-    ).transform(sh)
+    ).transform(sh).localCheckpoint(eager=True)
     model = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=8, seed=42
     ).fit(feat)
