@@ -95,3 +95,20 @@ def test_kll_quantile_sketch_booleans_stable(spark, sf_dir) -> None:
         assert anchors is None or fixed == anchors
         anchors = fixed
     assert "ALL" in rows
+
+
+def test_kll_quantile_sketch_single_scan(spark, sf_dir) -> None:
+    """agg_quantile_sketch pays exactly ONE scan of orders: the
+    grouping-sets aggregate computes per-status AND global anchors in
+    one pass and is localCheckpointed before its three consumers (CTE
+    inlining pushes different is_all filters into each copy, so
+    exchange reuse cannot dedupe — 6 runtime scans without the
+    checkpoint).  The returned plan must contain no parquet scan at all
+    (it reads the checkpointed 4-row aggregate)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    df = all_specs()["agg_quantile_sketch"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
