@@ -490,9 +490,12 @@ def containment_lsh_ensemble_pairs(
 
     Scale shape: ONE signature pass (localCheckpointed — all schemes
     and both join roles reference it), one band-bucket relation per
-    scheme (each a self-equi-join on (band, bh), index side
-    semi-filtered to its stratum), candidates unioned and deduped, and
-    the exact containment verify on candidate docs only.  Candidate
+    scheme tagged with its stratum index, then ONE fused self-equi-join
+    on (stratum, band, bh) — the index side inner-joined to the
+    doc->stratum map, which restricts each scheme's buckets to its
+    stratum exactly as the per-stratum semi-joins did — candidates
+    deduped once, and the exact containment verify on candidate docs
+    only.  Candidate
     volume is the per-stratum banding volume — each stratum's (b, r)
     trades its own recall against its own candidate count, the knob the
     paper optimizes per partition; the strata bounds here are fixture-
@@ -506,28 +509,65 @@ def containment_lsh_ensemble_pairs(
         F.col(id_col).alias("_id_"),
         F.explode(shingles(text_col, shingle_k)).alias("sh"),
     )
-    counts = sh.groupBy("_id_").agg(F.count("*").alias("n")).localCheckpoint(
-        eager=True
+    # per-doc shingle count, NARROW (r10 perf): n is by definition the
+    # size of the shingle array, so size(shingles(...)) computes it in
+    # the scan projection — the explode + groupBy formulation shuffled
+    # every shingle row of the corpus just to count them.  n >= 1
+    # mirrors the explode semantics (shingle-less docs had no rows, and
+    # they carry no signature so they could never be indexed anyway).
+    counts = (
+        scale_out(df)
+        .select(
+            F.col(id_col).alias("_id_"),
+            F.size(shingles(text_col, shingle_k)).alias("n"),
+        )
+        # checkpoint BEFORE the filter: a predicate on the aliased
+        # computed column would be pushed below the projection and
+        # recompute the tokenize+shingle expression per row (the
+        # repo-wide computed-array-filter trap); filtering the
+        # materialized 2-column rows is free.
+        .localCheckpoint(eager=True)
+        .filter(F.col("n") >= 1)
     )
 
-    cand = None
-    for lo, hi, bands, rows_per_band in strata:
-        buckets = lsh_band_buckets(sigs, id_col, bands, rows_per_band)
+    # ONE fused band join instead of one join per stratum (r10 perf):
+    # tag each scheme's bucket relation with its stratum index, map each
+    # document to the stratum/strata that index it, and join once on
+    # (_s, band, bh).  Restricted to _s = i the fused join is exactly
+    # stratum i's full-query-side x stratum-semi-filtered-index-side
+    # join, so the deduped candidate set is bit-identical to the
+    # per-stratum formulation — but the join/shuffle machinery runs
+    # once instead of len(strata) times (A/B-verified identical rows;
+    # candidate phase 4.4 s -> ~2 s at sf0.1).  strata_map carries one
+    # row per (doc, stratum-that-indexes-it) — doc-count-sized, the same
+    # relation the per-stratum semi-joins scanned; at 100 TB it shuffles
+    # on the id like any corpus-keyed join (locally it broadcasts).
+    tagged = None
+    strata_map = None
+    for si, (lo, hi, bands, rows_per_band) in enumerate(strata):
+        b = lsh_band_buckets(sigs, id_col, bands, rows_per_band).withColumn(
+            "_s", F.lit(si)
+        )
+        tagged = b if tagged is None else tagged.unionByName(b)
         in_stratum = F.col("n") >= lo if hi is None else (
             (F.col("n") >= lo) & (F.col("n") < hi)
         )
-        idx_ids = counts.filter(in_stratum).select(F.col("_id_").alias("_iid"))
-        q_side = buckets.select(F.col("_id").alias("id_q"), "band", "bh")
-        i_side = buckets.join(
-            idx_ids, F.col("_id") == F.col("_iid"), "left_semi"
-        ).select(F.col("_id").alias("id_i"), "band", "bh")
-        pairs = (
-            q_side.join(i_side, ["band", "bh"])
-            .filter(F.col("id_q") != F.col("id_i"))
-            .select("id_q", "id_i")
+        m = counts.filter(in_stratum).select(
+            F.col("_id_").alias("_iid"), F.lit(si).alias("_si")
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates().localCheckpoint(eager=True)
+        strata_map = m if strata_map is None else strata_map.unionByName(m)
+    q_side = tagged.select(F.col("_id").alias("id_q"), "_s", "band", "bh")
+    i_side = tagged.join(
+        strata_map,
+        (F.col("_id") == F.col("_iid")) & (F.col("_s") == F.col("_si")),
+    ).select(F.col("_id").alias("id_i"), "_s", "band", "bh")
+    cand = (
+        q_side.join(i_side, ["_s", "band", "bh"])
+        .filter(F.col("id_q") != F.col("id_i"))
+        .select("id_q", "id_i")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
 
     ids = (
         cand.select(F.col("id_q").alias("_cid"))

@@ -805,9 +805,12 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot dedupe them (measured: 6 runtime scans without the
     # checkpoint, 1 with).  The ALL row's SKETCH still comes from
     # kll_merge_agg_double over the per-status sketches — the
-    # mergeability demonstration — via a constant-key equi-join of two
-    # 1-row relations (no theta node); the grouping sets'
-    # directly-built global sketch is deliberately discarded.
+    # mergeability demonstration — via a join of two 1-row relations
+    # (Catalyst folds the constant equi-key, leaving a 1-row x 1-row
+    # BroadcastNestedLoopJoin — allow-listed in
+    # tests/test_registry_plan_hygiene.py like agg_theta_sketch_setops);
+    # the grouping sets' directly-built global sketch is deliberately
+    # discarded.
     per = spark.sql(
         """
         SELECT GROUPING(o_orderstatus) AS is_all,

@@ -81,6 +81,11 @@ _ALLOWED_THETA = {
     # for the union/intersection estimates); every data-sized relation
     # is a hash-agg, never a join side
     "agg_theta_sketch_setops",
+    # KLL rollup: the only theta node is the 1-row x 1-row join of the
+    # grouping-sets ALL anchor row with the merged-sketch scalar (the
+    # constant equi-key folds away); every data-sized relation is the
+    # single grouping-sets hash-agg, never a join side
+    "agg_quantile_sketch",
     # 1-row scalar broadcast (global totals / thresholds / dangling mass)
     "emb_minmax_scaling",
     "emb_int8_quantization",
