@@ -461,6 +461,8 @@ def ivf_topk(
     k: int = 5,
     centroids: DataFrame | None = None,
     assigned: DataFrame | None = None,
+    query_version_col: str | None = None,
+    index_version_col: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe the ``nprobe`` nearest cells per query and
     rank only vectors assigned to those cells.
@@ -473,7 +475,18 @@ def ivf_topk(
     PRECOMPUTED cell assignment (must be :func:`ivf_assign` of this
     corpus under these centroids) so repeated lookups — micro-batches,
     query batches — amortize the corpus-wide assignment pass instead of
-    re-planning it per call (stream_ann_lookup does exactly this)."""
+    re-planning it per call (stream_ann_lookup does exactly this).
+
+    VERSIONED SERVING (r10): when ``query_version_col`` (a column on
+    ``queries``) and ``index_version_col`` (a column on ``assigned``)
+    are both given, a candidate is eligible only if its index version
+    ``<=`` the query's version — one fused cell_id equi-join serves
+    every index version in the batch at once, instead of one lookup job
+    per version (stream_ann_refresh's sink uses this to fold up to four
+    per-cohort jobs into one per micro-batch).  The predicate rides the
+    same equi-join — candidate volume per query is unchanged, it's the
+    per-version job/shuffle overhead that collapses."""
+    versioned = query_version_col is not None and index_version_col is not None
     cents = (
         centroids
         if centroids is not None
@@ -482,10 +495,14 @@ def ivf_topk(
     if assigned is None:
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_extra = [F.col(query_version_col)] if versioned else []
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), *q_extra
+    )
     q_scored = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "q_vec",
+        *([query_version_col] if versioned else []),
         "cell_id",
         cosine_similarity("q_vec", "centroid").alias("cscore"),
     )
@@ -493,16 +510,25 @@ def ivf_topk(
     probed = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("query_id", "q_vec", "cell_id")
+        .select(
+            "query_id", "q_vec", "cell_id",
+            *([query_version_col] if versioned else []),
+        )
     )
 
     cands = assigned.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell_id"
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell_id",
+        *([index_version_col] if versioned else []),
     )
+    eligible = F.col("neighbor_id") != F.col("query_id")
+    if versioned:
+        eligible = eligible & (
+            F.col(index_version_col) <= F.col(query_version_col)
+        )
     scored = (
         F.broadcast(probed)
         .join(cands, "cell_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(eligible)
         .select(
             "query_id", "neighbor_id", cosine_similarity("q_vec", "c_vec").alias("score")
         )

@@ -698,10 +698,16 @@ def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ingest slice; per-version indexes are filters of this relation
     # (assignment is per-vector nearest-centroid — independent of the
     # rest of the corpus, so filter == assign-the-filtered-corpus)
-    assigned_full = ivf_assign(
-        corpus0.unionByName(ingest), cents, "vec_id", "embedding"
-    ).localCheckpoint(eager=True)
-    slice_expr = "(CASE WHEN vec_id % 10 = 5 THEN (vec_id div 10) % 4 ELSE -1 END)"
+    assigned_full = (
+        ivf_assign(corpus0.unionByName(ingest), cents, "vec_id", "embedding")
+        # index version: the ingest slice a vector arrives in; initial
+        # corpus rows are version -1 (present in every served index)
+        .withColumn(
+            "_iv",
+            F.expr("CASE WHEN vec_id % 10 = 5 THEN (vec_id div 10) % 4 ELSE -1 END"),
+        )
+        .localCheckpoint(eager=True)
+    )
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -712,26 +718,27 @@ def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        cohorts = [
-            int(r["j"])
-            for r in batch_df.select(
-                F.expr("(vec_id div 10) % 4").alias("j")
+        # ONE fused lookup job per micro-batch (r10 perf): every cohort
+        # in the batch is served in the same cell_id equi-join, with
+        # eligibility `index_version <= query_cohort` riding the join
+        # (ivf_topk's versioned-serving mode).  The per-cohort loop this
+        # replaces ran up to 4 lookup jobs per batch plus a driver-side
+        # cohort-id collect — A/B-verified row-identical at sf0.01 and
+        # sf0.1.  Retry safety keeps the directory-granular idempotent
+        # overwrite, now one directory per batch.
+        part = batch_df.withColumn("_qv", F.expr("(vec_id div 10) % 4"))
+        (
+            ivf_topk(
+                corpus0, part, n_cells=16, nprobe=4, k=5,
+                centroids=cents, assigned=assigned_full,
+                query_version_col="_qv", index_version_col="_iv",
             )
-            .distinct()
-            .collect()  # bounded: <= 4 cohort ids per micro-batch
-        ]
-        for j in sorted(cohorts):
-            part = batch_df.filter(F.expr(f"(vec_id div 10) % 4 = {j}"))
-            idx_j = assigned_full.filter(F.expr(f"{slice_expr} <= {j}"))
-            (
-                ivf_topk(
-                    corpus0, part, n_cells=16, nprobe=4, k=5,
-                    centroids=cents, assigned=idx_j,
-                )
-                .withColumn("index_version", F.lit(j).cast("long"))
-                .write.mode("overwrite")
-                .parquet(f"{outdir}/b{batch_id}_c{j}")
+            .withColumn(
+                "index_version", F.expr("(query_id div 10) % 4").cast("long")
             )
+            .write.mode("overwrite")
+            .parquet(f"{outdir}/b{batch_id}")
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)
