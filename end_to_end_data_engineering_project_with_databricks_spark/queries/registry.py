@@ -107,13 +107,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_multibatch_tumbling",
     "sink_dynamic_partition_overwrite",
     "sink_versioned_schema_evolution",
-    "source_jsonlines_roundtrip",
-    "source_python_datasource_stream",
     # -- new in r10 (a new query takes a slot immediately, displacing
-    #    the r4 tail one-for-one; displaced rows join the r11 backlog) --
+    #    the r4 tail one-for-one; displaced rows join the r11 backlog:
+    #    source_jsonlines_roundtrip, source_python_datasource_stream
+    #    moved there when the CMS pair landed) --
     "agg_quantile_sketch",
     "dedup_minhash_ml",
     "agg_theta_sketch_setops",
+    "agg_cms_frequency",
+    "agg_cms_join_size",
 )
 
 

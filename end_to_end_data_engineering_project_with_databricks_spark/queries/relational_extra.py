@@ -1558,3 +1558,272 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * q1 + 100 * q2 + q3").alias("gini_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch family (operators/sketches.py): point-frequency
+# estimation and sketch-based join-size estimation, both replayed
+# EXACTLY by DuckDB (hash-compared estimates, not bounded checks).
+# ---------------------------------------------------------------------------
+
+
+def _cms_frequency_sqls() -> tuple[str, str]:
+    """(spark_sql, duckdb_oracle_sql) for agg_cms_frequency — generated
+    from the same constants so the engines agree by construction."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_W_FREQ,
+        cms_arms_duck,
+        cms_bucket_duck,
+        cms_stack_spark,
+        cms_u_duck,
+        cms_u_spark,
+    )
+
+    w = CMS_W_FREQ
+    spark_sql = f"""
+        WITH tok AS (
+          SELECT source, toks FROM (
+            SELECT source, split(text, ' ') AS toks FROM documents
+          ) WHERE size(toks) >= 2
+        ),
+        bg AS (
+          SELECT source, b, {cms_u_spark("b")} AS u
+          FROM (
+            SELECT source,
+                   explode(transform(sequence(1, size(toks) - 1),
+                     i -> concat(element_at(toks, i), ' ',
+                                 element_at(toks, i + 1)))) AS b
+            FROM tok)
+        ),
+        stacked AS (
+          SELECT source, {cms_stack_spark("u", w)} AS (i, bkt) FROM bg
+        ),
+        sk_src AS (
+          SELECT source AS scope, i, bkt, COUNT(*) AS c
+          FROM stacked GROUP BY source, i, bkt
+        ),
+        sk AS (
+          SELECT scope, i, bkt, c FROM sk_src
+          UNION ALL
+          SELECT 'ALL', i, bkt, CAST(SUM(c) AS BIGINT) FROM sk_src GROUP BY i, bkt
+        ),
+        probes AS (
+          SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS scope,
+                 b, u, COUNT(*) AS exact_cnt
+          FROM bg WHERE u % 11 = 0
+          GROUP BY GROUPING SETS ((source, b, u), (b, u))
+        ),
+        pb AS (
+          SELECT scope, b, exact_cnt, {cms_stack_spark("u", w)} AS (i, bkt)
+          FROM probes
+        ),
+        est AS (
+          SELECT p.scope, p.b, p.exact_cnt, MIN(s.c) AS cms_est
+          FROM pb p JOIN sk s
+            ON s.scope = p.scope AND s.i = p.i AND s.bkt = p.bkt
+          GROUP BY p.scope, p.b, p.exact_cnt
+        )
+        SELECT scope, b AS bigram, exact_cnt, cms_est,
+               cms_est >= exact_cnt AS overcount_ok
+        FROM est
+    """
+    arms_build = cms_arms_duck("source,", "u", "bg", w)
+    arms_probe = cms_arms_duck("scope, b, exact_cnt,", "u", "probes", w)
+    duck_sql = f"""
+    WITH tok AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+    el AS (SELECT source, toks FROM tok WHERE len(toks) >= 2),
+    bg0 AS (
+      SELECT source, toks[i] || ' ' || toks[i + 1] AS b
+      FROM (SELECT source, toks,
+                   unnest(generate_series(1, len(toks) - 1)) AS i FROM el)
+    ),
+    bg AS (SELECT source, b, {cms_u_duck("b")} AS u FROM bg0),
+    stacked AS (
+      {arms_build}
+    ),
+    sk_src AS (
+      SELECT source AS scope, i, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM stacked GROUP BY source, i, bkt
+    ),
+    sk AS (
+      SELECT scope, i, bkt, c FROM sk_src
+      UNION ALL
+      SELECT 'ALL', i, bkt, CAST(SUM(c) AS BIGINT) FROM sk_src GROUP BY i, bkt
+    ),
+    probes AS (
+      SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS scope,
+             b, u, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM bg WHERE u % 11 = 0
+      GROUP BY GROUPING SETS ((source, b, u), (b, u))
+    ),
+    pb AS (
+      {arms_probe}
+    ),
+    est AS (
+      SELECT p.scope, p.b, p.exact_cnt, MIN(s.c) AS cms_est
+      FROM pb p JOIN sk s
+        ON s.scope = p.scope AND s.i = p.i AND s.bkt = p.bkt
+      GROUP BY p.scope, p.b, p.exact_cnt
+    )
+    SELECT scope, b AS bigram, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS overcount_ok
+    FROM est
+    """
+    return spark_sql, duck_sql
+
+
+_CMS_FREQ_SPARK_SQL, _CMS_FREQ_ORACLE = _cms_frequency_sqls()
+
+
+@query(
+    "agg_cms_frequency",
+    oracle=_CMS_FREQ_ORACLE,
+    tags=("agg", "approx", "sketch", "text"),
+)
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch POINT-FREQUENCY estimation (Cormode &
+    Muthukrishnan '05; operators/sketches.py) over document token
+    bigrams: per-source sketches (d=4 x w=512 counters each) are built
+    in one corpus pass, MERGED to an 'ALL' sketch by counter-wise SUM —
+    the mergeability that matters at 100 TB, where per-shard n-gram
+    sketches roll up across shards/time windows with fixed-size state
+    while exact counting would shuffle the full n-gram domain — and a
+    deterministic probe set (bigrams with u % 11 = 0) is answered from
+    the sketches alone: est = min over hash rows of the probed counter.
+
+    HASH-EXACT oracle (stronger than the HLL/KLL bounded-check rows):
+    the sketch is the repo's md5-60 + affine-permutation hash family,
+    pure integer algebra DuckDB replays literally, so the driver
+    compares the ESTIMATES value-for-value.  ``overcount_ok`` asserts
+    the one-sided CMS guarantee est >= true (structurally TRUE: every
+    occurrence of the probed bigram increments all d of its counters).
+
+    Scale shape: build = explode + ONE hash aggregate (map-side combine
+    folds each partition into <= d*w cells before the shuffle); merge =
+    a <= |sources|*d*w-row rollup; probes ride an equi-join on
+    (scope, i, bucket) against the counter relation — no corpus-sized
+    state anywhere past the first aggregate.  Two corpus scans total
+    (sketch build + probe exacts); the exact side exists only to
+    exhibit the guarantee, production reads the sketch alone.  Cf.
+    reference countries.py keyword frequencies — this is the
+    fixed-state form of that count at corpus scale."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_CMS_FREQ_SPARK_SQL)
+
+
+def _cms_join_size_sqls() -> tuple[str, str]:
+    """(spark_sql, duckdb_oracle_sql) for agg_cms_join_size."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_W_JOIN,
+        cms_arms_duck,
+        cms_stack_spark,
+        cms_u_duck,
+        cms_u_spark,
+    )
+
+    w = CMS_W_JOIN
+    u_l_spark = cms_u_spark("CAST(l_orderkey AS STRING)")
+    u_o_spark = cms_u_spark("CAST(o_orderkey AS STRING)")
+    u_l_duck = cms_u_duck("CAST(l_orderkey AS VARCHAR)")
+    u_o_duck = cms_u_duck("CAST(o_orderkey AS VARCHAR)")
+    spark_sql = f"""
+        WITH skl AS (
+          SELECT i, bkt, COUNT(*) AS c FROM (
+            SELECT {cms_stack_spark("u", w)} AS (i, bkt)
+            FROM (SELECT {u_l_spark} AS u FROM lineitem)
+          ) GROUP BY i, bkt
+        ),
+        sko AS (
+          SELECT i, bkt, COUNT(*) AS c FROM (
+            SELECT {cms_stack_spark("u", w)} AS (i, bkt)
+            FROM (SELECT {u_o_spark} AS u FROM orders)
+          ) GROUP BY i, bkt
+        ),
+        ip AS (
+          SELECT l.i, CAST(SUM(l.c * o.c) AS BIGINT) AS dot
+          FROM skl l JOIN sko o ON l.i = o.i AND l.bkt = o.bkt
+          GROUP BY l.i
+        ),
+        est AS (SELECT 1 AS k, MIN(dot) AS cms_join_rows FROM ip),
+        exact AS (
+          SELECT 1 AS k, COUNT(*) AS exact_join_rows
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT exact_join_rows, cms_join_rows,
+               cms_join_rows >= exact_join_rows AS overcount_ok
+        FROM exact JOIN est USING (k)
+    """
+    arms_l = cms_arms_duck("", "u", f"(SELECT {u_l_duck} AS u FROM lineitem) tl", w)
+    arms_o = cms_arms_duck("", "u", f"(SELECT {u_o_duck} AS u FROM orders) to_", w)
+    duck_sql = f"""
+    WITH skl AS (
+      SELECT i, bkt, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      {arms_l}
+      ) GROUP BY i, bkt
+    ),
+    sko AS (
+      SELECT i, bkt, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      {arms_o}
+      ) GROUP BY i, bkt
+    ),
+    ip AS (
+      SELECT l.i, CAST(SUM(l.c * o.c) AS BIGINT) AS dot
+      FROM skl l JOIN sko o ON l.i = o.i AND l.bkt = o.bkt
+      GROUP BY l.i
+    ),
+    est AS (SELECT 1 AS k, MIN(dot) AS cms_join_rows FROM ip),
+    exact AS (
+      SELECT 1 AS k, CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT exact_join_rows, cms_join_rows,
+           cms_join_rows >= exact_join_rows AS overcount_ok
+    FROM exact JOIN est USING (k)
+    """
+    return spark_sql, duck_sql
+
+
+_CMS_JOIN_SPARK_SQL, _CMS_JOIN_ORACLE = _cms_join_size_sqls()
+
+
+@query(
+    "agg_cms_join_size",
+    oracle=_CMS_JOIN_ORACLE,
+    tags=("agg", "approx", "sketch", "join"),
+)
+def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE ESTIMATION from two Count-Min sketches — the classic
+    sketch inner product: |L join O on key| = sum_k fL(k)*fO(k) is
+    estimated by min over hash rows of sum_b skL[row][b]*skO[row][b]
+    (Cormode & Muthukrishnan '05 §4.2; operators/sketches.py).  This is
+    the planner-grade capability behind the repo's broadcast/skew join
+    decisions at 100 TB: each side is summarized ONCE into d=4 x
+    w=16384 counters (map-side combined hash aggregate, fixed size no
+    matter the table size, mergeable across partitions by counter SUM),
+    and any pairwise join cardinality between summarized tables is then
+    answered from sketches alone — two tiny relations equi-joined on
+    (i, bucket) — without touching the data again.
+
+    HASH-EXACT oracle: the estimate is deterministic integer algebra on
+    the engine-portable hash family, so DuckDB replays the exact
+    estimate AND the exact true join size; ``overcount_ok`` states the
+    one-sided guarantee est >= true (every true key pair lands in the
+    same bucket in every row; colliding keys only ADD).  Expected
+    overcount is |L|*|O|/w per hash row before the min — width is sized
+    to the row-count product, the documented knob.
+
+    Plan shape: two scans (one per side) -> two bounded hash
+    aggregates; the inner product and the exact/est combine are joins
+    of <= d*w-row and 1-row relations (the constant-key 1x1 join folds
+    to a BroadcastNestedLoopJoin — allow-listed like
+    agg_quantile_sketch's merged-sketch rollup)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    return spark.sql(_CMS_JOIN_SPARK_SQL)

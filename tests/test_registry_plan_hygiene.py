@@ -86,6 +86,11 @@ _ALLOWED_THETA = {
     # constant equi-key folds away); every data-sized relation is the
     # single grouping-sets hash-agg, never a join side
     "agg_quantile_sketch",
+    # CMS join-size estimate: the only theta node is the 1-row x 1-row
+    # combine of the exact-join-count scalar with the min-inner-product
+    # scalar (constant equi-key folds away); the data-sized relations
+    # are two bounded d*w-counter hash-aggs equi-joined on (i, bkt)
+    "agg_cms_join_size",
     # 1-row scalar broadcast (global totals / thresholds / dangling mass)
     "emb_minmax_scaling",
     "emb_int8_quantization",

@@ -112,3 +112,50 @@ def test_kll_quantile_sketch_single_scan(spark, sf_dir) -> None:
     df = all_specs()["agg_quantile_sketch"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan, plan
+
+
+def test_cms_frequency_guarantee_and_merge(spark, sf_dir) -> None:
+    """agg_cms_frequency's structural guarantees, independent of the
+    DuckDB replay: (a) every estimate dominates its exact count (the
+    one-sided CMS bound), (b) the 'ALL' sketch is a true MERGE — its
+    counters are per-source sums, so for any probed bigram the merged
+    estimate dominates every per-source estimate, and the ALL exact
+    count is the sum of the per-source exacts."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    rows = all_specs()["agg_cms_frequency"].fn(spark, sf_dir).collect()
+    assert rows, "probe set must be non-empty"
+    assert all(r["overcount_ok"] for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] >= 1 for r in rows)
+    by_bigram: dict[str, dict[str, tuple[int, int]]] = {}
+    for r in rows:
+        by_bigram.setdefault(r["bigram"], {})[r["scope"]] = (
+            r["exact_cnt"], r["cms_est"],
+        )
+    assert any("ALL" in scopes for scopes in by_bigram.values())
+    for bigram, scopes in by_bigram.items():
+        assert "ALL" in scopes, f"{bigram} has per-source rows but no ALL row"
+        all_exact, all_est = scopes["ALL"]
+        src = {k: v for k, v in scopes.items() if k != "ALL"}
+        assert all_exact == sum(e for e, _ in src.values()), bigram
+        assert all(all_est >= est for _, est in src.values()), bigram
+
+
+def test_cms_join_size_dominates_and_is_tight(spark, sf_dir) -> None:
+    """agg_cms_join_size emits one row with est >= exact (structural)
+    and, at fixture scale, an estimate within 3x of exact — the
+    documented |L|*|O|/w expected-overcount puts the fixture well
+    inside that bar, so a violation means the sketch width or hash
+    family broke, not noise (everything is deterministic integers)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    rows = all_specs()["agg_cms_join_size"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["overcount_ok"]
+    assert r["cms_join_rows"] >= r["exact_join_rows"] > 0
+    assert r["cms_join_rows"] <= 3 * r["exact_join_rows"]
