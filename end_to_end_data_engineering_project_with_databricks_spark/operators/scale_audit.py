@@ -783,3 +783,61 @@ def ml_lsh_growth_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         "candidate_join_rows": int(row["join_rows"] or 0),
         "emitted_pairs": emitted,
     }
+
+
+def cms_growth_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """State growth for the Count-Min sketch build
+    (queries/relational_extra.agg_cms_frequency; operators/sketches.py).
+
+    The 100 TB claim for CMS is different in kind from the candidate-
+    bounded joins: not "candidates grow linearly" but "the AGGREGATION
+    STATE does not grow at all" — the counter relation is capped at
+    d*w cells no matter the corpus or domain size, while the exact-
+    counting alternative's state is the full n-gram domain.  Under
+    ``replicate_documents`` the bigram DOMAIN grows ~k-fold (non-hub
+    tokens are suffixed per replica), so:
+
+    - ``exact_state_rows`` (distinct bigrams — what an exact counter
+      shuffles and stores) must grow with exponent ~1: the contrast
+      row proving the replication scheme grows the domain;
+    - ``sketch_state_rows`` (occupied (i, bucket) cells) must saturate
+      at <= d*w — exponent ~0 once the domain exceeds the width.
+
+    ``n_items`` is total bigram occurrences (the stream length N);
+    ``max_counter`` tracks the heaviest cell (hub-gram mass plus
+    collisions — the skew a downstream reader of the sketch sees)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_D,
+        CMS_W_FREQ,
+        cms_stack_spark,
+        cms_u_spark,
+    )
+
+    toks = scale_out(docs).select(tokens(text_col).alias("_tk")).filter(
+        F.size("_tk") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk) - 1), "
+                "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+            )
+        ).alias("b")
+    )
+    hashed = bg.selectExpr(f"{cms_u_spark('b')} AS u", "b")
+    stacked = hashed.selectExpr(
+        f"{cms_stack_spark('u', CMS_W_FREQ)} AS (i, bkt)"
+    )
+    sketch = stacked.groupBy("i", "bkt").agg(F.count("*").alias("c"))
+    srow = sketch.agg(
+        F.count("*").alias("cells"), F.max("c").alias("mx")
+    ).collect()[0]
+    return {
+        "n_items": bg.count(),
+        "exact_state_rows": bg.select("b").distinct().count(),
+        "sketch_state_rows": int(srow["cells"]),
+        "sketch_state_cap": CMS_D * CMS_W_FREQ,
+        "max_counter": int(srow["mx"] or 0),
+    }

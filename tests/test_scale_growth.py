@@ -484,3 +484,27 @@ def test_ml_lsh_candidates_grow_linearly(doc_replicas) -> None:
     assert stats[KS[-1]]["max_bucket"] <= (KS[-1] // 2) * max(
         stats[KS[0]]["max_bucket"], 1
     ), stats
+
+
+def test_cms_sketch_state_is_corpus_size_independent(doc_replicas) -> None:
+    """The CMS fixed-state claim, measured (operators/scale_audit.
+    cms_growth_stats): under corpus replication the bigram DOMAIN grows
+    ~linearly (the exact-counting state an explicit counter would carry
+    — the contrast proving the replication grows the domain), while the
+    sketch's occupied-cell count saturates at the d*w cap — the whole
+    point of sketching at 100 TB."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        cms_growth_stats,
+    )
+
+    stats = {k: cms_growth_stats(doc_replicas[k]) for k in KS}
+    exact_exp = growth_exponent(
+        [(s["n_items"], s["exact_state_rows"]) for s in stats.values()]
+    )
+    sketch_exp = growth_exponent(
+        [(s["n_items"], s["sketch_state_rows"]) for s in stats.values()]
+    )
+    assert exact_exp >= 0.8, (exact_exp, stats)
+    assert sketch_exp <= 0.2, (sketch_exp, stats)
+    for k, s in stats.items():
+        assert s["sketch_state_rows"] <= s["sketch_state_cap"], (k, s)
