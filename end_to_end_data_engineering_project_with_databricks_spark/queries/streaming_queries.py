@@ -748,3 +748,149 @@ def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(f"{outdir}/b*")
+
+
+def _stream_cms_merge_oracle() -> str:
+    """DuckDB replay of the streamed Count-Min build: counter merge
+    across micro-batches is counter ADDITION, so sketch(batch 1) + ...
+    + sketch(batch 4) == sketch(all events) EXACTLY — the oracle
+    replays the build over the whole events table and never needs to
+    know the batch boundaries.  Same hash family and probe algebra as
+    agg_cms_frequency's oracle (operators/sketches.py)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_W_FREQ,
+        cms_arms_duck,
+        cms_u_duck,
+    )
+
+    u = cms_u_duck("CAST(user_id AS VARCHAR)")
+    arms_build = cms_arms_duck("", "u", "keyed", CMS_W_FREQ)
+    arms_probe = cms_arms_duck("user_id, exact_cnt,", "u", "probes", CMS_W_FREQ)
+    return f"""
+    WITH keyed AS (SELECT user_id, {u} AS u FROM events),
+    stacked AS (
+      {arms_build}
+    ),
+    sk AS (
+      SELECT i, bkt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM stacked GROUP BY i, bkt
+    ),
+    probes AS (
+      SELECT user_id, u, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM keyed WHERE user_id % 3 = 0
+      GROUP BY user_id, u
+    ),
+    pb AS (
+      {arms_probe}
+    ),
+    est AS (
+      SELECT p.user_id, p.exact_cnt, MIN(s.c) AS cms_est
+      FROM pb p JOIN sk s ON s.i = p.i AND s.bkt = p.bkt
+      GROUP BY p.user_id, p.exact_cnt
+    )
+    SELECT user_id, exact_cnt, cms_est,
+           cms_est >= exact_cnt AS overcount_ok
+    FROM est
+    """
+
+
+@query(
+    "stream_cms_merge",
+    oracle=_stream_cms_merge_oracle(),
+    tags=("streaming", "agg", "approx", "sketch", "incremental"),
+)
+def stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED Count-Min sketch build — mergeability across TIME, the
+    third leg of the CMS family (agg_cms_frequency merges across
+    GROUPS, agg_cms_join_size multiplies two sketches; here the d x w
+    counter relation is the cross-micro-batch state): each micro-batch
+    of the 4-slice events stream folds into its OWN d=4 x w=512
+    sketch (one bounded hash aggregate per batch — per-batch cost
+    independent of stream history, the stream_ann_refresh contract),
+    and the serving-time merge is a counter SUM over the <= 4*d*w
+    persisted partials.  Because counter merge is exactly addition,
+    the merged sketch is bit-identical to a one-pass batch build over
+    the whole table — which is what the DuckDB oracle replays, with no
+    knowledge of batch boundaries.  Probes (user_id % 3 = 0) are then
+    answered from the merged sketch: est = min over hash rows, with
+    the one-sided est >= true guarantee per row.
+
+    At 100 TB this is the production frequency-monitoring loop: every
+    ingest window ships a fixed-size sketch partial instead of a
+    key-domain-sized count table, and any time range's frequencies are
+    answered by summing that range's partials — the same algebra that
+    lets the partials roll up across shards and rollup levels.
+
+    Retry safety: per-batch overwrite directories (the
+    directory-granular idempotent-sink contract).  HASH-EXACT oracle:
+    everything is the engine-portable md5-60 integer hash family."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_W_FREQ,
+        cms_stack_spark,
+        cms_u_spark,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+
+    src = _events_multibatch_dir(spark, sf_dir)
+    raw_schema = spark.read.parquet(src).schema
+    outdir, ckpt = _tmp("cms_merge_sketches"), _tmp("cms_merge_ckpt")
+    for p in (outdir, ckpt):
+        shutil.rmtree(p, ignore_errors=True)  # fresh stream per run
+
+    u_expr = cms_u_spark("CAST(user_id AS STRING)")
+    stack_expr = cms_stack_spark("u", CMS_W_FREQ)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.selectExpr(f"{u_expr} AS u")
+            .selectExpr(f"{stack_expr} AS (i, bkt)")
+            .groupBy("i", "bkt")
+            .agg(F.count("*").alias("c"))
+            .write.mode("overwrite")
+            .parquet(f"{outdir}/b{batch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # serving: merge = counter SUM over the persisted per-batch partials
+    merged = (
+        spark.read.parquet(f"{outdir}/b*")
+        .groupBy("i", "bkt")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    probes = (
+        spark.read.parquet(src)
+        .filter(F.col("user_id") % 3 == 0)
+        .selectExpr("user_id", f"{u_expr} AS u")
+        .groupBy("user_id", "u")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    pb = probes.selectExpr(
+        "user_id", "exact_cnt", f"{stack_expr} AS (i, bkt)"
+    )
+    return (
+        pb.join(merged, ["i", "bkt"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id", "exact_cnt", "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("overcount_ok"),
+        )
+    )

@@ -159,3 +159,62 @@ def test_cms_join_size_dominates_and_is_tight(spark, sf_dir) -> None:
     assert r["overcount_ok"]
     assert r["cms_join_rows"] >= r["exact_join_rows"] > 0
     assert r["cms_join_rows"] <= 3 * r["exact_join_rows"]
+
+
+def test_stream_cms_merge_partials_and_batch_equivalence(spark, sf_dir) -> None:
+    """stream_cms_merge's two structural claims: (a) each persisted
+    per-batch partial is a bounded sketch (<= d*w counter rows — the
+    fixed-size state shipped per ingest window), and (b) the merged
+    estimates equal a ONE-PASS batch build over the whole table
+    (counter merge is addition), verified by recomputing the batch
+    sketch inline and re-answering every probe from it."""
+    import os
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_D,
+        CMS_W_FREQ,
+        cms_stack_spark,
+        cms_u_spark,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.sources_sinks import (
+        _tmp,
+    )
+    from pyspark.sql import functions as F
+
+    rows = all_specs()["stream_cms_merge"].fn(spark, sf_dir).collect()
+    assert rows and all(r["overcount_ok"] for r in rows)
+    assert all(r["cms_est"] >= r["exact_cnt"] >= 1 for r in rows)
+
+    outdir = _tmp("cms_merge_sketches")
+    parts = [d for d in os.listdir(outdir) if d.startswith("b")]
+    assert len(parts) == 4, parts  # one partial per time-sliced batch
+    for d in parts:
+        assert (
+            spark.read.parquet(os.path.join(outdir, d)).count()
+            <= CMS_D * CMS_W_FREQ
+        )
+
+    batch_sk = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(f"{cms_u_spark('CAST(user_id AS STRING)')} AS u")
+        .selectExpr(f"{cms_stack_spark('u', CMS_W_FREQ)} AS (i, bkt)")
+        .groupBy("i", "bkt")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = spark.createDataFrame(
+        [(r["user_id"],) for r in rows], "user_id long"
+    ).selectExpr("user_id", f"{cms_u_spark('CAST(user_id AS STRING)')} AS u")
+    pb = probes.selectExpr(
+        "user_id", f"{cms_stack_spark('u', CMS_W_FREQ)} AS (i, bkt)"
+    )
+    batch_est = {
+        r["user_id"]: r["est"]
+        for r in pb.join(batch_sk, ["i", "bkt"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+        .collect()
+    }
+    assert {r["user_id"]: r["cms_est"] for r in rows} == batch_est
