@@ -818,6 +818,11 @@ def cms_growth_stats(
     toks = scale_out(docs).select(tokens(text_col).alias("_tk")).filter(
         F.size("_tk") >= 2
     )
+    # checkpoint the exploded bigrams ONCE: three consumers follow
+    # (stream length, exact-state distinct, sketch aggregate), and a
+    # re-plan per consumer would tokenize+explode+hash the k-replicated
+    # corpus three times (audit tooling, but the k=16 leg triples CI
+    # time for nothing — same lesson as dedup.py's counts relation)
     bg = toks.select(
         F.explode(
             F.expr(
@@ -825,7 +830,7 @@ def cms_growth_stats(
                 "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
             )
         ).alias("b")
-    )
+    ).localCheckpoint(eager=True)
     hashed = bg.selectExpr(f"{cms_u_spark('b')} AS u", "b")
     stacked = hashed.selectExpr(
         f"{cms_stack_spark('u', CMS_W_FREQ)} AS (i, bkt)"

@@ -487,6 +487,19 @@ def ivf_topk(
     same equi-join — candidate volume per query is unchanged, it's the
     per-version job/shuffle overhead that collapses."""
     versioned = query_version_col is not None and index_version_col is not None
+    if versioned:
+        reserved = {"query_id", "q_vec", "cell_id", "neighbor_id", "c_vec"}
+        if query_version_col == index_version_col or reserved & {
+            query_version_col, index_version_col
+        }:
+            # both versions survive into the candidate join, where the
+            # eligibility predicate references each by bare name — equal
+            # or internal-colliding names would be ambiguous there
+            raise ValueError(
+                "query_version_col and index_version_col must be distinct "
+                f"and disjoint from the internal names {sorted(reserved)}; "
+                f"got {query_version_col!r} / {index_version_col!r}"
+            )
     cents = (
         centroids
         if centroids is not None

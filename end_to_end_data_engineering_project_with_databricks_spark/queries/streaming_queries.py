@@ -646,18 +646,21 @@ def stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch by cohort).  The codebook stays trained on the initial
     corpus (refresh reassigns, retraining is a rarer offline event);
     folding costs ONE assignment pass over all ingest vectors
-    (localCheckpointed, sliced per cohort) — per-arrival cost stays
-    independent of history, and the oracle replays all four index
-    versions end-to-end.
+    (localCheckpointed, carrying each vector's index version) —
+    per-arrival cost stays independent of history, and the oracle
+    replays all four index versions end-to-end.
 
-    Retry safety: per-(batch, cohort) overwrite directories — the
-    directory-granular idempotent-sink contract of stream_ann_lookup.
+    Retry safety: per-batch overwrite directories — the
+    directory-granular idempotent-sink contract of stream_ann_lookup
+    (one directory per micro-batch since the r10 fused-sink rewrite).
 
     100 TB shape: index growth is an APPEND to the assigned relation
     (new vectors assign against the broadcast codebook — one narrow
     map), never a rebuild; serving cost per query is unchanged (probe 4
-    of 16 cells).  The bounded per-batch driver action is a <=4-row
-    cohort-id collect."""
+    of 16 cells).  Every cohort in a micro-batch is served by ONE
+    fused versioned lookup job (ivf_topk's ``index_version <=
+    query_version`` predicate riding the cell_id equi-join) — no
+    driver-side actions in the sink at all."""
     import shutil
 
     from pyspark.sql import functions as F
