@@ -218,3 +218,27 @@ def test_stream_cms_merge_partials_and_batch_equivalence(spark, sf_dir) -> None:
         .collect()
     }
     assert {r["user_id"]: r["cms_est"] for r in rows} == batch_est
+
+
+def test_bench_query_lists_resolve_in_registry() -> None:
+    """bench.py's headline set (the ``bench=True`` specs) and its
+    TRACKING_QUERIES tier must all resolve in the registry — a rename
+    that breaks either would otherwise only surface as a KeyError in
+    the driver's per-round bench run, after the round's code is
+    frozen."""
+    import importlib.util
+    import os
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    registry = all_specs()
+    missing = [n for n in mod.TRACKING_QUERIES if n not in registry]
+    assert not missing, missing
+    assert any(s.bench for s in registry.values()), "headline set is empty"
