@@ -105,18 +105,19 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "graph_triangle_count",
     "stream_matview_pipeline",
     "stream_multibatch_tumbling",
-    "sink_dynamic_partition_overwrite",
     # -- new in r10 (a new query takes a slot immediately, displacing
     #    the r4 tail one-for-one; displaced rows join the r11 backlog:
     #    source_jsonlines_roundtrip, source_python_datasource_stream
     #    moved there when the CMS pair landed,
-    #    sink_versioned_schema_evolution when stream_cms_merge did) --
+    #    sink_versioned_schema_evolution when stream_cms_merge did,
+    #    sink_dynamic_partition_overwrite when agg_topk_sketch did) --
     "agg_quantile_sketch",
     "dedup_minhash_ml",
     "agg_theta_sketch_setops",
     "agg_cms_frequency",
     "agg_cms_join_size",
     "stream_cms_merge",
+    "agg_topk_sketch",
 )
 
 

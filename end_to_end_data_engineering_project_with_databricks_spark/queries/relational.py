@@ -529,6 +529,73 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_topk_sketch",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    )
+    SELECT source AS scope, t AS token, CAST(COUNT(*) AS BIGINT) AS est_cnt
+    FROM tok GROUP BY source, t
+    UNION ALL
+    SELECT 'ALL', t, CAST(COUNT(*) AS BIGINT) FROM tok GROUP BY t
+    """,
+    tags=("agg", "approx", "sketch", "topk"),
+)
+def agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's DataSketches frequent-items trio (approx_top_k_
+    accumulate / _combine / _estimate) — the STOCK-ENGINE twin of the
+    hand-rolled Misra-Gries heavy hitters (agg_heavy_hitter_tokens),
+    the same interop role dedup_minhash_ml plays for the LSH ladder:
+    per-source token sketches are accumulated in one pass, MERGED with
+    approx_top_k_combine into the 'ALL' sketch (never re-scanning the
+    corpus — the HLL/KLL/theta/CMS rollup shape), and estimates are
+    read out of the binary sketch state with inline().
+
+    HASH-EXACT oracle by a documented regime choice: a frequent-items
+    sketch is EXACT until capacity eviction (lower = upper = true count
+    while distinct items <= maxItemsTracked), and the fixture vocabulary
+    (31 tokens) sits far under the 1024 capacity, so every emitted
+    count equals the GROUP BY truth DuckDB computes — membership is
+    deterministic too (k = 256 exceeds the vocabulary, so no tie at a
+    truncation boundary can vary).  At 100 TB the same query degrades
+    gracefully instead of failing: capacity bounds the per-group state
+    (the knob), counts become [lower, upper] intervals, and the
+    accumulate/combine split is exactly how per-shard sketches roll up
+    across a cluster or time windows.
+
+    Plan shape: one corpus scan -> per-source hash aggregate (map-side
+    partial accumulate) -> a <= |sources|-row combine; the UNION ALL
+    branch reuses the per-source sketch relation, never the corpus."""
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        WITH tok AS (
+          SELECT source, explode(split(text, ' ')) AS t FROM documents
+        ),
+        per AS (
+          SELECT source, approx_top_k_accumulate(t, 1024) AS sk
+          FROM tok GROUP BY source
+        ),
+        rows_out AS (
+          SELECT source AS scope, approx_top_k_estimate(sk, 256) AS est
+          FROM per
+          UNION ALL
+          SELECT 'ALL',
+                 approx_top_k_estimate(approx_top_k_combine(sk, 1024), 256)
+          FROM per
+        )
+        SELECT scope, e.item AS token, CAST(e.count AS BIGINT) AS est_cnt
+        FROM rows_out
+        LATERAL VIEW inline(est) e
+        """
+    )
+
+
+@query(
     "agg_rollup_year_status",
     oracle=f"""
     SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderstatus,

@@ -242,3 +242,33 @@ def test_bench_query_lists_resolve_in_registry() -> None:
     missing = [n for n in mod.TRACKING_QUERIES if n not in registry]
     assert not missing, missing
     assert any(s.bench for s in registry.values()), "headline set is empty"
+
+
+def test_topk_sketch_exact_regime_and_merge(spark, sf_dir) -> None:
+    """agg_topk_sketch's documented regime: below sketch capacity the
+    frequent-items estimates are exact, so (a) per-scope counts match a
+    plain groupBy recount, and (b) the combined 'ALL' sketch's counts
+    equal the sum of the per-source counts — the merge is lossless
+    here, not merely bounded."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = all_specs()["agg_topk_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    got_all = {r["token"]: r["est_cnt"] for r in rows if r["scope"] == "ALL"}
+    per_src: dict[str, int] = {}
+    for r in rows:
+        if r["scope"] != "ALL":
+            per_src[r["token"]] = per_src.get(r["token"], 0) + r["est_cnt"]
+    assert got_all == per_src
+    truth = {
+        r["t"]: r["c"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got_all == truth
