@@ -51,12 +51,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ======== round-10 rotation (VERDICT r9 item 2) ========
     # Freshness program: after r9 no driver row is older than r3
     # (17 r3 rows + 39 r4 rows remain stale).  This window re-attests
-    # ALL 17 r3 rows plus the 28 highest-churn r4 rows (dedup/agg/text/
-    # emb/events/graph/stream/sink/source families — the modules r9-r10
-    # touched most); the 11 deferred r4 rows (ids_/mm_bmp/pandas_/
-    # pipeline_declarative/pack/sample_/sql_identifier/sql_scalar_udf)
-    # rotate in r11.  New r10 queries take slots immediately per the
+    # ALL 17 r3 rows plus the 22 highest-churn r4 rows (dedup/agg/text/
+    # emb/events/graph/stream/sink families — the modules r9-r10
+    # touched most); new r10 queries took slots immediately per the
     # standing rule, displacing the r4 tail one-for-one.
+    # Exact r11 rotation backlog (18 rows, latest driver row = r4):
+    # higher_order_functions, ids_sequential_assignment, map_functions,
+    # mm_bmp_decode, pandas_apply_minmax_norm, pandas_rolling_minmax,
+    # pipeline_declarative_tables, pipeline_pack_sequences,
+    # sample_per_group_cap, sample_stratified_sources,
+    # sample_systematic, sink_dynamic_partition_overwrite,
+    # sink_versioned_schema_evolution, source_jsonlines_roundtrip,
+    # source_python_datasource_stream, sql_identifier_clause,
+    # sql_scalar_udf, udtf_table_arg_user_stats — fill r11's free slots
+    # with these first, then the oldest r5 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
