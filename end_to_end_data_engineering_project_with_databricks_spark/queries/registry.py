@@ -51,10 +51,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ======== round-10 rotation (VERDICT r9 item 2) ========
     # Freshness program: after r9 no driver row is older than r3
     # (17 r3 rows + 39 r4 rows remain stale).  This window re-attests
-    # ALL 17 r3 rows plus the 22 highest-churn r4 rows (dedup/agg/text/
-    # emb/events/graph/stream/sink families — the modules r9-r10
-    # touched most); new r10 queries took slots immediately per the
-    # standing rule, displacing the r4 tail one-for-one.
+    # ALL 17 r3 rows plus the 21 highest-churn r4 rows (dedup/agg/text/
+    # emb/events/graph/stream families — the modules r9-r10 touched
+    # most); with the 5 pinned anchors and the 7 new r10
+    # queries that is the full 50 (new queries take slots immediately
+    # per the standing rule, displacing the r4 tail one-for-one).
     # Exact r11 rotation backlog (18 rows, latest driver row = r4):
     # higher_order_functions, ids_sequential_assignment, map_functions,
     # mm_bmp_decode, pandas_apply_minmax_norm, pandas_rolling_minmax,

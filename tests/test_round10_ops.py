@@ -272,3 +272,24 @@ def test_topk_sketch_exact_regime_and_merge(spark, sf_dir) -> None:
         .collect()
     }
     assert got_all == truth
+
+
+def test_topk_sketch_single_runtime_scan(spark, sf_dir) -> None:
+    """agg_topk_sketch's one-corpus-scan claim holds via AQE runtime
+    exchange reuse (the per-source sketch exchange feeds both UNION
+    branches), NOT in the initial plan — so pin the FINAL adaptive
+    plan: exactly one FileScan of documents plus a ReusedExchange.  Any
+    edit that perturbs one branch before its exchange (a filter, a
+    changed maxItemsTracked) breaks canonical equality and doubles the
+    scan; this test is the tripwire (the agg_quantile_sketch
+    single-scan precedent)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
+        all_specs,
+    )
+
+    df = all_specs()["agg_topk_sketch"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "ReusedExchange" in final, final
