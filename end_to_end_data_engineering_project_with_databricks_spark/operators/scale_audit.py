@@ -818,11 +818,19 @@ def cms_growth_stats(
     toks = scale_out(docs).select(tokens(text_col).alias("_tk")).filter(
         F.size("_tk") >= 2
     )
-    # checkpoint the exploded bigrams ONCE: three consumers follow
+    # materialize the exploded bigrams ONCE: three consumers follow
     # (stream length, exact-state distinct, sketch aggregate), and a
     # re-plan per consumer would tokenize+explode+hash the k-replicated
     # corpus three times (audit tooling, but the k=16 leg triples CI
-    # time for nothing — same lesson as dedup.py's counts relation)
+    # time for nothing — same lesson as dedup.py's counts relation).
+    # persist(), not localCheckpoint(): the growth test sweeps k in
+    # {1, 4, 16} and checkpoint blocks are only reclaimed by the
+    # ContextCleaner on a JVM GC, so the k-replicated corpora would
+    # accumulate in the block manager across the sweep; CacheManager
+    # blocks release deterministically via unpersist() below (ADVICE
+    # r10).  No iterative lineage here, so plan truncation is not
+    # needed — all three consumers share this one Python DF object,
+    # which is exactly the InMemoryRelation-reuse case.
     bg = toks.select(
         F.explode(
             F.expr(
@@ -830,7 +838,7 @@ def cms_growth_stats(
                 "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
             )
         ).alias("b")
-    ).localCheckpoint(eager=True)
+    ).persist()
     hashed = bg.selectExpr(f"{cms_u_spark('b')} AS u", "b")
     stacked = hashed.selectExpr(
         f"{cms_stack_spark('u', CMS_W_FREQ)} AS (i, bkt)"
@@ -839,10 +847,12 @@ def cms_growth_stats(
     srow = sketch.agg(
         F.count("*").alias("cells"), F.max("c").alias("mx")
     ).collect()[0]
-    return {
+    out = {
         "n_items": bg.count(),
         "exact_state_rows": bg.select("b").distinct().count(),
         "sketch_state_rows": int(srow["cells"]),
         "sketch_state_cap": CMS_D * CMS_W_FREQ,
         "max_counter": int(srow["mx"] or 0),
     }
+    bg.unpersist()
+    return out

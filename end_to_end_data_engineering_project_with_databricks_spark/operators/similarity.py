@@ -488,7 +488,15 @@ def ivf_topk(
     per-version job/shuffle overhead that collapses."""
     versioned = query_version_col is not None and index_version_col is not None
     if versioned:
-        reserved = {"query_id", "q_vec", "cell_id", "neighbor_id", "c_vec"}
+        # every internal name the versioned columns ride alongside at any
+        # point in the pipeline — including the mid-pipeline cell-scoring
+        # and ranking columns (cscore/rn/score/rank), which would raise a
+        # confusing duplicate/ambiguous-column analysis error instead of
+        # this ValueError if a version column shadowed them (ADVICE r10)
+        reserved = {
+            "query_id", "q_vec", "cell_id", "neighbor_id", "c_vec",
+            "cscore", "rn", "score", "rank",
+        }
         if query_version_col == index_version_col or reserved & {
             query_version_col, index_version_col
         }:

@@ -565,7 +565,12 @@ def agg_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: one corpus scan -> per-source hash aggregate (map-side
     partial accumulate) -> a <= |sources|-row combine; the UNION ALL
-    branch reuses the per-source sketch relation, never the corpus."""
+    branch reuses the per-source sketch relation, never the corpus.
+
+    Fixture invariant (shared with agg_cms_frequency and the 6 older
+    sentinel-scoped rows): the merged-sketch scope label 'ALL' is a
+    SENTINEL — no documents.source is literally named 'ALL' (asserted
+    by tests/test_round10_ops.py::test_all_scope_sentinel_invariant)."""
     from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
         register_views,
     )

@@ -1706,7 +1706,14 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch build + probe exacts); the exact side exists only to
     exhibit the guarantee, production reads the sketch alone.  Cf.
     reference countries.py keyword frequencies — this is the
-    fixed-state form of that count at corpus scale."""
+    fixed-state form of that count at corpus scale.
+
+    Fixture invariant (shared with agg_topk_sketch and the 6 older
+    sentinel-scoped rows): the merged-rollup scope label 'ALL' is a
+    SENTINEL — no documents.source is literally named 'ALL' (asserted
+    by tests/test_round10_ops.py::test_all_scope_sentinel_invariant);
+    a corpus with such a source would silently merge it with the
+    rollup row."""
     from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
         register_views,
     )

@@ -290,6 +290,51 @@ def test_topk_sketch_single_runtime_scan(spark, sf_dir) -> None:
     df = all_specs()["agg_topk_sketch"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes the plan only on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
-    final = plan.split("== Initial Plan ==")[0]
+    delim = "== Initial Plan =="
+    final = plan.split(delim)[0]
     assert final.count("Scan parquet") == 1, final
-    assert "ReusedExchange" in final, final
+    # the ReusedExchange node name is pinned only while the AQE plan
+    # rendering is the known format (delimiter present); if a Spark
+    # minor version drops the delimiter, fail soft on the node name —
+    # the single-scan count above already proves the reuse happened
+    # (ADVICE r10)
+    if delim in plan:
+        assert "ReusedExchange" in final, final
+
+
+def test_all_scope_sentinel_invariant(spark, sf_dir) -> None:
+    """The merged-rollup scope label 'ALL' used by agg_cms_frequency /
+    agg_topk_sketch (and the 6 older sentinel-scoped rows) is a
+    SENTINEL: a real source literally named 'ALL' would silently merge
+    with the rollup row.  Pin the fixture-level invariant the sentinel
+    rests on (ADVICE r10)."""
+    srcs = {
+        r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert srcs and "ALL" not in srcs, srcs
+
+
+def test_ivf_versioned_guard_covers_internal_names(spark) -> None:
+    """The versioned-serving guard must reject version columns that
+    collide with ANY internal name ivf_topk creates mid-pipeline —
+    including the cell-scoring/ranking columns (cscore, rn, score,
+    rank), which would otherwise surface as a confusing ambiguous-
+    column analysis error deep in the plan (ADVICE r10)."""
+    import pytest as _pytest
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    df = spark.createDataFrame([(1, [0.0, 1.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    for bad in ("cscore", "rn", "score", "rank", "cell_id", "q_vec"):
+        with _pytest.raises(ValueError, match="internal names"):
+            ivf_topk(df, df, query_version_col=bad, index_version_col="_iv")
+        with _pytest.raises(ValueError, match="internal names"):
+            ivf_topk(df, df, query_version_col="_qv", index_version_col=bad)
+    with _pytest.raises(ValueError, match="distinct"):
+        ivf_topk(df, df, query_version_col="_v", index_version_col="_v")
