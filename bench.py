@@ -91,7 +91,25 @@ def wait_for_idle_host(max_wait_sec: float) -> dict:
         "loadavg_at_start": [la1, la5, la15],
         "idle_at_start": la1 < IDLE_LOADAVG_1M and la5 < IDLE_LOADAVG_5M,
         "idle_wait_sec": round(waited, 1),
+        # diagnostic only, NOT part of the gate (VERDICT r10 item 7): a
+        # loadavg-idle host can still be memory/cache-contaminated right
+        # after a heavy suite (the judge's 9.14 s post-pytest run); the
+        # free-memory reading at attempt start makes that adjudicable
+        # from the artifact alone
+        "mem_available_gb": _mem_available_gb(),
     }
+
+
+def _mem_available_gb() -> float | None:
+    """MemAvailable from /proc/meminfo in GiB (None off-Linux)."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    return round(int(line.split()[1]) / (1024 * 1024), 1)
+    except OSError:
+        pass
+    return None
 
 
 #: Non-headline tracking tier: the heaviest post-r1 operators, timed
@@ -213,32 +231,68 @@ def main() -> None:
 
     idle_attempts = [a for a in attempts if a["idle_at_start"]]
     best = min(idle_attempts or attempts, key=lambda a: a["value"])
-    print(
-        json.dumps(
+    for line in artifact_lines(best, attempts, sf_from_dir(sf_dir)):
+        print(line)
+
+
+#: The driver captures only the LAST ~2000 chars of stdout and parses the
+#: last complete JSON line in it.  BENCH_r10's single detailed line
+#: outgrew that window (runs + tracking_runs + attempt histories), so the
+#: official artifact lost its machine-readable headline (`parsed: null`;
+#: VERDICT r10 item 2).  The compact summary line printed LAST must
+#: therefore stay comfortably inside the capture window — raise the
+#: budget test in tests/test_bench_artifact.py before growing it.
+DRIVER_TAIL_CHARS = 2000
+
+
+def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
+    """The machine-readable headline record: per-query/tracking MINS and
+    idle attestation only — no raw runs, no per-pass loadavgs."""
+    return {
+        "metric": "headline_suite_seconds",
+        "unit": "sec",
+        "sf": sf,
+        "value": best["value"],
+        "queries": best["queries"],
+        "tracking": best["tracking"],
+        "idle_at_start": best["idle_at_start"],
+        "idle_wait_sec": best["idle_wait_sec"],
+        "loadavg_at_start": best["loadavg_at_start"],
+        "mem_available_gb": best.get("mem_available_gb"),
+        "attempts": len(attempts),
+        "attempt_values": [a["value"] for a in attempts],
+        "attempt_idle": [a["idle_at_start"] for a in attempts],
+    }
+
+
+def artifact_lines(best: dict, attempts: list[dict], sf: float) -> list[str]:
+    """Two JSON lines: the full detailed record FIRST (humans, history),
+    then the compact summary LAST so the driver's bounded tail capture
+    always ends with a complete, parseable record."""
+    detailed = {
+        "metric": "headline_suite_seconds_detailed",
+        "unit": "sec",
+        "sf": sf,
+        **best,
+        "tracking_note": (
+            "tracking tier (non-headline): best-of-3 per attempt, "
+            "run after the headline passes; EXCLUDED from `value` "
+            "and from round-over-round comparison until 3 rounds "
+            "of history exist (first artifact: BENCH_r10)"
+        ),
+        "attempts": len(attempts),
+        "attempt_summaries": [
             {
-                "metric": "headline_suite_seconds",
-                "unit": "sec",
-                "sf": sf_from_dir(sf_dir),
-                **best,
-                "tracking_note": (
-                    "tracking tier (non-headline): best-of-3 per attempt, "
-                    "run after the headline passes; EXCLUDED from `value` "
-                    "and from round-over-round comparison until 3 rounds "
-                    "of history exist (first artifact: BENCH_r10)"
-                ),
-                "attempts": len(attempts),
-                "attempt_summaries": [
-                    {
-                        "value": a["value"],
-                        "idle_at_start": a["idle_at_start"],
-                        "idle_wait_sec": a["idle_wait_sec"],
-                        "loadavg_at_start": a["loadavg_at_start"],
-                    }
-                    for a in attempts
-                ],
+                "value": a["value"],
+                "idle_at_start": a["idle_at_start"],
+                "idle_wait_sec": a["idle_wait_sec"],
+                "loadavg_at_start": a["loadavg_at_start"],
+                "mem_available_gb": a.get("mem_available_gb"),
             }
-        )
-    )
+            for a in attempts
+        ],
+    }
+    return [json.dumps(detailed), json.dumps(compact_summary(best, attempts, sf))]
 
 
 if __name__ == "__main__":

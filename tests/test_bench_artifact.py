@@ -1,0 +1,129 @@
+"""Tail-proof bench artifact (VERDICT r10 item 2).
+
+BENCH_r10.json shipped ``parsed: null``: bench.py printed ONE JSON line
+carrying raw runs + tracking runs + attempt histories, which outgrew the
+driver's ~2000-char stdout tail capture, so the captured tail began
+mid-line and no complete JSON record survived.  bench.py now prints the
+detailed record first and a COMPACT summary line LAST; these tests pin
+that the compact line (a) survives the driver's bounded tail capture
+byte-for-byte even after an oversized detailed line and arbitrary
+progress-bar noise, and (b) carries the headline fields the judge needs.
+
+No Spark session required — pure artifact-formatting tests.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _bench():
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("bench_mod", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+#: Realistic worst case: the 12 pinned headline queries (longest real
+#: names) plus the 4 tracking queries, 5 runs each, 6 attempts — wider
+#: than any artifact shipped so far (r10 had 3 attempts).
+_HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "pipeline_corpus_curation",
+    "events_sessionize",
+    "events_tumbling_counts",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_term_frequency",
+)
+
+
+def _fake_attempt(bench, offset: float) -> dict:
+    runs = {n: [round(1.2345 + offset + 0.01 * i, 4) for i in range(5)] for n in _HEADLINE}
+    tracking_runs = {
+        n: [round(6.7891 + offset + 0.01 * i, 4) for i in range(3)]
+        for n in bench.TRACKING_QUERIES
+    }
+    timings = {n: min(r) for n, r in runs.items()}
+    return {
+        "value": round(sum(timings.values()), 4),
+        "queries": timings,
+        "runs": runs,
+        "loadavg_1m_per_pass": [0.86, 0.95, 1.03, 0.95, 0.88],
+        "tracking": {n: min(r) for n, r in tracking_runs.items()},
+        "tracking_runs": tracking_runs,
+        "loadavg_at_start": [0.86, 1.99, 3.99],
+        "idle_at_start": offset == 0.0,
+        "idle_wait_sec": 75.0,
+        "mem_available_gb": 101.3,
+    }
+
+
+def test_compact_line_fits_driver_tail_budget() -> None:
+    bench = _bench()
+    attempts = [_fake_attempt(bench, 0.1 * i) for i in range(6)]
+    best = attempts[0]
+    detailed, compact = bench.artifact_lines(best, attempts, 0.1)
+    # the detailed line genuinely needs the second line (regression
+    # guard on the test itself: if detailed ever fits, this scenario
+    # stops exercising truncation)
+    assert len(detailed) > bench.DRIVER_TAIL_CHARS
+    # compact line + newline must fit the tail with margin for the
+    # driver's own framing
+    assert len(compact) + 1 <= bench.DRIVER_TAIL_CHARS - 200, len(compact)
+
+
+def test_tail_capture_parses_compact_line() -> None:
+    """Replay the driver's capture: concatenate progress-bar noise, the
+    oversized detailed line, and the compact line; keep only the last
+    DRIVER_TAIL_CHARS chars; the last complete line must json-parse to
+    the headline record."""
+    bench = _bench()
+    attempts = [_fake_attempt(bench, 0.1 * i) for i in range(6)]
+    best = attempts[0]
+    noise = "\r".join(f"[Stage {i}:=====> (31 + 1) / 32]" for i in range(40))
+    stdout = noise + "\n" + "\n".join(bench.artifact_lines(best, attempts, 0.1)) + "\n"
+    tail = stdout[-bench.DRIVER_TAIL_CHARS:]
+    last_line = tail.splitlines()[-1]
+    parsed = json.loads(last_line)
+    assert parsed["metric"] == "headline_suite_seconds"
+    assert parsed["value"] == best["value"]
+    assert parsed["queries"] == best["queries"]
+    assert parsed["tracking"] == best["tracking"]
+    assert parsed["idle_at_start"] is True
+    assert parsed["attempts"] == 6
+    assert parsed["attempt_values"] == [a["value"] for a in attempts]
+
+
+def test_detailed_line_prints_first_and_keeps_history() -> None:
+    bench = _bench()
+    attempts = [_fake_attempt(bench, 0.1 * i) for i in range(2)]
+    best = attempts[1]
+    detailed_line, compact_line = bench.artifact_lines(best, attempts, 0.01)
+    detailed = json.loads(detailed_line)
+    assert detailed["metric"] == "headline_suite_seconds_detailed"
+    assert detailed["runs"] == best["runs"]
+    assert detailed["tracking_runs"] == best["tracking_runs"]
+    assert [a["value"] for a in detailed["attempt_summaries"]] == [
+        a["value"] for a in attempts
+    ]
+    assert detailed["attempt_summaries"][0]["mem_available_gb"] == 101.3
+    compact = json.loads(compact_line)
+    assert compact["sf"] == 0.01
+    assert compact["value"] == best["value"]
+
+
+def test_mem_available_reads_on_linux() -> None:
+    bench = _bench()
+    got = bench._mem_available_gb()
+    assert got is None or got > 0
