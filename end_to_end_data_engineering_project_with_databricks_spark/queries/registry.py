@@ -48,24 +48,23 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-10 rotation (VERDICT r9 item 2) ========
-    # Freshness program: after r9 no driver row is older than r3
-    # (17 r3 rows + 39 r4 rows remain stale).  This window re-attests
-    # ALL 17 r3 rows plus the 21 highest-churn r4 rows (dedup/agg/text/
-    # emb/events/graph/stream families — the modules r9-r10 touched
-    # most); with the 5 pinned anchors and the 7 new r10
-    # queries that is the full 50 (new queries take slots immediately
-    # per the standing rule, displacing the r4 tail one-for-one).
-    # Exact r11 rotation backlog (18 rows, latest driver row = r4):
-    # higher_order_functions, ids_sequential_assignment, map_functions,
-    # mm_bmp_decode, pandas_apply_minmax_norm, pandas_rolling_minmax,
-    # pipeline_declarative_tables, pipeline_pack_sequences,
-    # sample_per_group_cap, sample_stratified_sources,
-    # sample_systematic, sink_dynamic_partition_overwrite,
-    # sink_versioned_schema_evolution, source_jsonlines_roundtrip,
-    # source_python_datasource_stream, sql_identifier_clause,
-    # sql_scalar_udf, udtf_table_arg_user_stats — fill r11's free slots
-    # with these first, then the oldest r5 rows.
+    # ======== round-11 rotation (VERDICT r10 item 1) ========
+    # Freshness program: after r10 the stale tail is 18 r4 rows + 45 r5
+    # rows.  This window re-attests the FULL 18-row r4 backlog (named by
+    # the r10 registry comment and VERDICT r10 item 1) plus 26 of the 45
+    # r5 rows, chosen round-robin across families so every query family
+    # keeps a fresh external attestation; with the 5 pinned anchors and
+    # the 1 new r11 query that is the full 50 (a new query takes a slot
+    # immediately per the standing rule).
+    # Exact r12 rotation backlog (19 rows, latest driver row = r5):
+    # dedup_ngram_jaccard, dedup_oph_accuracy, dedup_simhash_accuracy,
+    # emb_pca_quality, events_transition_matrix, join_point_in_time_scd2,
+    # mm_wav_decode, pandas_grouped_agg_range, sim_ivf_recall,
+    # sim_rp_lsh_recall, sink_versioned_history, source_xml_roundtrip,
+    # sql_parameterized, stream_static_join, stream_stream_join,
+    # stream_stream_left_join, text_bpe_apply, text_quality_scores,
+    # text_rolling_fingerprint — fill r12's free slots with these first,
+    # then the oldest r6 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -74,59 +73,59 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- oldest-first re-attestation: latest driver row = r3 (all 17) --
-    "agg_exact_corr_regression",
-    "emb_label_centroids",
-    "events_asof_purchase_click",
-    "events_forward_fill",
-    "events_hierarchical_rollup",
-    "events_sessionize",
-    "events_sliding_windows",
-    "events_tumbling_counts",
-    "json_functions",
-    "sink_versioned_vacuum_travel",
-    "sink_versioned_zorder_skipping",
-    "source_orc_roundtrip",
-    "source_text_wordcount",
-    "sql_lateral_topk_per_group",
-    "sql_listagg_nations",
-    "sql_variant_extraction",
-    "udtf_parse_delimited_dynamic",
-    # -- latest driver row = r4, highest-churn families first --
-    "dedup_cluster_canonical",
-    "dedup_containment",
-    "dedup_cross_source_leakage",
-    "agg_bitmap_exact_distinct",
-    "agg_heavy_hitter_tokens",
-    "agg_histogram_width_bucket",
-    "agg_percentile_disc",
-    "text_bm25_search",
-    "text_bpe_pair_merges",
-    "text_chunk_dedup_rewrite",
-    "text_pmi_collocations",
-    "text_repetition_filter",
-    "text_zipf_token_share",
-    "emb_int8_quantization",
-    "emb_minmax_scaling",
-    "events_funnel",
-    "events_gap_detection",
-    "graph_pagerank_fixed_point",
-    "graph_triangle_count",
-    "stream_matview_pipeline",
-    "stream_multibatch_tumbling",
-    # -- new in r10 (a new query takes a slot immediately, displacing
-    #    the r4 tail one-for-one; displaced rows join the r11 backlog:
-    #    source_jsonlines_roundtrip, source_python_datasource_stream
-    #    moved there when the CMS pair landed,
-    #    sink_versioned_schema_evolution when stream_cms_merge did,
-    #    sink_dynamic_partition_overwrite when agg_topk_sketch did) --
-    "agg_quantile_sketch",
-    "dedup_minhash_ml",
-    "agg_theta_sketch_setops",
-    "agg_cms_frequency",
-    "agg_cms_join_size",
-    "stream_cms_merge",
-    "agg_topk_sketch",
+    # -- oldest-first re-attestation: latest driver row = r4 (all 18) --
+    "higher_order_functions",
+    "ids_sequential_assignment",
+    "map_functions",
+    "mm_bmp_decode",
+    "pandas_apply_minmax_norm",
+    "pandas_rolling_minmax",
+    "pipeline_declarative_tables",
+    "pipeline_pack_sequences",
+    "sample_per_group_cap",
+    "sample_stratified_sources",
+    "sample_systematic",
+    "sink_dynamic_partition_overwrite",
+    "sink_versioned_schema_evolution",
+    "source_jsonlines_roundtrip",
+    "source_python_datasource_stream",
+    "sql_identifier_clause",
+    "sql_scalar_udf",
+    "udtf_table_arg_user_stats",
+    # -- latest driver row = r5: 26 of 45, round-robin one per family
+    #    (second dedup row fills the last slot) so no family goes
+    #    unattested this round; the 19 deferred rows are the named r12
+    #    backlog above --
+    "agg_modern_pack",
+    "array_functions",
+    "conditional_functions",
+    "dedup_incremental_equivalence",
+    "dedup_minhash_accuracy",
+    "emb_pca_project",
+    "events_linear_interpolation",
+    "in_subquery_building_orders",
+    "join_interval_overlap",
+    "json_agg_stats",
+    "math_functions",
+    "mm_png_decode",
+    "pandas_cogroup_asof",
+    "pipeline_text_pretrain_shards",
+    "pivot_nation_segments",
+    "sim_ivf_kmeans_fullprobe",
+    "sink_versioned_delete_compact",
+    "source_file_metadata",
+    "sql_lateral_column_alias",
+    "stream_sliding_counts",
+    "text_blocklist_filter",
+    "try_functions",
+    "udtf_char_ngrams",
+    "union_by_name",
+    "unpivot_lineitem_measures",
+    "window_percent_rank_cume_dist",
+    # -- new in r11 (takes a slot immediately per the standing rule;
+    #    the slot came out of the r5 tier, whose deferred rows are the
+    #    named r12 backlog) --
+    "join_cms_adaptive_strategy",
 )
 
 
