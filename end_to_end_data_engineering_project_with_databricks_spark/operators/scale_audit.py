@@ -856,3 +856,82 @@ def cms_growth_stats(
     }
     bg.unpersist()
     return out
+
+
+def stock_sketch_state_growth_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict:
+    """State growth for the three STOCK DataSketches aggregation tiers
+    (VERDICT r10 item 4 — the CMS protocol, mirrored): KLL quantiles
+    (queries/relational_extra.agg_quantile_sketch), theta distinct/set
+    algebra (queries/relational.agg_theta_sketch_setops), and
+    frequent-items top-k (queries/relational.agg_topk_sketch).
+
+    The fixed-state claims differ per family, so the measures do too —
+    each is the SERIALIZED aggregation state (``length(<agg>)`` bytes),
+    i.e. exactly what one executor ships at shuffle for that sketch:
+
+    - ``kll_bytes``: KLL state grows O(k_param * log(n/k_param))
+      (Karnin-Lang-Liberty FOCS'16) — near-flat across our 16x stream
+      growth; measured over the hashed-bigram value stream so the
+      VALUE domain grows ~k-fold (the regime where an exact quantile
+      computation must carry the full distinct-value set).
+    - ``theta_bytes``: theta hash-threshold sampling retains <= nominal
+      entries once the distinct count exceeds 2^lgK.  The audit uses
+      lgK=6 so the fixture bigram domain (916 distinct at k=1) is deep
+      in the SATURATED regime at every k — the same mechanism as the
+      production lgK=12, smaller constant.  ``theta_exactmode_bytes``
+      (lgK=12) is the CONTRAST row: below 4096 distincts theta is in
+      exact mode and its state tracks the domain, so its measured
+      growth proves the probe can detect state growth when it exists
+      (the simhash-knee pattern).
+    - ``topk_bytes``: frequent-items state is HARD-CAPPED by
+      maxItemsTracked (=64 here): the internal map doubles toward that
+      cap and never past it, so bytes may grow sub-linearly while
+      small but are bounded by a constant independent of stream or
+      domain size.  Measured over the TOKEN stream (hub tokens are
+      genuine heavy hitters, so the sketch is exercised in its
+      designed regime — ``topk_tracked_top10`` stays non-zero);
+      bigrams have no heavy hitters and the purge logic empties the
+      sketch, which would measure eviction noise, not state.
+
+    Contrast rows: ``exact_bigram_rows`` / ``exact_token_rows`` are the
+    distinct counts an exact computation's state must carry — both grow
+    ~k-fold under ``replicate_documents`` token tagging."""
+    d = scale_out(docs)
+    bg = (
+        d.select(tokens(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_tk) - 1), "
+                    "i -> concat(element_at(_tk, i), ' ', element_at(_tk, i + 1)))"
+                )
+            ).alias("b")
+        )
+        .persist()
+    )
+    toks = d.select(F.explode(tokens(text_col)).alias("t")).persist()
+    brow = bg.selectExpr(
+        "count(*) AS n_items_bigrams",
+        "length(kll_sketch_agg_double("
+        "CAST(pmod(xxhash64(b), 1000003) AS DOUBLE))) AS kll_bytes",
+        "length(theta_sketch_agg(b, 6)) AS theta_bytes",
+        "length(theta_sketch_agg(b, 12)) AS theta_exactmode_bytes",
+    ).collect()[0]
+    trow = toks.selectExpr(
+        "count(*) AS n_items_tokens",
+        "length(approx_top_k_accumulate(t, 64).sketch) AS topk_bytes",
+        "size(approx_top_k_estimate(approx_top_k_accumulate(t, 64), 10))"
+        " AS topk_tracked_top10",
+    ).collect()[0]
+    out = {
+        **brow.asDict(),
+        **trow.asDict(),
+        "exact_bigram_rows": bg.distinct().count(),
+        "exact_token_rows": toks.distinct().count(),
+    }
+    bg.unpersist()
+    toks.unpersist()
+    return out

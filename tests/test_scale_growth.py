@@ -508,3 +508,48 @@ def test_cms_sketch_state_is_corpus_size_independent(doc_replicas) -> None:
     assert sketch_exp <= 0.2, (sketch_exp, stats)
     for k, s in stats.items():
         assert s["sketch_state_rows"] <= s["sketch_state_cap"], (k, s)
+
+
+def test_stock_sketch_state_is_bounded(doc_replicas) -> None:
+    """VERDICT r10 item 4 — the CMS state protocol extended to the three
+    STOCK DataSketches tiers (operators/scale_audit.
+    stock_sketch_state_growth_stats): serialized aggregation state must
+    stay (near-)flat while the exact-computation state (distinct
+    bigrams/tokens — the contrast rows) grows ~k-fold.
+
+    Per-family regime (measured at calibration, pinned here):
+    - KLL (quantiles): O(k log n) state — exponent ~0.02, <= 8 KiB;
+    - theta lgK=6 (distinct/set algebra): saturated hash-threshold
+      sample — exponent ~-0.03, <= 2 KiB; the lgK=12 CONTRAST is in
+      exact mode below 4096 distincts, so its state must GROW (~0.5) —
+      the proof this probe detects state growth when it exists;
+    - frequent-items (top-k, maxItemsTracked=64): internal map doubles
+      toward the hard cap, never past it — exponent <= 0.6 while
+      small, bytes hard-capped <= 4 KiB, and the sketch keeps tracking
+      genuine heavy hitters (hub tokens) at every k."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        stock_sketch_state_growth_stats,
+    )
+
+    stats = {k: stock_sketch_state_growth_stats(doc_replicas[k]) for k in KS}
+    bg_pts = [(s["n_items_bigrams"], s) for s in stats.values()]
+    tok_pts = [(s["n_items_tokens"], s) for s in stats.values()]
+    exact_bg = growth_exponent([(n, s["exact_bigram_rows"]) for n, s in bg_pts])
+    exact_tok = growth_exponent([(n, s["exact_token_rows"]) for n, s in tok_pts])
+    kll = growth_exponent([(n, s["kll_bytes"]) for n, s in bg_pts])
+    theta = growth_exponent([(n, s["theta_bytes"]) for n, s in bg_pts])
+    theta_exact = growth_exponent(
+        [(n, s["theta_exactmode_bytes"]) for n, s in bg_pts]
+    )
+    topk = growth_exponent([(n, s["topk_bytes"]) for n, s in tok_pts])
+    assert exact_bg >= 0.8, (exact_bg, stats)
+    assert exact_tok >= 0.8, (exact_tok, stats)
+    assert kll <= 0.2, (kll, stats)
+    assert theta <= 0.2, (theta, stats)
+    assert theta_exact >= 0.3, (theta_exact, stats)  # the knee contrast
+    assert topk <= 0.6, (topk, stats)
+    for k, s in stats.items():
+        assert s["kll_bytes"] <= 8192, (k, s)
+        assert s["theta_bytes"] <= 2048, (k, s)
+        assert s["topk_bytes"] <= 4096, (k, s)
+        assert s["topk_tracked_top10"] >= 1, (k, s)
