@@ -500,7 +500,17 @@ def containment_lsh_ensemble_pairs(
     trades its own recall against its own candidate count, the knob the
     paper optimizes per partition; the strata bounds here are fixture-
     calibrated literals, a deployment derives them from the size
-    histogram (a one-pass aggregate)."""
+    histogram (a one-pass aggregate).
+
+    Measured memory footprint (r11 10x probe, docs/SCALE.md): this is
+    the SUITE'S largest per-task working set — at 50k docs / 32 local
+    threads the end-to-end run peaks at ~3 GB JVM in-use (the fused
+    band join's sort plus the verify's full candidate shingle sets),
+    i.e. budget >= ~100 MB per concurrent task at ~1.6k docs/task.  On
+    a 1 GiB-total stock local JVM (~30 MB/task) the 10x run OOMs —
+    engine sizing, not plan shape: every join is size-decided by AQE,
+    and at real scale the doc-stratum map exceeds every broadcast
+    threshold and shuffles on the id automatically."""
     rows_total = num_hashes
     sigs = minhash_signatures(
         df, id_col, text_col, rows_total, shingle_k

@@ -56,15 +56,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # keeps a fresh external attestation; with the 5 pinned anchors and
     # the 1 new r11 query that is the full 50 (a new query takes a slot
     # immediately per the standing rule).
-    # Exact r12 rotation backlog (19 rows, latest driver row = r5):
+    # Exact r12 rotation backlog (20 rows, latest driver row = r5):
     # dedup_ngram_jaccard, dedup_oph_accuracy, dedup_simhash_accuracy,
     # emb_pca_quality, events_transition_matrix, join_point_in_time_scd2,
     # mm_wav_decode, pandas_grouped_agg_range, sim_ivf_recall,
     # sim_rp_lsh_recall, sink_versioned_history, source_xml_roundtrip,
     # sql_parameterized, stream_static_join, stream_stream_join,
     # stream_stream_left_join, text_bpe_apply, text_quality_scores,
-    # text_rolling_fingerprint — fill r12's free slots with these first,
-    # then the oldest r6 rows.
+    # text_rolling_fingerprint, window_percent_rank_cume_dist (displaced
+    # when agg_cms_skew_routing landed) — fill r12's free slots with
+    # these first, then the oldest r6 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -121,11 +122,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "udtf_char_ngrams",
     "union_by_name",
     "unpivot_lineitem_measures",
-    "window_percent_rank_cume_dist",
-    # -- new in r11 (takes a slot immediately per the standing rule;
-    #    the slot came out of the r5 tier, whose deferred rows are the
-    #    named r12 backlog) --
+    # -- new in r11 (each takes a slot immediately per the standing
+    #    rule; the slots came out of the r5 tier, whose deferred rows
+    #    are the named r12 backlog — window_percent_rank_cume_dist was
+    #    displaced when agg_cms_skew_routing landed) --
     "join_cms_adaptive_strategy",
+    "agg_cms_skew_routing",
 )
 
 

@@ -1808,7 +1808,11 @@ def agg_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimated by min over hash rows of sum_b skL[row][b]*skO[row][b]
     (Cormode & Muthukrishnan '05 §4.2; operators/sketches.py).  This is
     the planner-grade capability behind the repo's broadcast/skew join
-    decisions at 100 TB: each side is summarized ONCE into d=4 x
+    decisions at 100 TB — and since r11 it actually DRIVES one:
+    :func:`cms_adaptive_join` (join_cms_adaptive_strategy) consults
+    exactly this estimate to pick broadcast vs shuffle-merge, with the
+    decision oracle-replayed and both physical plans pinned.  Each side
+    is summarized ONCE into d=4 x
     w=16384 counters (map-side combined hash aggregate, fixed size no
     matter the table size, mergeable across partitions by counter SUM),
     and any pairwise join cardinality between summarized tables is then
@@ -2060,3 +2064,143 @@ def join_cms_adaptive_strategy(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds — see that docstring for the maintain/consult/decide
     design, the per-scale decision table, and the collect-audit note."""
     return cms_adaptive_join(spark, sf_dir)
+
+
+def cms_skew_routed_distinct(
+    spark: SparkSession, sf_dir: str, reducer_share_parts: int = 32
+) -> DataFrame:
+    """Per-event-type (COUNT DISTINCT user, exact SUM) where the
+    AGGREGATION STRATEGY is chosen by the Count-Min heavy-key estimate —
+    the SKEW half of the sketch-to-decision loop (cms_adaptive_join is
+    the broadcast half; together they close agg_cms_join_size's
+    "broadcast/skew decisions" claim):
+
+    1. MAINTAIN: the event_type CMS (d=4 x w=512) is built in one scan
+       and persisted to the same parquet statistics catalog.
+    2. CONSULT: two sketch reads, no data touched —
+       ``est_max_key_rows = min_i max_b sk[i][b]`` (each hash row's max
+       cell dominates the heaviest key's count, so the min over rows is
+       a one-sided OVER-estimate of the heaviest key mass — with 5
+       types in 512 buckets it recovers the exact max: 210 / 2,017 /
+       20,302 at sf0.001/0.01/0.1) and ``est_total_rows = sum(c)/d``
+       (exact).
+    3. DECIDE: route to the explicit two-stage skew_resistant_agg iff
+       ``est_max_key_rows * reducer_share_parts > est_total_rows`` —
+       i.e. the heaviest key's distinct-set state would exceed an even
+       reducer share, the regime where countDistinct's one-stage plan
+       melts a single reducer at 100 TB (operators/scaling.py).  The
+       fixture's 5 hot types trip the rule at every scale, so the
+       registry row exercises the two-stage branch; the plan test
+       forces the one-stage branch via the ``reducer_share_parts``
+       knob and pins both plans (tests/test_round11_ops.py).
+
+    HASH-EXACT oracle including the DECISION (same contract as
+    cms_adaptive_join): estimates and the routing CASE are
+    deterministic integer algebra DuckDB replays; the aggregate is
+    decision-invariant because skew_resistant_agg is bit-equal to the
+    one-stage plan by construction (exact fixed-point sum splits).
+
+    Collect audit: two 1-row reads over a <= d*w-counter relation —
+    planner statistics, metadata-sized."""
+    import os
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        skew_resistant_agg,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_D,
+        CMS_W_FREQ,
+        cms_stack_spark,
+        cms_u_spark,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, sf_dir, ("events",))
+    w = CMS_W_FREQ
+    sk_path = os.path.join(_stats_dir(sf_dir), "sk_events_event_type")
+    spark.sql(
+        f"""
+        SELECT i, bkt, COUNT(*) AS c FROM (
+          SELECT {cms_stack_spark("u", w)} AS (i, bkt)
+          FROM (SELECT {cms_u_spark("event_type")} AS u FROM events)
+        ) GROUP BY i, bkt
+        """
+    ).coalesce(1).write.mode("overwrite").parquet(sk_path)
+    sk = spark.read.parquet(sk_path)
+    rowmax = sk.groupBy("i").agg(F.max("c").alias("mx"))
+    est_max = int(rowmax.agg(F.min("mx")).collect()[0][0])
+    est_total = int(sk.agg(F.expr(f"sum(c) DIV {CMS_D}")).collect()[0][0])
+    two_stage = est_max * reducer_share_parts > est_total
+
+    ev = load_table(spark, sf_dir, "events")
+    if two_stage:
+        agg = skew_resistant_agg(
+            ev, keys=["event_type"], distinct_col="user_id", value_col="value"
+        )
+    else:
+        agg = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_distinct"),
+            dsum("value").alias("total_value"),
+        )
+    return (
+        agg.withColumn("est_max_key_rows", F.lit(est_max).cast("long"))
+        .withColumn("est_total_rows", F.lit(est_total).cast("long"))
+        .withColumn(
+            "agg_strategy", F.lit("two_stage" if two_stage else "one_stage")
+        )
+    )
+
+
+def _cms_skew_oracle(reducer_share_parts: int = 32) -> str:
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.sketches import (
+        CMS_D,
+        CMS_W_FREQ,
+        cms_arms_duck,
+        cms_u_duck,
+    )
+
+    w = CMS_W_FREQ
+    arms = cms_arms_duck(
+        "", "u", f"(SELECT {cms_u_duck('event_type')} AS u FROM events) te", w
+    )
+    return f"""
+    WITH sk AS (
+      SELECT i, bkt, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      {arms}
+      ) GROUP BY i, bkt
+    ),
+    rowmax AS (SELECT i, MAX(c) AS mx FROM sk GROUP BY i),
+    est AS (
+      SELECT (SELECT MIN(mx) FROM rowmax) AS est_max_key_rows,
+             (SELECT CAST(SUM(c) // {CMS_D} AS BIGINT) FROM sk)
+               AS est_total_rows
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+             {sql_dsum("value")} AS total_value
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_distinct, a.total_value,
+           e.est_max_key_rows, e.est_total_rows,
+           CASE WHEN e.est_max_key_rows * {reducer_share_parts}
+                     > e.est_total_rows
+                THEN 'two_stage' ELSE 'one_stage'
+           END AS agg_strategy
+    FROM agg a, est e
+    """
+
+
+@query(
+    "agg_cms_skew_routing",
+    oracle=_cms_skew_oracle(),
+    tags=("agg", "sketch", "skew", "planner"),
+)
+def agg_cms_skew_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry for :func:`cms_skew_routed_distinct` at the
+    default reducer-share rule — see that docstring for the
+    maintain/consult/decide design and the per-scale estimates."""
+    return cms_skew_routed_distinct(spark, sf_dir)

@@ -48,3 +48,55 @@ def test_cms_adaptive_join_default_decision_at_fixture_scale(spark, sf_dir) -> N
     exact = sum(r["n_rows"] for r in rows)
     assert exact == 1995
     assert ej >= exact  # the one-sided CMS inner-product guarantee
+
+
+def test_cms_skew_routing_both_branches_pinned(spark, sf_dir) -> None:
+    """The reducer-share knob forces each routing decision; the chosen
+    AGGREGATION plan must match it — the two-stage branch's plan
+    carries the explicit exact-sum partial columns (_hi/_lo) and an
+    inner aggregate keyed on (event_type, user_id), the one-stage
+    branch does not — and the ANSWER must be decision-invariant:
+    identical rows (including the sketch-estimate columns) from both
+    plans."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.relational_extra import (
+        cms_skew_routed_distinct,
+    )
+
+    ts = cms_skew_routed_distinct(spark, sf_dir)  # default: rule trips
+    os_ = cms_skew_routed_distinct(spark, sf_dir, reducer_share_parts=2)
+    assert ts.select("agg_strategy").first()[0] == "two_stage"
+    assert os_.select("agg_strategy").first()[0] == "one_stage"
+    tp = ts._jdf.queryExecution().sparkPlan().toString()
+    op = os_._jdf.queryExecution().sparkPlan().toString()
+    assert "_hi" in tp and "_lo" in tp, tp
+    assert "_hi" not in op and "_lo" not in op, op
+    a = {tuple(r) for r in ts.drop("agg_strategy").collect()}
+    b = {tuple(r) for r in os_.drop("agg_strategy").collect()}
+    assert a == b
+
+
+def test_cms_skew_routing_estimates_pinned(spark, sf_dir) -> None:
+    """At sf0.001 the sketch estimates are pinned constants — with only
+    5 event types in 512 buckets the CMS row-max recovers the EXACT
+    heaviest-type count (210) and the counter sum recovers the exact
+    total (1000) — so the default reducer-share rule (x32) trips.  The
+    one-sided guarantee est_max >= true max is structural."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.relational_extra import (
+        cms_skew_routed_distinct,
+    )
+
+    rows = cms_skew_routed_distinct(spark, sf_dir).collect()
+    assert len(rows) == 5
+    (emax,) = {r["est_max_key_rows"] for r in rows}
+    (etot,) = {r["est_total_rows"] for r in rows}
+    assert (emax, etot) == (210, 1000)
+    truth = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .agg(F.max("c"), F.sum("c"))
+        .first()
+    )
+    assert emax >= truth[0] and etot == truth[1]
