@@ -510,7 +510,19 @@ def containment_lsh_ensemble_pairs(
     a 1 GiB-total stock local JVM (~30 MB/task) the 10x run OOMs —
     engine sizing, not plan shape: every join is size-decided by AQE,
     and at real scale the doc-stratum map exceeds every broadcast
-    threshold and shuffles on the id automatically."""
+    threshold and shuffles on the id automatically.
+
+    Verify-strategy A/B (r11, measured before keeping this shape): a
+    join-based overlap verify — count shared (pair, shingle) rows
+    through two equi-joins instead of building per-doc sorted arrays —
+    is row-IDENTICAL at sf0.01/sf0.1 but 1.3x slower at sf0.1 (8.1 s
+    vs 6.1 s best-of-3) and 2.4x slower at 10x (69 s vs 29 s, 16 GB
+    heap): it re-shuffles the corpus shingle relation twice keyed by
+    (id, shingle), while the array build pays one groupBy.  It also
+    does NOT widen the memory envelope, because the 1 GiB binding
+    constraint is the shared CANDIDATE phase, not the verify.  The
+    array verify therefore stays; revisit only for giant-document
+    corpora where a single doc's shingle array itself is the hazard."""
     rows_total = num_hashes
     sigs = minhash_signatures(
         df, id_col, text_col, rows_total, shingle_k
