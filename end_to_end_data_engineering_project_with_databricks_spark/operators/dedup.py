@@ -504,8 +504,9 @@ def containment_lsh_ensemble_pairs(
 
     Measured memory footprint (r11 10x probe, docs/SCALE.md): this is
     the SUITE'S largest per-task working set — at 50k docs / 32 local
-    threads the end-to-end run peaks at ~3 GB JVM in-use (the fused
-    band join's sort plus the verify's full candidate shingle sets),
+    threads the post-query JVM-in-use snapshot reads ~3 GB (the true
+    transient peak is higher: the fused band join's sort plus the
+    verify's full candidate shingle sets),
     i.e. budget >= ~100 MB per concurrent task at ~1.6k docs/task.  On
     a 1 GiB-total stock local JVM (~30 MB/task) the 10x run OOMs —
     engine sizing, not plan shape: every join is size-decided by AQE,

@@ -106,8 +106,15 @@ def skew_resistant_agg(
         dsum_partial_hi(value_col).alias("_hi"),
         dsum_partial_lo(value_col).alias("_lo"),
     )
+    # count(distinct_col), NOT count(*): a NULL distinct value forms a
+    # stage-1 group like any other (its value partials must fold into
+    # total_value, matching the one-stage SUM over all rows), but
+    # COUNT(DISTINCT x) semantics exclude NULL — counting rows here
+    # would silently report one extra distinct on NULL-bearing keys
+    # (ADVICE-class r11 review finding; regression-pinned in
+    # tests/test_round11_ops.py)
     return stage1.groupBy(*keys).agg(
-        F.count("*").alias("n_distinct"),
+        F.count(F.col(distinct_col)).alias("n_distinct"),
         dsum_merge("_hi", "_lo").alias("total_value"),
     )
 

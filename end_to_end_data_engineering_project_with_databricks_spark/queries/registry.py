@@ -51,11 +51,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # ======== round-11 rotation (VERDICT r10 item 1) ========
     # Freshness program: after r10 the stale tail is 18 r4 rows + 45 r5
     # rows.  This window re-attests the FULL 18-row r4 backlog (named by
-    # the r10 registry comment and VERDICT r10 item 1) plus 26 of the 45
+    # the r10 registry comment and VERDICT r10 item 1) plus 25 of the 45
     # r5 rows, chosen round-robin across families so every query family
     # keeps a fresh external attestation; with the 5 pinned anchors and
-    # the 1 new r11 query that is the full 50 (a new query takes a slot
-    # immediately per the standing rule).
+    # the 2 new r11 queries that is the full 50 (a new query takes a
+    # slot immediately per the standing rule — the second r11 query
+    # displaced the 26th r5 row into the backlog below).
     # Exact r12 rotation backlog (20 rows, latest driver row = r5):
     # dedup_ngram_jaccard, dedup_oph_accuracy, dedup_simhash_accuracy,
     # emb_pca_quality, events_transition_matrix, join_point_in_time_scd2,
@@ -93,9 +94,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sql_identifier_clause",
     "sql_scalar_udf",
     "udtf_table_arg_user_stats",
-    # -- latest driver row = r5: 26 of 45, round-robin one per family
+    # -- latest driver row = r5: 25 of 45, round-robin one per family
     #    (second dedup row fills the last slot) so no family goes
-    #    unattested this round; the 19 deferred rows are the named r12
+    #    unattested this round; the 20 deferred rows are the named r12
     #    backlog above --
     "agg_modern_pack",
     "array_functions",

@@ -1858,10 +1858,17 @@ def _stats_dir(sf_dir: str) -> str:
         import tempfile
 
         _STATS_ROOT = tempfile.mkdtemp(prefix="e2e_spark_cms_stats_")
+    import hashlib
     import os
 
-    leaf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    d = os.path.join(_STATS_ROOT, leaf)
+    # key on the FULL normalized path (leaf kept for readability): two
+    # distinct fixture dirs sharing a basename must not collide on one
+    # overwrite/read catalog path (r11 review finding)
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    leaf = os.path.basename(norm) or "sf"
+    d = os.path.join(
+        _STATS_ROOT, f"{leaf}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+    )
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -1958,9 +1965,12 @@ def cms_adaptive_join(
         .groupBy("i")
         .agg(F.sum(F.col("l.c") * F.col("o.c")).alias("dot"))
     )
-    est_join_rows = int(ip.agg(F.min("dot")).collect()[0][0])
+    # empty build side -> empty sketch -> NULL aggregates: estimate 0
+    # (the join output is empty under either strategy, so the decision
+    # is immaterial there — just don't crash on a valid empty filter)
+    est_join_rows = int(ip.agg(F.min("dot")).collect()[0][0] or 0)
     est_build_rows = int(
-        sko.agg(F.expr(f"sum(c) DIV {CMS_D}")).collect()[0][0]
+        sko.agg(F.expr(f"sum(c) DIV {CMS_D}")).collect()[0][0] or 0
     )
     broadcastable = (
         est_build_rows <= build_threshold_rows
@@ -2131,8 +2141,10 @@ def cms_skew_routed_distinct(
     ).coalesce(1).write.mode("overwrite").parquet(sk_path)
     sk = spark.read.parquet(sk_path)
     rowmax = sk.groupBy("i").agg(F.max("c").alias("mx"))
-    est_max = int(rowmax.agg(F.min("mx")).collect()[0][0])
-    est_total = int(sk.agg(F.expr(f"sum(c) DIV {CMS_D}")).collect()[0][0])
+    # empty input -> NULL aggregates: estimate 0 (result is empty under
+    # either routing, so only the crash matters)
+    est_max = int(rowmax.agg(F.min("mx")).collect()[0][0] or 0)
+    est_total = int(sk.agg(F.expr(f"sum(c) DIV {CMS_D}")).collect()[0][0] or 0)
     two_stage = est_max * reducer_share_parts > est_total
 
     ev = load_table(spark, sf_dir, "events")

@@ -66,21 +66,15 @@ _COPY_TABLES = ("nation", "region")
 #: the 16 bench queries: the pinned 12-query headline suite + the
 #: 4-query tracking tier (bench.py TRACKING_QUERIES)
 def _bench_query_names():
+    import bench  # repo root is on sys.path (top of this file)
+
     from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
         all_specs,
     )
 
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "bench_mod_probe",
-        os.path.join(os.path.dirname(__file__), "..", "bench.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
     registry = all_specs()
     headline = [n for n, s in registry.items() if s.bench]
-    return registry, headline, list(mod.TRACKING_QUERIES)
+    return registry, headline, list(bench.TRACKING_QUERIES)
 
 
 def materialize(src_dir: str, out_dir: str) -> None:

@@ -14,19 +14,16 @@ No Spark session required — pure artifact-formatting tests.
 
 from __future__ import annotations
 
-import importlib.util
 import json
-import os
-import sys
 
 
 def _bench():
-    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
-    spec = importlib.util.spec_from_file_location("bench_mod", path)
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules.setdefault("bench_mod", mod)
-    spec.loader.exec_module(mod)
-    return mod
+    # conftest puts the repo root on sys.path and bench.py guards its
+    # entry point, so a plain import is all that's needed (and caches
+    # normally, unlike a spec_from_file_location re-exec per call)
+    import bench
+
+    return bench
 
 
 #: Realistic worst case: the 12 pinned headline queries (longest real

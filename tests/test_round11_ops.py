@@ -100,3 +100,43 @@ def test_cms_skew_routing_estimates_pinned(spark, sf_dir) -> None:
         .first()
     )
     assert emax >= truth[0] and etot == truth[1]
+
+
+def test_skew_resistant_agg_null_distinct_matches_one_stage(spark) -> None:
+    """r11 review finding, regression-pinned: a NULL distinct value
+    forms a stage-1 group, so stage 2 must COUNT the distinct COLUMN
+    (NULL-excluding, matching COUNT(DISTINCT x) and the DuckDB oracle),
+    while the NULL rows' values still fold into total_value exactly as
+    the one-stage SUM does."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        dsum,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scaling import (
+        skew_resistant_agg,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, 10.0), ("a", 1, 2.5), ("a", 2, 1.0),
+            ("a", None, 7.25), ("a", None, 0.5),
+            ("b", None, 3.0),
+            ("c", 9, 4.0),
+        ],
+        "k string, u int, v double",
+    )
+    two = {
+        r["k"]: (r["n_distinct"], r["total_value"])
+        for r in skew_resistant_agg(df, ["k"], "u", "v").collect()
+    }
+    one = {
+        r["k"]: (r["n_distinct"], r["total_value"])
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("u").alias("n_distinct"), dsum("v").alias("total_value"))
+        .collect()
+    }
+    assert two == one
+    assert two["a"] == (2, 21.25)  # NULLs excluded from count, included in sum
+    assert two["b"] == (0, 3.0)
+    assert two["c"] == (1, 4.0)
