@@ -49,8 +49,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-K = 10
-DEFAULT_DIR = "/tmp/e2e_spark_scale10x/sf1.0"
+#: Replication factor (SCALE10X_K): 10 = the standing ~sf1.0 probe;
+#: 30 extends the executed frontier to ~sf3.0 (18M lineitem / 150k
+#: docs).  replicate_embeddings requires K <= embedding dim (64).
+K = int(os.environ.get("SCALE10X_K", "10"))
+DEFAULT_DIR = f"/tmp/e2e_spark_scale10x/sf{K / 10:g}"
 
 #: key columns to interleave-remap per table (key -> key*K + replica)
 _TPCH_KEYMAP = {
@@ -129,7 +132,7 @@ def materialize(src_dir: str, out_dir: str) -> None:
     docs10.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
-    print("  documents: x10 written", flush=True)
+    print(f"  documents: x{K} written", flush=True)
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     emb10 = (
         replicate_embeddings(emb, K)
@@ -140,7 +143,7 @@ def materialize(src_dir: str, out_dir: str) -> None:
     emb10.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
-    print(f"  embeddings: x10 written; total {time.perf_counter()-t0:.0f}s", flush=True)
+    print(f"  embeddings: x{K} written; total {time.perf_counter()-t0:.0f}s", flush=True)
 
 
 def run(sf_dir: str) -> int:
