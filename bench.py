@@ -244,6 +244,13 @@ def main() -> None:
 #: budget test in tests/test_bench_artifact.py before growing it.
 DRIVER_TAIL_CHARS = 2000
 
+#: Worst-case attempt count the compact line must absorb: the ~30-min
+#: retry cap divided by the fastest plausible attempt (~2 min suite +
+#: zero idle wait) — the attempt_values/attempt_idle lists grow with
+#: this, so the tail-budget test pins the fixture at exactly this bound
+#: (r11 ADVICE item 4).
+WORST_CASE_ATTEMPTS = 15
+
 
 def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
     """The machine-readable headline record: per-query/tracking MINS and

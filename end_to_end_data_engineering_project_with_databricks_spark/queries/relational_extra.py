@@ -1853,11 +1853,17 @@ _STATS_ROOT: str | None = None
 
 
 def _stats_dir(sf_dir: str) -> str:
+    # Single-threaded assumption: the driver/test harness runs queries
+    # sequentially, so the overwrite-then-read of a catalog subpath is
+    # never raced by a concurrent same-process call (r11 ADVICE item 2).
     global _STATS_ROOT
     if _STATS_ROOT is None:
+        import atexit
+        import shutil
         import tempfile
 
         _STATS_ROOT = tempfile.mkdtemp(prefix="e2e_spark_cms_stats_")
+        atexit.register(shutil.rmtree, _STATS_ROOT, ignore_errors=True)
     import hashlib
     import os
 
@@ -1921,7 +1927,9 @@ def cms_adaptive_join(
     Scale shape: one scan per side to refresh the stats (amortized away
     entirely when the catalog is maintained incrementally), then the
     chosen join's scan — filters pushed, the dim side pruned to
-    (o_orderkey, o_orderstatus).  Nothing data-sized crosses the driver:
+    o_orderkey alone (the status filter is applied before the
+    projection, so the join carries a single column).  Nothing
+    data-sized crosses the driver:
     the collects read 1-row aggregates of the counter relations."""
     import os
 
@@ -2042,8 +2050,12 @@ def _cms_adaptive_oracle(
       GROUP BY l.i
     ),
     est AS (
-      SELECT (SELECT MIN(dot) FROM ip) AS est_join_rows,
-             (SELECT CAST(SUM(c) // {CMS_D} AS BIGINT) FROM sko)
+      -- COALESCE mirrors the engine's ``or 0`` empty-sketch guard so
+      -- both sides agree on a degenerate (empty build) input: est 0 ->
+      -- 'broadcast', never a NULL falling through CASE to
+      -- 'shuffle_merge' (r11 ADVICE item 1)
+      SELECT COALESCE((SELECT MIN(dot) FROM ip), 0) AS est_join_rows,
+             COALESCE((SELECT CAST(SUM(c) // {CMS_D} AS BIGINT) FROM sko), 0)
                AS est_build_rows
     ),
     agg AS (
@@ -2186,8 +2198,11 @@ def _cms_skew_oracle(reducer_share_parts: int = 32) -> str:
     ),
     rowmax AS (SELECT i, MAX(c) AS mx FROM sk GROUP BY i),
     est AS (
-      SELECT (SELECT MIN(mx) FROM rowmax) AS est_max_key_rows,
-             (SELECT CAST(SUM(c) // {CMS_D} AS BIGINT) FROM sk)
+      -- COALESCE mirrors the engine's ``or 0`` empty-sketch guard (see
+      -- _cms_adaptive_oracle) so an empty events table routes
+      -- identically on both sides
+      SELECT COALESCE((SELECT MIN(mx) FROM rowmax), 0) AS est_max_key_rows,
+             COALESCE((SELECT CAST(SUM(c) // {CMS_D} AS BIGINT) FROM sk), 0)
                AS est_total_rows
     ),
     agg AS (

@@ -67,8 +67,15 @@ def _fake_attempt(bench, offset: float) -> dict:
 
 
 def test_compact_line_fits_driver_tail_budget() -> None:
+    # fixture sized at the RETRY-CAP-derived worst case (~30 min cap /
+    # ~2 min fastest suite = 15 attempts), not a round-trip-observed
+    # count, so the budget assertion covers the true bound (r11 ADVICE
+    # item 4); attempt_values/attempt_idle are the only per-attempt
+    # fields in the compact line
     bench = _bench()
-    attempts = [_fake_attempt(bench, 0.1 * i) for i in range(6)]
+    attempts = [
+        _fake_attempt(bench, 0.1 * i) for i in range(bench.WORST_CASE_ATTEMPTS)
+    ]
     best = attempts[0]
     detailed, compact = bench.artifact_lines(best, attempts, 0.1)
     # the detailed line genuinely needs the second line (regression
