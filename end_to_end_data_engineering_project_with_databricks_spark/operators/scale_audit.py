@@ -701,7 +701,7 @@ def ensemble_growth_stats(
 def hnsw_growth_stats(
     spark,
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
 ) -> dict:
     """Walk-cost stats for the HNSW beam search
     (queries/similarity._hnsw_topk): per-hop deduped candidate rows
@@ -712,7 +712,12 @@ def hnsw_growth_stats(
     fixed knob and FLAT under the scaled-knob protocol n_cells ~ N,
     the nprobe regime sim_ivf_topk documents).  Both regimes are
     measured in tests/test_scale_growth.py; docs/SCALE.md carries the
-    table."""
+    table.  ``n_cells=None`` exercises the DEFAULT path (the
+    corpus-derived ~√N knob, auto_n_cells — since r12 what the registry
+    queries run); the reported ``n_cells`` is then the derived value."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        auto_n_cells,
+    )
     from end_to_end_data_engineering_project_with_databricks_spark.queries.similarity import (
         _hnsw_topk,
     )
@@ -722,7 +727,7 @@ def hnsw_growth_stats(
     _hnsw_topk(spark, sf_dir="", emb=emb, n_cells=n_cells, walk_stats=stats)
     return {
         "n_vecs": emb.count(),
-        "n_cells": n_cells,
+        "n_cells": n_cells if n_cells is not None else auto_n_cells(emb.count()),
         "hop_candidate_rows": stats["hop_candidate_rows"],
         "total_hop_candidates": sum(stats["hop_candidate_rows"]),
         "refine_rows": stats["refine_rows"],

@@ -25,6 +25,49 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors
     cosine_similarity,
 )
 
+#: Bounds for the self-sizing cell count (:func:`auto_n_cells`).
+AUTO_CELLS_FLOOR = 16
+AUTO_CELLS_CAP = 65_536
+
+
+def auto_n_cells(
+    n_rows: int, floor: int = AUTO_CELLS_FLOOR, cap: int = AUTO_CELLS_CAP
+) -> int:
+    """Corpus-derived IVF cell count: ``clamp(isqrt(N), floor, cap)``.
+
+    The √N rule balances the two cost curves the growth audit measures
+    (tests/test_scale_growth.py; docs/SCALE.md): per-query refine work
+    is ~N/n_cells (cell size) while probe/hub work is ~n_cells, so
+    n_cells ~ √N keeps both at ~√N — the standard IVF sizing.  The r11
+    30× probe measured the failure of a FIXED knob (refine exponent
+    0.898 at n_cells=16) and the counterfactual fix (35.5→29.0 s when
+    n_cells rescales ~√N), so since r12 this derivation is the DEFAULT
+    path of :func:`ivf_topk` and the HNSW search; an explicit
+    ``n_cells`` stays available as the override.
+
+    Deterministic integer algebra so the DuckDB oracles replay the
+    derived value exactly (:func:`auto_cells_duck`): ``math.isqrt``
+    equals ``FLOOR(SQRT(CAST(n AS DOUBLE)))`` for every n < 2^52
+    because IEEE-754 sqrt is correctly rounded — a perfect square
+    returns its exact root, and any other n has no integer within the
+    half-ulp error band — so both engines compute the identical count."""
+    import math
+
+    return min(cap, max(floor, math.isqrt(max(n_rows, 0))))
+
+
+def auto_cells_duck(
+    src: str = "embeddings",
+    floor: int = AUTO_CELLS_FLOOR,
+    cap: int = AUTO_CELLS_CAP,
+) -> str:
+    """The DuckDB replay of :func:`auto_n_cells` over table/CTE ``src``
+    — a scalar subquery usable in ``LIMIT (...)`` and projections."""
+    return (
+        f"(SELECT LEAST({cap}, GREATEST({floor}, "
+        f"CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM {src})"
+    )
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -454,7 +497,7 @@ def lloyd_kmeans_fixed(
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -471,7 +514,12 @@ def ivf_topk(
     Catalyst) — the only place corpus rows meet query rows, and it carries
     |corpus| * (nprobe/n_cells) rows instead of |corpus| x |queries|.
     ``centroids`` swaps in a trained codebook (:func:`kmeans_centroids`);
-    the default is the deterministic seed.  ``assigned`` swaps in a
+    the default is the deterministic seed with a CORPUS-DERIVED cell
+    count — ``n_cells=None`` sizes the codebook via :func:`auto_n_cells`
+    (~√N, the r11 30× counterfactual's measured rule) at the cost of one
+    count job, which a 100 TB deployment answers from catalog statistics
+    (or the persisted CMS counter sum — both exact); pass ``n_cells``
+    explicitly to override.  ``assigned`` swaps in a
     PRECOMPUTED cell assignment (must be :func:`ivf_assign` of this
     corpus under these centroids) so repeated lookups — micro-batches,
     query batches — amortize the corpus-wide assignment pass instead of
@@ -508,11 +556,12 @@ def ivf_topk(
                 f"and disjoint from the internal names {sorted(reserved)}; "
                 f"got {query_version_col!r} / {index_version_col!r}"
             )
-    cents = (
-        centroids
-        if centroids is not None
-        else deterministic_centroids(corpus, n_cells, id_col, vec_col)
-    )
+    if centroids is not None:
+        cents = centroids
+    else:
+        if n_cells is None:
+            n_cells = auto_n_cells(corpus.count())
+        cents = deterministic_centroids(corpus, n_cells, id_col, vec_col)
     if assigned is None:
         assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
@@ -562,6 +611,8 @@ def ivf_topk(
 
 
 __all__ = [
+    "auto_n_cells",
+    "auto_cells_duck",
     "brute_force_topk",
     "ranked_topk",
     "cosine_threshold_pairs",

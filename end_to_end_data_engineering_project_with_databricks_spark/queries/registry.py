@@ -48,25 +48,26 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-11 rotation (VERDICT r10 item 1) ========
-    # Freshness program: after r10 the stale tail is 18 r4 rows + 45 r5
-    # rows.  This window re-attests the FULL 18-row r4 backlog (named by
-    # the r10 registry comment and VERDICT r10 item 1) plus 25 of the 45
-    # r5 rows, chosen round-robin across families so every query family
-    # keeps a fresh external attestation; with the 5 pinned anchors and
-    # the 2 new r11 queries that is the full 50 (a new query takes a
-    # slot immediately per the standing rule — the second r11 query
-    # displaced the 26th r5 row into the backlog below).
-    # Exact r12 rotation backlog (20 rows, latest driver row = r5):
-    # dedup_ngram_jaccard, dedup_oph_accuracy, dedup_simhash_accuracy,
-    # emb_pca_quality, events_transition_matrix, join_point_in_time_scd2,
-    # mm_wav_decode, pandas_grouped_agg_range, sim_ivf_recall,
-    # sim_rp_lsh_recall, sink_versioned_history, source_xml_roundtrip,
-    # sql_parameterized, stream_static_join, stream_stream_join,
-    # stream_stream_left_join, text_bpe_apply, text_quality_scores,
-    # text_rolling_fingerprint, window_percent_rank_cume_dist (displaced
-    # when agg_cms_skew_routing landed) — fill r12's free slots with
-    # these first, then the oldest r6 rows.
+    # ======== round-12 rotation (VERDICT r11 item 1) ========
+    # Freshness program: after r11 the stale tail is the named 20-row
+    # r5 backlog + 45 r6 rows.  This window re-attests the FULL 20-row
+    # r5 backlog (named by the r11 registry comment and VERDICT r11
+    # item 1) plus 23 of the 45 r6 rows, chosen round-robin across
+    # families (alphabetically-first per family, then a second row from
+    # each of the largest families) so every family keeps a fresh
+    # external attestation; with the 5 pinned anchors and the 2 new r12
+    # queries that is the full 50.
+    # Exact r13 rotation backlog (22 rows, latest driver row = r6):
+    # agg_hll_sketch_union, agg_skew_resistant_distinct,
+    # audit_referential_integrity, dedup_minhash_oph, dedup_simhash,
+    # events_ewma_bounded, events_mad_outliers, events_scd2_user_state,
+    # events_zscore_outliers, explode_with_position, join_range_binned,
+    # profile_numeric_columns, sample_language_temperature,
+    # sample_weighted_systematic, sim_rp_lsh_topk,
+    # sim_threshold_pairs_lsh, sql_group_order_by_all, sql_pipe_syntax,
+    # text_fingerprints, text_lang_confusion, text_language_profile,
+    # text_term_frequency — fill r13's free slots with these first,
+    # then the oldest r7 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -75,60 +76,59 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- oldest-first re-attestation: latest driver row = r4 (all 18) --
-    "higher_order_functions",
-    "ids_sequential_assignment",
-    "map_functions",
-    "mm_bmp_decode",
-    "pandas_apply_minmax_norm",
-    "pandas_rolling_minmax",
-    "pipeline_declarative_tables",
-    "pipeline_pack_sequences",
-    "sample_per_group_cap",
-    "sample_stratified_sources",
-    "sample_systematic",
-    "sink_dynamic_partition_overwrite",
-    "sink_versioned_schema_evolution",
-    "source_jsonlines_roundtrip",
-    "source_python_datasource_stream",
-    "sql_identifier_clause",
-    "sql_scalar_udf",
-    "udtf_table_arg_user_stats",
-    # -- latest driver row = r5: 25 of 45, round-robin one per family
-    #    (second dedup row fills the last slot) so no family goes
-    #    unattested this round; the 20 deferred rows are the named r12
-    #    backlog above --
-    "agg_modern_pack",
-    "array_functions",
-    "conditional_functions",
-    "dedup_incremental_equivalence",
-    "dedup_minhash_accuracy",
-    "emb_pca_project",
-    "events_linear_interpolation",
-    "in_subquery_building_orders",
-    "join_interval_overlap",
-    "json_agg_stats",
-    "math_functions",
-    "mm_png_decode",
-    "pandas_cogroup_asof",
-    "pipeline_text_pretrain_shards",
-    "pivot_nation_segments",
-    "sim_ivf_kmeans_fullprobe",
-    "sink_versioned_delete_compact",
-    "source_file_metadata",
-    "sql_lateral_column_alias",
-    "stream_sliding_counts",
-    "text_blocklist_filter",
-    "try_functions",
-    "udtf_char_ngrams",
-    "union_by_name",
-    "unpivot_lineitem_measures",
-    # -- new in r11 (each takes a slot immediately per the standing
-    #    rule; the slots came out of the r5 tier, whose deferred rows
-    #    are the named r12 backlog — window_percent_rank_cume_dist was
-    #    displaced when agg_cms_skew_routing landed) --
-    "join_cms_adaptive_strategy",
-    "agg_cms_skew_routing",
+    # -- oldest-first re-attestation: latest driver row = r5 (all 20,
+    #    the full named backlog) --
+    "dedup_ngram_jaccard",
+    "dedup_oph_accuracy",
+    "dedup_simhash_accuracy",
+    "emb_pca_quality",
+    "events_transition_matrix",
+    "join_point_in_time_scd2",
+    "mm_wav_decode",
+    "pandas_grouped_agg_range",
+    "sim_ivf_recall",
+    "sim_rp_lsh_recall",
+    "sink_versioned_history",
+    "source_xml_roundtrip",
+    "sql_parameterized",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_stream_left_join",
+    "text_bpe_apply",
+    "text_quality_scores",
+    "text_rolling_fingerprint",
+    "window_percent_rank_cume_dist",
+    # -- latest driver row = r6: 23 of 45, round-robin one per family
+    #    (then a second events/text/agg/dedup/sql/audit/join row); the
+    #    22 deferred rows are the named r13 backlog above --
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "arrow_batch_audit",
+    "audit_k_anonymity",
+    "audit_observe_metrics",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",
+    "emb_whitening_quality",
+    "events_asof_next_purchase",
+    "events_cohort_retention",
+    "explode_outer_empty",
+    "join_bloom_prefilter",
+    "join_null_safe_dim",
+    "profile_corpus_datasheet",
+    "sample_bottom_k_uniform",
+    "sim_ivf_topk",
+    "sink_versioned_restore",
+    "source_binaryfile_images",
+    "sql_collation_lcase",
+    "sql_execute_immediate",
+    "stat_crosstab",
+    "text_boilerplate_ngrams",
+    "text_chunk_windows",
+    # -- new in r12 (each takes a slot immediately per the standing
+    #    rule; the slots came out of the r6 tier, whose deferred rows
+    #    are the named r13 backlog) --
+    "join_cms_skew_salting",
+    "sim_ivf_auto_cells",
 )
 
 

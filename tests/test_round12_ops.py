@@ -31,6 +31,69 @@ def test_cms_salt_routing_both_branches_pinned(spark, sf_dir) -> None:
     assert a == b
 
 
+def test_auto_n_cells_algebra_pinned() -> None:
+    """The self-sizing cell knob (VERDICT r11 item 3) is deterministic
+    integer algebra: clamp(isqrt(N), 16, 65536).  Pin the fixture-scale
+    values the oracles replay, the clamp edges, and the isqrt ==
+    FLOOR(SQRT(double)) equivalence DuckDB relies on — including at
+    perfect squares, where a non-correctly-rounded sqrt would flip the
+    floor."""
+    import duckdb
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        auto_cells_duck,
+        auto_n_cells,
+    )
+
+    assert auto_n_cells(500) == 22      # sf0.001 / sf0.01 embeddings
+    assert auto_n_cells(2000) == 44     # sf0.1 embeddings
+    assert auto_n_cells(0) == 16 and auto_n_cells(255) == 16  # floor
+    assert auto_n_cells(10**10) == 65_536  # cap
+    con = duckdb.connect()
+    # the full COUNT(*)-based replay fragment on real (small) relations
+    for n in (0, 255, 256, 500, 2000):
+        sql = auto_cells_duck(f"range({n})")
+        got = con.execute(f"SELECT {sql}").fetchone()[0]
+        assert got == auto_n_cells(n), (n, got)
+    # the isqrt == FLOOR(SQRT(double)) equivalence at adversarial n
+    # (perfect squares and their neighbors), via literal counts so the
+    # test doesn't enumerate trillion-row generators
+    for n in (65_535, 65_536, 10**6, 10**6 + 1, (2**20) ** 2,
+              (2**20) ** 2 - 1, 10**10, 2**52 - 1):
+        got = con.execute(
+            "SELECT LEAST(65536, GREATEST(16, "
+            f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)))"
+        ).fetchone()[0]
+        assert got == auto_n_cells(n), (n, got)
+
+
+def test_ivf_default_path_is_corpus_derived(spark, sf_dir) -> None:
+    """ivf_topk with no n_cells must equal ivf_topk with the explicitly
+    derived count — the default path IS the scaled knob, and the
+    override stays available (a different explicit knob changes the
+    codebook, proving the default isn't silently pinned at 16)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        auto_n_cells,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = e.filter(F.col("vec_id") < 8)
+    nc = auto_n_cells(e.count())
+    assert nc == 22
+    auto = {tuple(r) for r in ivf_topk(e, queries, nprobe=4, k=5).collect()}
+    explicit = {
+        tuple(r) for r in ivf_topk(e, queries, n_cells=nc, nprobe=4, k=5).collect()
+    }
+    assert auto == explicit
+    fixed16 = {
+        tuple(r) for r in ivf_topk(e, queries, n_cells=16, nprobe=4, k=5).collect()
+    }
+    assert auto != fixed16
+
+
 def test_cms_salt_routing_estimates_pinned(spark, sf_dir) -> None:
     """At sf0.001 the sketch estimates are pinned constants — the SAME
     (events, event_type) catalog statistic cms_skew_routed_distinct

