@@ -80,7 +80,7 @@ def _bench_query_names():
     return registry, headline, list(bench.TRACKING_QUERIES)
 
 
-def materialize(src_dir: str, out_dir: str) -> None:
+def materialize(src_dir: str, out_dir: str, k: int = K) -> None:
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -99,9 +99,9 @@ def materialize(src_dir: str, out_dir: str) -> None:
     t0 = time.perf_counter()
     for name, keys in _TPCH_KEYMAP.items():
         df = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
-        rep = _with_replica_spine(df, K)
+        rep = _with_replica_spine(df, k)
         cols = [
-            (F.col(c) * K + F.col("_rep")).alias(c) if c in keys else F.col(c)
+            (F.col(c) * k + F.col("_rep")).alias(c) if c in keys else F.col(c)
             for c in df.columns
         ]
         out = rep.select(*cols)
@@ -110,17 +110,17 @@ def materialize(src_dir: str, out_dir: str) -> None:
         out.repartition(nfiles).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"{name}.parquet")
         )
-        print(f"  {name}: x{K} written", flush=True)
+        print(f"  {name}: x{k} written", flush=True)
     for name in _COPY_TABLES:
         spark.read.parquet(os.path.join(src_dir, f"{name}.parquet")).write.mode(
             "overwrite"
         ).parquet(os.path.join(out_dir, f"{name}.parquet"))
     docs = spark.read.parquet(os.path.join(src_dir, "documents.parquet"))
-    docs10 = replicate_documents(docs, K)
+    docs10 = replicate_documents(docs, k)
     # carry the non-text passenger columns the curation/dedup queries
     # read (lang/source/n_chars) — join back on the replica-0 parent id
     docs10 = (
-        docs10.withColumn("_parent", (F.col("doc_id") / K).cast("long"))
+        docs10.withColumn("_parent", (F.col("doc_id") / k).cast("long"))
         .join(
             docs.select(
                 F.col("doc_id").alias("_parent"), "lang", "source", "n_chars"
@@ -132,21 +132,24 @@ def materialize(src_dir: str, out_dir: str) -> None:
     docs10.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "documents.parquet")
     )
-    print(f"  documents: x{K} written", flush=True)
+    print(f"  documents: x{k} written", flush=True)
     emb = spark.read.parquet(os.path.join(src_dir, "embeddings.parquet"))
     emb10 = (
-        replicate_embeddings(emb, K)
-        .withColumn("_parent", (F.col("vec_id") / K).cast("long"))
+        replicate_embeddings(emb, k)
+        .withColumn("_parent", (F.col("vec_id") / k).cast("long"))
         .join(emb.select(F.col("vec_id").alias("_parent"), "label"), "_parent")
         .select("vec_id", "embedding", "label")
     )
     emb10.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
-    print(f"  embeddings: x{K} written; total {time.perf_counter()-t0:.0f}s", flush=True)
+    print(f"  embeddings: x{k} written; total {time.perf_counter()-t0:.0f}s", flush=True)
 
 
-def run(sf_dir: str) -> int:
+def run(sf_dir: str, names: list[str] | None = None) -> int:
+    """Run the probe suite (default: 12 headline + 4 tracking queries;
+    ``names`` or $SCALE10X_QUERIES restricts the set — the CI smoke in
+    tests/test_scale_probe_smoke.py runs k=2 with 2 queries)."""
     from pyspark.sql import SparkSession
 
     builder = SparkSession.builder
@@ -159,6 +162,17 @@ def run(sf_dir: str) -> int:
     )
     print(f"bare session: driver.memory={heap_conf} sf_dir={sf_dir}", flush=True)
     registry, headline, tracking = _bench_query_names()
+    env_names = os.environ.get("SCALE10X_QUERIES")
+    if names is None and env_names:
+        names = [n.strip() for n in env_names.split(",") if n.strip()]
+    if names is not None:
+        unknown = [n for n in names if n not in registry]
+        if unknown:
+            raise KeyError(f"SCALE10X_QUERIES not in registry: {unknown}")
+        headline = [n for n in headline if n in names]
+        tracking = [n for n in tracking if n in names]
+        extra = [n for n in names if n not in headline and n not in tracking]
+        headline += extra
     rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
 
     # warm-up: JVM, parquet footers — not billed to any query
