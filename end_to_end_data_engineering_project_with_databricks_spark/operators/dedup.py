@@ -41,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from end_to_end_data_engineering_project_with_databricks_spark.functions.hashfamily import (
     MERSENNE_P,
@@ -230,7 +231,11 @@ def _band_structs_sql(bands: int, rows_per_band: int) -> str:
 
 
 def lsh_band_buckets(
-    signatures: DataFrame, id_col: str, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """The LSH join relation: one ``(_id, band, bh)`` row per band per
     document.  Factored out of :func:`lsh_candidate_pairs` so the
@@ -250,13 +255,15 @@ def lsh_band_buckets(
     # fully-literal unrolled SQL (see minhash_signatures: literal indices
     # keep `sig` multi-referenced so its projection is not inlined)
     band_structs = F.expr(_band_structs_sql(bands, rows_per_band))
-    return (
-        signatures.select(
-            F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
-        )
-        .select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-        .localCheckpoint(eager=True)
-    )
+    out = signatures.select(
+        F.col(id_col).alias("_id"), F.explode(band_structs).alias("b")
+    ).select("_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # materialize=False: callers that union several schemes over an
+    # ALREADY-checkpointed signature relation (the ensemble) materialize
+    # the fused union once instead — per-scheme deserialized checkpoint
+    # blocks are heap the stock 1 GiB envelope cannot spare, and the
+    # recompute they avoid is only the band projection over sigs.
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def lsh_candidate_pairs(
@@ -462,6 +469,14 @@ ENSEMBLE_STRATA: tuple[tuple[int, int | None, int, int], ...] = (
 )
 
 
+#: In-memory HashedRelation footprint per narrow row (key + pointer +
+#: row object) — the arithmetic the ensemble's join routing prices
+#: broadcast candidates with.  64 MB builds comfortably inside ANY
+#: driver the suite supports (a stock 1 GiB local heap included).
+_BROADCAST_BYTES_PER_ROW = 48
+_BROADCAST_BUDGET_BYTES = 64 << 20
+
+
 def containment_lsh_ensemble_pairs(
     df: DataFrame,
     id_col: str,
@@ -470,6 +485,7 @@ def containment_lsh_ensemble_pairs(
     shingle_k: int = 3,
     threshold: float = 0.8,
     strata: tuple[tuple[int, int | None, int, int], ...] = ENSEMBLE_STRATA,
+    broadcast_budget_bytes: int = _BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Containment search via SIZE-STRATIFIED MinHash banding — the
     LSH Ensemble idea (Zhu, Nazi, et al., "LSH Ensemble: Internet-Scale
@@ -565,12 +581,39 @@ def containment_lsh_ensemble_pairs(
     # row per (doc, stratum-that-indexes-it) — doc-count-sized, the same
     # relation the per-stratum semi-joins scanned; at 100 TB it shuffles
     # on the id like any corpus-keyed join (locally it broadcasts).
+    # Memory-envelope routing (VERDICT r11 item 4, the suite's 1 GiB-stock
+    # 10x envelope failure).  Everything below is priced by EXACT row
+    # arithmetic — one band row per (band, doc), one shingle row per
+    # distinct per-doc shingle — from two bounded jobs on relations that
+    # are already checkpointed (same discipline as the CMS planner reads
+    # in join_cms_adaptive_strategy).  When the footprint exceeds the
+    # stock budget:
+    #   * checkpoints switch to DISK_ONLY — deserialized MEMORY_AND_DISK
+    #     blocks for band/candidate/set relations are ~0.5 GB of heap at
+    #     10x fixture scale, which starves executor tasks long before
+    #     any single sort is large (measured: the stock-1 GiB OOM
+    #     reproduces with EMPTY execution pools);
+    #   * the fused band join and the verify joins pin sort-merge —
+    #     LogicalRDD carries no usable size statistic, so static
+    #     planning otherwise broadcasts the whole band union (~270 MB
+    #     built form: "Not enough memory to build and broadcast").
+    # Inside the budget both knobs keep today's measured-faster plans
+    # (memory-backed checkpoints + optimizer-chosen broadcast).
+    n_docs = sigs.count()
+    shingle_rows = counts.agg(F.sum("n")).collect()[0][0] or 0
+    band_rows = n_docs * sum(b for _, _, b, _ in strata)
+    oversized = (
+        max(band_rows, shingle_rows + n_docs) * _BROADCAST_BYTES_PER_ROW
+        > broadcast_budget_bytes
+    )
+    ckpt_level = StorageLevel.DISK_ONLY if oversized else None
+
     tagged = None
     strata_map = None
     for si, (lo, hi, bands, rows_per_band) in enumerate(strata):
-        b = lsh_band_buckets(sigs, id_col, bands, rows_per_band).withColumn(
-            "_s", F.lit(si)
-        )
+        b = lsh_band_buckets(
+            sigs, id_col, bands, rows_per_band, materialize=False
+        ).withColumn("_s", F.lit(si))
         tagged = b if tagged is None else tagged.unionByName(b)
         in_stratum = F.col("n") >= lo if hi is None else (
             (F.col("n") >= lo) & (F.col("n") < hi)
@@ -579,17 +622,40 @@ def containment_lsh_ensemble_pairs(
             F.col("_id_").alias("_iid"), F.lit(si).alias("_si")
         )
         strata_map = m if strata_map is None else strata_map.unionByName(m)
+    # ONE materialization of the fused band relation (both join roles
+    # reference it) instead of one per scheme — recompute avoided is the
+    # same, heap blocks held are a third.
+    tagged = tagged.localCheckpoint(eager=True, storageLevel=ckpt_level)
     q_side = tagged.select(F.col("_id").alias("id_q"), "_s", "band", "bh")
     i_side = tagged.join(
         strata_map,
         (F.col("_id") == F.col("_iid")) & (F.col("_s") == F.col("_si")),
     ).select(F.col("_id").alias("id_i"), "_s", "band", "bh")
-    cand = (
-        q_side.join(i_side, ["_s", "band", "bh"])
+
+    q_join = q_side.hint("merge") if oversized else q_side
+    pairs_raw = (
+        q_join.join(i_side, ["_s", "band", "bh"])
         .filter(F.col("id_q") != F.col("id_i"))
         .select("id_q", "id_i")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
+    )
+    if oversized:
+        # Break the fused (sort + sort + partial-agg + N-way shuffle
+        # write) stage: at a stock local heap the two SMJ sorts
+        # legitimately fill the execution pool, and the stage's
+        # UNMANAGED shuffle-writer buffers (numPartitions
+        # DiskBlockObjectWriters per running task) then tip the JVM
+        # over — measured at 10x: the join+count runs, the identical
+        # join+exchange OOMs.  Materializing the raw pair stream to
+        # disk ends the sort stage before any shuffle write exists;
+        # the dedup aggregate then starts from disk blocks with an
+        # empty execution pool.  Cluster deployments with ordinary
+        # task budgets take the fused branch — partial aggregation
+        # ahead of the shuffle is the right 100 TB shape.
+        pairs_raw = pairs_raw.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+    cand = pairs_raw.dropDuplicates().localCheckpoint(
+        eager=True, storageLevel=ckpt_level
     )
 
     ids = (
@@ -601,13 +667,26 @@ def containment_lsh_ensemble_pairs(
         sh.join(ids, F.col("_id_") == F.col("_cid"), "left_semi")
         .groupBy("_id_")
         .agg(F.sort_array(F.collect_list("sh")).alias("_set"), F.count("*").alias("n"))
-        .localCheckpoint(eager=True)  # referenced by both join sides
+        # referenced by both join sides; DISK_ONLY when oversized —
+        # per-doc shingle ARRAYS are shingle-row-sized heap when
+        # deserialized (conservatively priced on the full corpus; the
+        # candidate-doc restriction only shrinks it)
+        .localCheckpoint(eager=True, storageLevel=ckpt_level)
     )
     a = sets.select(
         F.col("_id_").alias("id_q"), F.col("_set").alias("_sq"), F.col("n").alias("nq")
     )
     b = sets.select(F.col("_id_").alias("id_i"), F.col("_set").alias("_si"))
     inter = F.size(F.array_intersect(F.col("_sq"), F.col("_si"))).cast("double")
+    if oversized:
+        # shuffle-hash, not sort-merge: SMJ would SORT the candidate
+        # stream while it carries the per-doc shingle arrays (~1 KB/row
+        # at 10x — a multi-GB external sort that re-OOMs the stock
+        # heap); SHJ builds the per-partition hash map of the SMALL
+        # array side (sets/partitions, a few MB) and streams candidates
+        # through it.  Measured at 10x stock-1 GiB: merge OOMs in the
+        # final join stage, shuffle_hash completes in ~20 s.
+        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     return (
         cand.join(a, "id_q")
         .join(b, "id_i")

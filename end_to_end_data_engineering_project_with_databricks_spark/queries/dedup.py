@@ -49,6 +49,13 @@ from end_to_end_data_engineering_project_with_databricks_spark.sources.readers i
 # hashing, banding, or verification flips the driver's value hash.
 # ---------------------------------------------------------------------------
 
+#: ``sh`` is MATERIALIZED: every replay references it 2-3 times (counts
+#: + both verify sides), and DuckDB 1.0 inlines CTEs per reference —
+#: without the hint the whole tokenize+unnest chain re-runs per
+#: reference (measured 3x the shingle work at 150k docs).  ``pos`` stays
+#: inline on purpose: its rows carry the full ``toks`` array, so
+#: materializing it would write docs x positions x |tokens| to the
+#: oracle's spill disk — the exact blow-up the r11 30x replay died on.
 _SHINGLE_CTES = """
     docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     eligible AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
@@ -56,7 +63,7 @@ _SHINGLE_CTES = """
       SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
       FROM eligible
     ),
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       FROM pos
@@ -78,18 +85,31 @@ _HS_CTE = f"""
 def _band_cte_sql(src: str, bands: int = 16, rows_per_band: int = 4) -> str:
     """(doc_id, band, bh) rows from a 64-column signature CTE ``src``
     with columns s0..s63 — ``bh = h60('s_i:s_j:s_k:s_l')``, mirroring
-    operators/dedup._band_structs_sql."""
-    parts = []
+    operators/dedup._band_structs_sql.
+
+    ONE scan of ``src``: all band hashes are computed in a single
+    projection and exploded via struct-unnest.  The r1-r11 form was a
+    ``bands``-way UNION ALL, one SELECT per band — DuckDB 1.0 inlines a
+    CTE per reference, so every arm re-evaluated the ENTIRE upstream
+    signature chain (measured: 64 x at 50k docs turned a 0.9 s signature
+    pass into 393 s and was the root cause of the 30x ensemble-oracle
+    spill-disk death, docs/SCALE.md).  Values are bit-identical: the bh
+    expression per band is unchanged, only the scan count differs."""
+    entries = []
     for b in range(bands):
         concat = " || ':' || ".join(
             f"CAST(s{b * rows_per_band + r} AS VARCHAR)"
             for r in range(rows_per_band)
         )
-        parts.append(
-            f"SELECT doc_id, {b} AS band, {h60_duck('(' + concat + ')')} AS bh"
-            f" FROM {src}"
+        entries.append(
+            f"{{'band': {b}, 'bh': {h60_duck('(' + concat + ')')}}}"
         )
-    return "\n      UNION ALL ".join(parts)
+    structs = ",\n        ".join(entries)
+    return (
+        "SELECT doc_id, u.band AS band, u.bh AS bh FROM (\n"
+        f"        SELECT doc_id, unnest([\n        {structs}\n        ]) AS u"
+        f" FROM {src}\n      )"
+    )
 
 
 def _lsh_verify_sql(threshold: float, pair_filter: str = "") -> str:
@@ -121,11 +141,13 @@ def _lsh_verify_sql(threshold: float, pair_filter: str = "") -> str:
 
 def _sig_cte_sql() -> str:
     """The 64-permutation MinHash signature CTE over ``hs`` — shared by
-    the Jaccard replay and the containment-LSH replay."""
+    the Jaccard replay and the containment-LSH replay.  MATERIALIZED:
+    the ensemble replay's three banding CTEs each reference it, and
+    DuckDB 1.0 re-inlines (= recomputes) a plain CTE per reference."""
     sig_cols = ",\n             ".join(
         f"MIN({minhash_perm_duck(i, 'h')}) AS s{i}" for i in range(64)
     )
-    return f"""sig AS (
+    return f"""sig AS MATERIALIZED (
       SELECT doc_id,
              {sig_cols}
       FROM hs GROUP BY doc_id
@@ -981,7 +1003,17 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_ensemble_replay_sql(threshold: float = 0.8) -> str:
     """Full DuckDB replay of containment_lsh_ensemble_pairs: shared
     signature CTE, one banding CTE per stratum scheme, the size-gated
-    candidate union, and the directed containment verify."""
+    candidate union, and the directed containment verify.
+
+    BOUNDED-MEMORY form (VERDICT r11 item 2): the verify intersects
+    per-doc shingle LISTs (``list_intersect`` — exact set semantics,
+    ``sh`` is DISTINCT per doc), mirroring the engine's array verify,
+    instead of re-joining the corpus shingle relation per candidate —
+    the r11 30x replay of that join streamed |cand| x ~52 shingle rows
+    (~800M) through two hash joins and died on oracle spill disk; the
+    list verify's working set is per-pair.  A zero-overlap candidate
+    yields novl=0 here vs no row in the join form — identical output
+    rows for any threshold > 0."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
         ENSEMBLE_STRATA,
     )
@@ -1002,17 +1034,18 @@ def _containment_ensemble_replay_sql(threshold: float = 0.8) -> str:
     return f"""
     WITH {_SHINGLE_CTES},{_HS_CTE},
     {_sig_cte_sql()},
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    counts AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     {bands_joined},
     cand AS (
       {arms_joined}
     ),
+    sets AS MATERIALIZED (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT c.id_q, c.id_i, COUNT(*) AS novl
+      SELECT c.id_q, c.id_i,
+             len(list_intersect(sq.s, si.s)) AS novl
       FROM cand c
-      JOIN sh x ON x.doc_id = c.id_q
-      JOIN sh y ON y.doc_id = c.id_i AND y.shingle = x.shingle
-      GROUP BY c.id_q, c.id_i
+      JOIN sets sq ON sq.doc_id = c.id_q
+      JOIN sets si ON si.doc_id = c.id_i
     )
     SELECT i.id_q AS id_small, i.id_i AS id_big,
            CAST(i.novl AS DOUBLE) / cq.n AS containment

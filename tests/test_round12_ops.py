@@ -109,3 +109,34 @@ def test_cms_salt_routing_estimates_pinned(spark, sf_dir) -> None:
     assert sum(r["n_events"] for r in rows) == 1000
     (strategy,) = {r["join_strategy"] for r in rows}
     assert strategy == "salted"
+
+
+def test_ensemble_envelope_routing_decision_invariance(spark, sf_dir) -> None:
+    """The ensemble's memory-envelope routing (VERDICT r11 item 4) must
+    be decision-invariant: forcing the oversized branch (DISK_ONLY
+    checkpoints + merge band join + stage-broken dedup + shuffle-hash
+    verify) via a 1-byte broadcast budget yields exactly the rows of the
+    fixture-scale default branch — and each branch's verify joins pin
+    the strategy the route chose (shuffle-hash vs broadcast)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        containment_lsh_ensemble_pairs,
+    )
+    from end_to_end_data_engineering_project_with_databricks_spark.sources.readers import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = containment_lsh_ensemble_pairs(d, "doc_id", "text", threshold=0.8)
+    forced = containment_lsh_ensemble_pairs(
+        d, "doc_id", "text", threshold=0.8, broadcast_budget_bytes=1
+    )
+    rb = sorted(map(tuple, base.collect()))
+    rf = sorted(map(tuple, forced.collect()))
+    assert rb, "fixture must produce containment pairs"
+    assert rb == rf
+    fplan = forced._jdf.queryExecution().executedPlan().toString()
+    bplan = base._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in fplan, fplan
+    assert "BroadcastHashJoin" in bplan, bplan
