@@ -121,6 +121,26 @@ TRACKING_QUERIES = (
     "stream_ann_refresh",
 )
 
+#: Tracking bands (first official three-point comparison lands at r12;
+#: VERDICT r11 item 5): [median * 0.85, median * 1.15] over the official
+#: artifact history BENCH_r10/BENCH_r11 (two points, so median == mean);
+#: re-derive each round from the latest <= 3 official artifacts.  The
+#: artifact self-reports `tracking_in_band` — an out-of-band reading is
+#: an adjudication flag (re-run after idle, check the diff), not a
+#: failure, but it makes a regression in the heavy tier visible the
+#: round it happens instead of three rounds later.  Promotion decision
+#: recorded (r10 plan item): stream_ann_refresh stayed <= 4 s for two
+#: rounds; it is promoted to BAND-ENFORCED status here — folding it
+#: into `value` would break the round-over-round comparability the
+#: pinned r1 headline composition exists for (see module docstring),
+#: and band enforcement is the purpose promotion served.
+TRACKING_BANDS = {
+    "sim_hnsw_search": (2.52, 3.40),  # r10 2.918, r11 3.003
+    "dedup_containment_ensemble": (5.64, 7.63),  # r10 6.381, r11 6.887
+    "text_bpe_iterative_deep": (3.90, 5.27),  # r10 4.437, r11 4.734
+    "stream_ann_refresh": (3.18, 4.30),  # r10 3.641, r11 3.834
+}
+
 
 def run_suite(spark, specs, sf_dir: str, tracking_specs=()) -> dict:
     """One full interleaved best-of-5 pass over the headline set.
@@ -262,6 +282,10 @@ def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
         "value": best["value"],
         "queries": best["queries"],
         "tracking": best["tracking"],
+        "tracking_in_band": {
+            n: lo <= best["tracking"].get(n, lo) <= hi
+            for n, (lo, hi) in TRACKING_BANDS.items()
+        },
         "idle_at_start": best["idle_at_start"],
         "idle_wait_sec": best["idle_wait_sec"],
         "loadavg_at_start": best["loadavg_at_start"],
