@@ -29,6 +29,7 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors
     sql_cosine,
 )
 from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+    ENSEMBLE_STRATA,
     connected_components,
     exact_dedup,
     minhash_lsh_dedup,
@@ -1079,6 +1080,117 @@ def dedup_containment_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return containment_lsh_ensemble_pairs(
         d, "doc_id", "text", num_hashes=64, shingle_k=3, threshold=0.8
+    )
+
+
+def _envelope_route_oracle(threshold: float = 0.8) -> str:
+    """DuckDB replay of dedup_ensemble_envelope_route: the routing
+    inputs (exact row arithmetic), the route CASE with the SAME pricing
+    constants the operator imports, and a decision-invariant summary of
+    the ensemble output (replayed via the full ensemble oracle)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _BROADCAST_BUDGET_BYTES,
+        _BROADCAST_BYTES_PER_ROW,
+        ENSEMBLE_STRATA,
+    )
+
+    bands_total = sum(b for _, _, b, _ in ENSEMBLE_STRATA)
+    ens_sql = _containment_ensemble_replay_sql(threshold=threshold)
+    return f"""
+    SELECT s.n_docs, s.shingle_rows, s.band_rows,
+           CASE WHEN GREATEST(s.band_rows, s.shingle_rows + s.n_docs)
+                     * {_BROADCAST_BYTES_PER_ROW} > {_BROADCAST_BUDGET_BYTES}
+                THEN 'oversized_disk_merge' ELSE 'in_memory_broadcast'
+           END AS route,
+           p.n_pairs, p.n_contained, p.max_containment
+    FROM (
+      WITH {_SHINGLE_CTES}
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS shingle_rows,
+             CAST(COUNT(*) * {bands_total} AS BIGINT) AS band_rows
+      FROM (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      WHERE n >= 1
+    ) s, (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT id_small) AS BIGINT) AS n_contained,
+             MAX(containment) AS max_containment
+      FROM ({ens_sql}) e
+    ) p
+    """
+
+
+@query(
+    "dedup_ensemble_envelope_route",
+    oracle=_envelope_route_oracle(threshold=0.8),
+    tags=("dedup", "ensemble", "decision", "routing", "curation"),
+)
+def dedup_ensemble_envelope_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ensemble dedup's MEMORY-ENVELOPE ROUTING exposed as an
+    attested decision (the r12 envelope work in driver-checkable form,
+    same recipe as join_cms_adaptive_strategy): the routing inputs are
+    exact row arithmetic — band_rows = sum(strata bands) x n_docs,
+    shingle_rows = sum of per-doc distinct-shingle counts — and the
+    route prices the largest would-be in-memory relation at
+    ~48 B/row against a 64 MB budget
+    (operators/dedup.containment_lsh_ensemble_pairs): inside it, the
+    operator keeps memory-backed checkpoints and optimizer-chosen
+    broadcasts; above it, DISK_ONLY checkpoints + merge-pinned band
+    join + stage-broken dedup + shuffle-hash verify (measured at the
+    10x probe: the route is what turns the stock-1 GiB OOM into a
+    16/16 pass, docs/SCALE.md round-12).
+
+    Decision-invariance is the oracle's teeth: alongside the replayed
+    decision columns, the row carries a summary of the ensemble's
+    actual OUTPUT (pair count, distinct contained docs, max
+    containment — order-independent, bit-exact aggregates), so a route
+    that changed the answer would hash-mismatch.  Both plan branches
+    are pinned in tests/test_round12_ops.py.
+
+    The two 1-row aggregates meet in a crossJoin — broadcast 1-row x
+    1-row, the allow-listed audit-spine pattern; nothing data-sized
+    crosses the driver."""
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _BROADCAST_BUDGET_BYTES,
+        _BROADCAST_BYTES_PER_ROW,
+        containment_lsh_ensemble_pairs,
+    )
+
+    bands_total = sum(b for _, _, b, _ in ENSEMBLE_STRATA)
+    d = load_table(spark, sf_dir, "documents")
+    pairs = containment_lsh_ensemble_pairs(
+        d, "doc_id", "text", num_hashes=64, shingle_k=3, threshold=0.8
+    )
+    summary = pairs.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("id_small").cast("long").alias("n_contained"),
+        F.max("containment").alias("max_containment"),
+    )
+    stats = (
+        d.select(F.size(shingles("text", 3)).alias("n"))
+        .filter(F.col("n") >= 1)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("shingle_rows"),
+        )
+        .withColumn(
+            "band_rows", (F.col("n_docs") * F.lit(bands_total)).cast("long")
+        )
+    )
+    priced = F.greatest(
+        F.col("band_rows"), F.col("shingle_rows") + F.col("n_docs")
+    ) * F.lit(_BROADCAST_BYTES_PER_ROW)
+    return stats.crossJoin(summary).select(
+        "n_docs",
+        "shingle_rows",
+        "band_rows",
+        F.when(
+            priced > F.lit(_BROADCAST_BUDGET_BYTES), F.lit("oversized_disk_merge")
+        )
+        .otherwise(F.lit("in_memory_broadcast"))
+        .alias("route"),
+        "n_pairs",
+        "n_contained",
+        "max_containment",
     )
 
 

@@ -57,7 +57,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # each of the largest families) so every family keeps a fresh
     # external attestation; with the 5 pinned anchors and the 2 new r12
     # queries that is the full 50.
-    # Exact r13 rotation backlog (22 rows, latest driver row = r6):
+    # Exact r13 rotation backlog (23 rows, latest driver row = r6):
     # agg_hll_sketch_union, agg_skew_resistant_distinct,
     # audit_referential_integrity, dedup_minhash_oph, dedup_simhash,
     # events_ewma_bounded, events_mad_outliers, events_scd2_user_state,
@@ -65,9 +65,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # profile_numeric_columns, sample_language_temperature,
     # sample_weighted_systematic, sim_rp_lsh_topk,
     # sim_threshold_pairs_lsh, sql_group_order_by_all, sql_pipe_syntax,
-    # text_fingerprints, text_lang_confusion, text_language_profile,
-    # text_term_frequency — fill r13's free slots with these first,
-    # then the oldest r7 rows.
+    # text_chunk_windows (displaced late-r12 by the third new query
+    # taking its slot), text_fingerprints, text_lang_confusion,
+    # text_language_profile, text_term_frequency — fill r13's free
+    # slots with these first, then the oldest r7 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -123,12 +124,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "sql_execute_immediate",
     "stat_crosstab",
     "text_boilerplate_ngrams",
-    "text_chunk_windows",
     # -- new in r12 (each takes a slot immediately per the standing
     #    rule; the slots came out of the r6 tier, whose deferred rows
     #    are the named r13 backlog) --
     "join_cms_skew_salting",
     "sim_ivf_auto_cells",
+    "dedup_ensemble_envelope_route",
 )
 
 
