@@ -29,6 +29,15 @@ _ALLOWED_THETA = {
     "dedup_embedding_cosine",
     # IVF/RP centroid- or probe-scoring against a tiny broadcast table
     "sim_ivf_topk",
+    # the self-sizing default path of the same operator: identical plan
+    # class, centroid table bounded at clamp(isqrt(N), 16, 65536) rows
+    # (~sqrt of the corpus, broadcast by construction)
+    "sim_ivf_auto_cells",
+    # envelope-route attestation: the only theta node is the 1-row x
+    # 1-row crossJoin of the routing-stats scalar with the ensemble
+    # output summary scalar (the agg_cms_join_size class); the ensemble
+    # pipeline underneath is all equi-joins
+    "dedup_ensemble_envelope_route",
     "sim_ivf_kmeans_topk",
     "sim_ivf_recall",
     "sim_rp_lsh_topk",
