@@ -28,12 +28,21 @@ from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors
 #: Bounds for the self-sizing cell count (:func:`auto_n_cells`).
 AUTO_CELLS_FLOOR = 16
 AUTO_CELLS_CAP = 65_536
+#: Divisor on isqrt(N) — the measured constant, not theory: the r12
+#: sweeps (docs/SCALE.md round-12) timed the HNSW chain at 2k vectors
+#: (16/22 cells best at 3.57 s; the bare isqrt's 44 costs +16%) and at
+#: 60k vectors (48-96 cells cluster at ~25-31 s; the bare isqrt's 244
+#: reads 46 s — nearly 2x worse).  isqrt(N)//4 lands inside BOTH
+#: measured optima (16-after-clamp at 2k, 61 at 60k) while keeping the
+#: √N exponent the growth audit verifies.
+AUTO_CELLS_DIV = 4
 
 
 def auto_n_cells(
     n_rows: int, floor: int = AUTO_CELLS_FLOOR, cap: int = AUTO_CELLS_CAP
 ) -> int:
-    """Corpus-derived IVF cell count: ``clamp(isqrt(N), floor, cap)``.
+    """Corpus-derived IVF cell count:
+    ``clamp(isqrt(N) // AUTO_CELLS_DIV, floor, cap)``.
 
     The √N rule balances the two cost curves the growth audit measures
     (tests/test_scale_growth.py; docs/SCALE.md): per-query refine work
@@ -43,17 +52,21 @@ def auto_n_cells(
     0.898 at n_cells=16) and the counterfactual fix (35.5→29.0 s when
     n_cells rescales ~√N), so since r12 this derivation is the DEFAULT
     path of :func:`ivf_topk` and the HNSW search; an explicit
-    ``n_cells`` stays available as the override.
+    ``n_cells`` stays available as the override.  The //4 constant is
+    measured at both fixture and 30x scale (see AUTO_CELLS_DIV) —
+    the bare isqrt overshoots the probe/hub curve at every scale
+    actually timed.
 
     Deterministic integer algebra so the DuckDB oracles replay the
     derived value exactly (:func:`auto_cells_duck`): ``math.isqrt``
     equals ``FLOOR(SQRT(CAST(n AS DOUBLE)))`` for every n < 2^52
     because IEEE-754 sqrt is correctly rounded — a perfect square
     returns its exact root, and any other n has no integer within the
-    half-ulp error band — so both engines compute the identical count."""
+    half-ulp error band — so both engines compute the identical count
+    (dividing the exact integer root by 4 stays exact in both)."""
     import math
 
-    return min(cap, max(floor, math.isqrt(max(n_rows, 0))))
+    return min(cap, max(floor, math.isqrt(max(n_rows, 0)) // AUTO_CELLS_DIV))
 
 
 def auto_cells_duck(
@@ -65,7 +78,8 @@ def auto_cells_duck(
     — a scalar subquery usable in ``LIMIT (...)`` and projections."""
     return (
         f"(SELECT LEAST({cap}, GREATEST({floor}, "
-        f"CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT))) FROM {src})"
+        f"CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)"
+        f" // {AUTO_CELLS_DIV})) FROM {src})"
     )
 
 

@@ -304,10 +304,12 @@ def _ivf_auto_oracle_sql() -> str:
 def sim_ivf_auto_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5 on the SELF-SIZING default path (VERDICT
     r11 item 3): ``ivf_topk`` with no ``n_cells`` derives the codebook
-    size from the corpus count — ``clamp(isqrt(N), 16, 65536)``
-    (operators/similarity.auto_n_cells), i.e. 22 cells at
-    sf0.001/sf0.01 (500 vectors) and 44 at sf0.1 (2000), the ~√N sizing
-    the r11 30× counterfactual measured (fixed-knob refine exponent
+    size from the corpus count — ``clamp(isqrt(N) // 4, 16, 65536)``
+    (operators/similarity.auto_n_cells; the //4 constant is the r12
+    measured optimum at both timed scales, docs/SCALE.md round-12),
+    i.e. the clamp-floor 16 at every fixture scale and 61 at the 30x
+    probe's 60k vectors — the ~√N sizing the r11 30× counterfactual
+    measured (fixed-knob refine exponent
     0.898 vs 0.039 rescaled; 35.5→29.0 s at 30×).  The derived count is
     emitted as ``n_cells_used`` so the driver hash-attests the
     DERIVATION, not just the neighbors; DuckDB replays the same integer
@@ -1501,8 +1503,9 @@ def sim_hnsw_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan note (allow-listed in _ALLOWED_THETA): the theta nodes are
     ivf_assign's n_cells-row centroid crossJoin (sim_ivf_topk class),
     the 1-row entry-point broadcast, and the per-hop n_cells-row hub
-    broadcast (n_cells = isqrt(corpus) — 22/22/44 at the three fixture
-    scales, bounded by AUTO_CELLS_CAP); every data-sized join (edges,
+    broadcast (n_cells = isqrt(corpus)//4 clamped — the floor 16 at
+    every fixture scale, bounded by AUTO_CELLS_CAP); every data-sized
+    join (edges,
     cell members) is an equi-join."""
     return _hnsw_topk(spark, sf_dir)
 

@@ -33,11 +33,13 @@ def test_cms_salt_routing_both_branches_pinned(spark, sf_dir) -> None:
 
 def test_auto_n_cells_algebra_pinned() -> None:
     """The self-sizing cell knob (VERDICT r11 item 3) is deterministic
-    integer algebra: clamp(isqrt(N), 16, 65536).  Pin the fixture-scale
-    values the oracles replay, the clamp edges, and the isqrt ==
-    FLOOR(SQRT(double)) equivalence DuckDB relies on — including at
-    perfect squares, where a non-correctly-rounded sqrt would flip the
-    floor."""
+    integer algebra: clamp(isqrt(N) // 4, 16, 65536) — the //4 constant
+    is the r12 MEASURED optimum at both timed scales (docs/SCALE.md
+    round-12: 2k vectors want <=22 cells, 60k want 48-96; the bare
+    isqrt overshoots both).  Pin the fixture-scale values the oracles
+    replay, the clamp edges, and the isqrt == FLOOR(SQRT(double))
+    equivalence DuckDB relies on — including at perfect squares, where
+    a non-correctly-rounded sqrt would flip the floor."""
     import duckdb
 
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
@@ -45,13 +47,14 @@ def test_auto_n_cells_algebra_pinned() -> None:
         auto_n_cells,
     )
 
-    assert auto_n_cells(500) == 22      # sf0.001 / sf0.01 embeddings
-    assert auto_n_cells(2000) == 44     # sf0.1 embeddings
+    assert auto_n_cells(500) == 16      # sf0.001 / sf0.01 embeddings
+    assert auto_n_cells(2000) == 16     # sf0.1 embeddings (22//4 -> floor)
+    assert auto_n_cells(60_000) == 61   # the 30x probe corpus
     assert auto_n_cells(0) == 16 and auto_n_cells(255) == 16  # floor
-    assert auto_n_cells(10**10) == 65_536  # cap
+    assert auto_n_cells(10**11) == 65_536  # cap
     con = duckdb.connect()
     # the full COUNT(*)-based replay fragment on real (small) relations
-    for n in (0, 255, 256, 500, 2000):
+    for n in (0, 255, 256, 500, 2000, 60_000):
         sql = auto_cells_duck(f"range({n})")
         got = con.execute(f"SELECT {sql}").fetchone()[0]
         assert got == auto_n_cells(n), (n, got)
@@ -62,7 +65,7 @@ def test_auto_n_cells_algebra_pinned() -> None:
               (2**20) ** 2 - 1, 10**10, 2**52 - 1):
         got = con.execute(
             "SELECT LEAST(65536, GREATEST(16, "
-            f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)))"
+            f"CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) // 4))"
         ).fetchone()[0]
         assert got == auto_n_cells(n), (n, got)
 
@@ -70,8 +73,12 @@ def test_auto_n_cells_algebra_pinned() -> None:
 def test_ivf_default_path_is_corpus_derived(spark, sf_dir) -> None:
     """ivf_topk with no n_cells must equal ivf_topk with the explicitly
     derived count — the default path IS the scaled knob, and the
-    override stays available (a different explicit knob changes the
-    codebook, proving the default isn't silently pinned at 16)."""
+    override stays available (a LARGER explicit knob changes the
+    codebook, proving the knob is real).  With the r12 //4 constant the
+    fixture corpus sits on the clamp floor (500 -> 16), so the
+    derivation's movement is pinned arithmetically at the corpus sizes
+    the probes actually run (the runtime growth leg lives in
+    tests/test_scale_growth.py::test_hnsw_auto_knob_is_default_path)."""
     from pyspark.sql import functions as F
 
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
@@ -82,16 +89,19 @@ def test_ivf_default_path_is_corpus_derived(spark, sf_dir) -> None:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = e.filter(F.col("vec_id") < 8)
     nc = auto_n_cells(e.count())
-    assert nc == 22
+    assert nc == 16  # 500 vectors -> isqrt//4 = 5 -> clamp floor
+    # the derivation moves once the corpus outgrows the floor
+    assert auto_n_cells(8_000) == 22
+    assert auto_n_cells(32_000) == 44
     auto = {tuple(r) for r in ivf_topk(e, queries, nprobe=4, k=5).collect()}
     explicit = {
         tuple(r) for r in ivf_topk(e, queries, n_cells=nc, nprobe=4, k=5).collect()
     }
     assert auto == explicit
-    fixed16 = {
-        tuple(r) for r in ivf_topk(e, queries, n_cells=16, nprobe=4, k=5).collect()
+    fixed44 = {
+        tuple(r) for r in ivf_topk(e, queries, n_cells=44, nprobe=4, k=5).collect()
     }
-    assert auto != fixed16
+    assert auto != fixed44
 
 
 def test_cms_salt_routing_estimates_pinned(spark, sf_dir) -> None:

@@ -461,35 +461,47 @@ def test_hnsw_scaled_knob_flattens_refine(emb_replicas) -> None:
 
 def test_hnsw_auto_knob_is_default_path(emb_replicas) -> None:
     """VERDICT r11 item 3, closed: with ``n_cells=None`` — what the
-    registry queries run since r12 — the knob derives clamp(isqrt(N),
-    16, 65536), so BOTH cost curves stay ~√N: refine rows (cell size
-    ~N/√N) and hub-term walk candidates (~√N hubs per hop).  The r11
-    30× probe measured the fixed-knob failure this replaces (refine
-    exponent 0.898 → 0.039 when rescaled); this audit row pins that the
-    scaled knob IS the default path, not a manual override."""
+    registry queries run since r12 — the knob derives
+    clamp(isqrt(N) // 4, 16, 65536), so BOTH cost curves stay ~√N:
+    refine rows (cell size ~N/√N) and hub-term walk candidates (~√N
+    hubs per hop).  The r11 30× probe measured the fixed-knob failure
+    this replaces (refine exponent 0.898 → 0.039 when rescaled); this
+    audit row pins that the scaled knob IS the default path, not a
+    manual override.  The //4 constant keeps small corpora on the
+    clamp floor (the measured-fastest 16 at fixture scales), so the
+    growth leg uses a K=64 replica (32k vectors -> 44 cells) to see
+    the derivation move."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.scale_audit import (
         hnsw_growth_stats,
+        replicate_embeddings,
     )
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         auto_n_cells,
     )
 
     spark = emb_replicas[1].sparkSession
+    replicas = dict(emb_replicas)
+    for k in (16, 32, 64):
+        replicas[k] = replicate_embeddings(
+            emb_replicas[1], k
+        ).localCheckpoint(eager=True)
+    ks = (*KS_EMB, 16, 32, 64)
     stats = {
-        k: hnsw_growth_stats(spark, emb_replicas[k], n_cells=None)
-        for k in KS_EMB
+        k: hnsw_growth_stats(spark, replicas[k], n_cells=None) for k in ks
     }
-    # the derived knob tracks isqrt(N) exactly (500->22, 2000->44,
-    # 4000->63 at the sf0.001 replicas)
+    # the derived knob tracks isqrt(N)//4 exactly: 500/2000/4000 ->
+    # clamp floor 16; 8000/16000/32000 -> 22/31/44
     for s in stats.values():
         assert s["n_cells"] == auto_n_cells(s["n_vecs"]), stats
-    assert stats[KS_EMB[0]]["n_cells"] < stats[KS_EMB[-1]]["n_cells"], stats
-    rexp = growth_exponent(
-        [(s["n_vecs"], s["refine_rows"]) for s in stats.values()]
-    )
+    assert stats[ks[0]]["n_cells"] < stats[ks[-1]]["n_cells"], stats
+    # exponent fits over the UNCLAMPED leg (8k/16k/32k vectors), where
+    # the derivation is active — clamp-floor points would read as a
+    # linear refine leg and say nothing about the ~sqrt sizing
+    active = [stats[k] for k in (16, 32, 64)]
+    rexp = growth_exponent([(s["n_vecs"], s["refine_rows"]) for s in active])
     assert rexp <= 0.75, (stats, rexp)
     wexp = growth_exponent(
-        [(s["n_vecs"], s["total_hop_candidates"]) for s in stats.values()]
+        [(s["n_vecs"], s["total_hop_candidates"]) for s in active]
     )
     assert wexp <= 0.7, (stats, wexp)
 
