@@ -282,8 +282,11 @@ def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
         "value": best["value"],
         "queries": best["queries"],
         "tracking": best["tracking"],
+        # None (not True) for a band whose query is absent from the
+        # results: an unmeasured tracking query must read as "no
+        # attestation", not silently in-band (r12 ADVICE item 1)
         "tracking_in_band": {
-            n: lo <= best["tracking"].get(n, lo) <= hi
+            n: (lo <= t <= hi) if (t := best["tracking"].get(n)) is not None else None
             for n, (lo, hi) in TRACKING_BANDS.items()
         },
         "idle_at_start": best["idle_at_start"],

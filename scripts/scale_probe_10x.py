@@ -171,8 +171,12 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
             raise KeyError(f"SCALE10X_QUERIES not in registry: {unknown}")
         headline = [n for n in headline if n in names]
         tracking = [n for n in tracking if n in names]
+        # registry queries outside both bench tiers keep a DISTINCT tier
+        # label in the artifact (r12 ADVICE item 3: folding them into
+        # `headline` mislabeled ad-hoc SCALE10X_QUERIES runs)
         extra = [n for n in names if n not in headline and n not in tracking]
-        headline += extra
+    else:
+        extra = []
     rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
 
     # warm-up: JVM, parquet footers — not billed to any query
@@ -180,8 +184,12 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
 
     results = []
     rc = 0
-    for name in headline + tracking:
-        tier = "headline" if name in headline else "tracking"
+    for name in headline + tracking + extra:
+        tier = (
+            "headline"
+            if name in headline
+            else ("tracking" if name in tracking else "adhoc")
+        )
         t0 = time.perf_counter()
         try:
             df = registry[name].fn(spark, sf_dir)

@@ -30,8 +30,8 @@ _ALLOWED_THETA = {
     # IVF/RP centroid- or probe-scoring against a tiny broadcast table
     "sim_ivf_topk",
     # the self-sizing default path of the same operator: identical plan
-    # class, centroid table bounded at clamp(isqrt(N), 16, 65536) rows
-    # (~sqrt of the corpus, broadcast by construction)
+    # class, centroid table bounded at clamp(isqrt(N)//4, 16, 65536)
+    # rows (~sqrt of the corpus, broadcast by construction)
     "sim_ivf_auto_cells",
     # envelope-route attestation: the only theta node is the 1-row x
     # 1-row crossJoin of the routing-stats scalar with the ensemble

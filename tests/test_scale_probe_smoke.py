@@ -56,9 +56,11 @@ def test_scale_probe_materialize_and_run_k2(spark, sf_dir, tmp_path):
     assert dangling_cust == 0 and dangling_ord == 0
 
     # run the probe's execution path on a 2-query subset: one headline
-    # relational, one tracking-tier dedup (exercises the noop-sink loop,
-    # the tier labeling, and the JSON summary)
-    rc = probe.run(out_dir, names=["q1_pricing_summary", "dedup_exact_documents"])
+    # relational, one ACTUAL TRACKING_QUERIES member (r12 ADVICE item 2:
+    # dedup_exact_documents is itself headline, so the tracking tier was
+    # never exercised) — covers the noop-sink loop, both tier-labeling
+    # branches, and the JSON summary
+    rc = probe.run(out_dir, names=["q1_pricing_summary", "sim_hnsw_search"])
     assert rc == 0
 
 
