@@ -35,9 +35,11 @@ Methodology:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -121,25 +123,81 @@ TRACKING_QUERIES = (
     "stream_ann_refresh",
 )
 
-#: Tracking bands (first official three-point comparison lands at r12;
-#: VERDICT r11 item 5): [median * 0.85, median * 1.15] over the official
-#: artifact history BENCH_r10/BENCH_r11 (two points, so median == mean);
-#: re-derive each round from the latest <= 3 official artifacts.  The
-#: artifact self-reports `tracking_in_band` — an out-of-band reading is
-#: an adjudication flag (re-run after idle, check the diff), not a
-#: failure, but it makes a regression in the heavy tier visible the
-#: round it happens instead of three rounds later.  Promotion decision
-#: recorded (r10 plan item): stream_ann_refresh stayed <= 4 s for two
-#: rounds; it is promoted to BAND-ENFORCED status here — folding it
-#: into `value` would break the round-over-round comparability the
-#: pinned r1 headline composition exists for (see module docstring),
-#: and band enforcement is the purpose promotion served.
-TRACKING_BANDS = {
-    "sim_hnsw_search": (2.52, 3.40),  # r10 2.918, r11 3.003
-    "dedup_containment_ensemble": (5.64, 7.63),  # r10 6.381, r11 6.887
-    "text_bpe_iterative_deep": (3.90, 5.27),  # r10 4.437, r11 4.734
-    "stream_ann_refresh": (3.18, 4.30),  # r10 3.641, r11 3.834
-}
+#: Band half-width around the artifact-history median — the r12-declared
+#: tolerance, unchanged (a tracking reading outside median±15% is an
+#: adjudication flag, not a failure: re-run after idle, check the diff).
+BAND_TOLERANCE = 0.15
+#: How many of the latest official artifacts feed a band's median.
+BAND_HISTORY = 3
+
+
+def official_summaries(repo_dir: str | None = None) -> list[tuple[int, dict]]:
+    """(round, compact-summary) for every official BENCH_r*.json whose
+    driver capture parsed — the machine-readable artifact history the
+    bands derive from.  Unparseable rounds (r02, r10: the pre-compact
+    single-line artifacts that outgrew the tail capture) are skipped;
+    their values exist only as prose in docs/SCALE.md and prose is not
+    an input to a self-deriving gate."""
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    out: list[tuple[int, dict]] = []
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        try:
+            with open(path) as fh:
+                rec = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        parsed = rec.get("parsed")
+        if m and isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
+            out.append((int(m.group(1)), parsed))
+    return out
+
+
+def derive_bands(
+    summaries: list[tuple[int, dict]], key: str, names: tuple[str, ...]
+) -> dict[str, tuple[float, float] | None]:
+    """Per-query band [median*(1-tol), median*(1+tol)] over the latest
+    <= BAND_HISTORY official artifacts that measured the query under
+    ``key`` ("queries" = headline tier, "tracking" = tracking tier).
+
+    DERIVED, NOT DECLARED (VERDICT r12 item 4): through r12 the bands
+    were hand-copied r10/r11 medians in a module literal while SCALE.md
+    promised per-round re-derivation — this function IS that
+    re-derivation, run at artifact time against the in-repo BENCH_r*
+    history, so adding round N's artifact automatically rolls every
+    band forward for round N+1.  A query with no parsed history (a
+    newly promoted tracking query, a fresh checkout) gets ``None`` —
+    reported as band-absent, never silently in-band."""
+    bands: dict[str, tuple[float, float] | None] = {}
+    for n in names:
+        vals = [
+            s[key][n]
+            for _, s in summaries
+            if isinstance(s.get(key), dict) and isinstance(s[key].get(n), (int, float))
+        ][-BAND_HISTORY:]
+        if vals:
+            med = statistics.median(vals)
+            bands[n] = (
+                round(med * (1 - BAND_TOLERANCE), 4),
+                round(med * (1 + BAND_TOLERANCE), 4),
+            )
+        else:
+            bands[n] = None
+    return bands
+
+
+def in_band(
+    values: dict, bands: dict[str, tuple[float, float] | None]
+) -> dict[str, bool | None]:
+    """Per-query band verdict: True/False when both a measurement and a
+    band exist, None when either is absent (an unmeasured query or an
+    un-derived band must read as "no attestation", not pass)."""
+    return {
+        n: (b[0] <= v <= b[1])
+        if b is not None and isinstance(v := values.get(n), (int, float))
+        else None
+        for n, b in bands.items()
+    }
 
 
 def run_suite(spark, specs, sf_dir: str, tracking_specs=()) -> dict:
@@ -272,9 +330,17 @@ DRIVER_TAIL_CHARS = 2000
 WORST_CASE_ATTEMPTS = 15
 
 
-def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
-    """The machine-readable headline record: per-query/tracking MINS and
-    idle attestation only — no raw runs, no per-pass loadavgs."""
+def compact_summary(
+    best: dict, attempts: list[dict], sf: float, bands: dict | None = None
+) -> dict:
+    """The machine-readable headline record: per-query/tracking MINS,
+    idle attestation, and the per-query band VERDICTS (booleans; the
+    band bounds themselves live in the detailed line — the verdict
+    maps are what the judge diffs, and the compact line must stay
+    inside the driver tail budget).  ``bands`` as returned by
+    :func:`current_bands`; None derives them from the in-repo artifact
+    history."""
+    bands = bands if bands is not None else current_bands()
     return {
         "metric": "headline_suite_seconds",
         "unit": "sec",
@@ -282,13 +348,15 @@ def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
         "value": best["value"],
         "queries": best["queries"],
         "tracking": best["tracking"],
-        # None (not True) for a band whose query is absent from the
-        # results: an unmeasured tracking query must read as "no
-        # attestation", not silently in-band (r12 ADVICE item 1)
-        "tracking_in_band": {
-            n: (lo <= t <= hi) if (t := best["tracking"].get(n)) is not None else None
-            for n, (lo, hi) in TRACKING_BANDS.items()
-        },
+        # None (not True) for an absent measurement or an underived
+        # band: "no attestation" must never read as in-band
+        # (r12 ADVICE item 1; VERDICT r12 item 4)
+        "tracking_in_band": in_band(best["tracking"], bands["tracking"]),
+        # headline per-query bands, same derivation (VERDICT r12
+        # item 4: the dedup_minhash_lsh +16% was found by judges
+        # diffing JSON by hand; the artifact now flags it itself)
+        "headline_in_band": in_band(best["queries"], bands["headline"]),
+        "bands_from": bands["rounds"],
         "idle_at_start": best["idle_at_start"],
         "idle_wait_sec": best["idle_wait_sec"],
         "loadavg_at_start": best["loadavg_at_start"],
@@ -299,15 +367,35 @@ def compact_summary(best: dict, attempts: list[dict], sf: float) -> dict:
     }
 
 
+def current_bands(repo_dir: str | None = None) -> dict:
+    """Derive this run's tracking + headline bands from the official
+    artifact history; ``rounds`` records which artifacts fed them (the
+    union over both tiers, ascending)."""
+    summaries = official_summaries(repo_dir)
+    headline_names = tuple(sorted({n for _, s in summaries for n in s["queries"]}))
+    return {
+        "tracking": derive_bands(summaries, "tracking", TRACKING_QUERIES),
+        "headline": derive_bands(summaries, "queries", headline_names),
+        "rounds": [r for r, _ in summaries][-BAND_HISTORY:],
+    }
+
+
 def artifact_lines(best: dict, attempts: list[dict], sf: float) -> list[str]:
     """Two JSON lines: the full detailed record FIRST (humans, history),
     then the compact summary LAST so the driver's bounded tail capture
     always ends with a complete, parseable record."""
+    bands = current_bands()
     detailed = {
         "metric": "headline_suite_seconds_detailed",
         "unit": "sec",
         "sf": sf,
         **best,
+        # the derived band BOUNDS (the compact line carries only the
+        # verdicts): [median*(1-tol), median*(1+tol)] over the latest
+        # <= BAND_HISTORY parsed artifacts, per derive_bands
+        "tracking_bands": bands["tracking"],
+        "headline_bands": bands["headline"],
+        "bands_from": bands["rounds"],
         "tracking_note": (
             "tracking tier (non-headline): best-of-3 per attempt, "
             "run after the headline passes; EXCLUDED from `value` "
@@ -326,7 +414,10 @@ def artifact_lines(best: dict, attempts: list[dict], sf: float) -> list[str]:
             for a in attempts
         ],
     }
-    return [json.dumps(detailed), json.dumps(compact_summary(best, attempts, sf))]
+    return [
+        json.dumps(detailed),
+        json.dumps(compact_summary(best, attempts, sf, bands=bands)),
+    ]
 
 
 if __name__ == "__main__":

@@ -131,3 +131,64 @@ def test_mem_available_reads_on_linux() -> None:
     bench = _bench()
     got = bench._mem_available_gb()
     assert got is None or got > 0
+
+
+# ---- band derivation (VERDICT r12 item 4: bands are CODE, not a
+# hand-copied literal; a synthetic out-of-band value must trip the
+# verdict False and an absent measurement/band must read None) ----
+
+
+def _fake_summaries():
+    return [
+        (10, {"queries": {"q1": 1.0}, "tracking": {"t1": 4.0}}),
+        (11, {"queries": {"q1": 2.0}, "tracking": {"t1": 5.0}}),
+        (12, {"queries": {"q1": 3.0}, "tracking": {"t1": 6.0, "t2": 8.0}}),
+    ]
+
+
+def test_derive_bands_is_median_with_tolerance() -> None:
+    bench = _bench()
+    bands = bench.derive_bands(_fake_summaries(), "queries", ("q1", "q_new"))
+    assert bands["q1"] == (round(2.0 * 0.85, 4), round(2.0 * 1.15, 4))
+    # no parsed history -> band absent, never silently derived
+    assert bands["q_new"] is None
+    # single-point history: median == the point
+    tb = bench.derive_bands(_fake_summaries(), "tracking", ("t2",))
+    assert tb["t2"] == (round(8.0 * 0.85, 4), round(8.0 * 1.15, 4))
+
+
+def test_derive_bands_uses_latest_history_only() -> None:
+    bench = _bench()
+    summaries = [(r, {"queries": {"q1": float(r)}}) for r in range(1, 9)]
+    bands = bench.derive_bands(summaries, "queries", ("q1",))
+    # last BAND_HISTORY=3 values are 6,7,8 -> median 7
+    assert bands["q1"] == (round(7 * 0.85, 4), round(7 * 1.15, 4))
+
+
+def test_in_band_verdicts() -> None:
+    bench = _bench()
+    bands = {"a": (1.0, 2.0), "b": (1.0, 2.0), "c": None, "d": (1.0, 2.0)}
+    got = bench.in_band({"a": 1.5, "b": 9.9, "c": 1.5}, bands)
+    assert got == {"a": True, "b": False, "c": None, "d": None}
+
+
+def test_current_bands_from_real_history_and_compact_carries_verdicts() -> None:
+    """End-to-end over the in-repo artifact history: the derived
+    tracking bands must cover every TRACKING_QUERIES member that has
+    parsed history, and the compact line must carry both verdict maps."""
+    bench = _bench()
+    bands = bench.current_bands()
+    assert set(bands["tracking"]) == set(bench.TRACKING_QUERIES)
+    # r11/r12 artifacts carry tracking values -> bands derived, not None
+    assert all(b is not None for b in bands["tracking"].values())
+    assert bands["headline"].get("q1_pricing_summary") is not None
+    attempts = [_fake_attempt(bench, 0.1 * i) for i in range(2)]
+    compact = json.loads(bench.artifact_lines(attempts[0], attempts, 0.1)[1])
+    assert set(compact["tracking_in_band"]) == set(bench.TRACKING_QUERIES)
+    assert all(
+        v in (True, False, None) for v in compact["headline_in_band"].values()
+    )
+    assert compact["bands_from"] == bands["rounds"]
+    # the synthetic 6.7891-s tracking values sit far outside every real
+    # band -> the verdict actually trips False (not silently True)
+    assert False in set(compact["tracking_in_band"].values())
