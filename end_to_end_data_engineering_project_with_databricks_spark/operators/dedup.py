@@ -469,6 +469,83 @@ ENSEMBLE_STRATA: tuple[tuple[int, int | None, int, int], ...] = (
 )
 
 
+def ensemble_schemes(num_hashes: int = 64) -> tuple[tuple[int, int], ...]:
+    """The (bands, rows_per_band) ladder the ensemble assigns to its
+    three size strata, smallest sets first: (H/4 x 4, H/2 x 2, H x 1).
+    Geometric halving of rows-per-band from 4 keeps every scheme inside
+    the same ``num_hashes`` signature while moving the S-curve threshold
+    (1/b)^(1/r) down a notch per stratum — at H=64 the thresholds read
+    ~0.50 / 0.18 / 0.016, the fixture-validated ladder (recall tests in
+    tests/test_round9_ops.py).  The ladder is the FIXED half of the
+    strata; the size BOUNDS are corpus-derived (auto_ensemble_strata)."""
+    if num_hashes < 4 or num_hashes % 4:
+        raise ValueError(f"num_hashes must be a multiple of 4, got {num_hashes}")
+    return ((num_hashes // 4, 4), (num_hashes // 2, 2), (num_hashes, 1))
+
+
+def strata_split_points(counts: DataFrame, n_col: str = "n") -> DataFrame:
+    """1-row ``(n_sized, split_lo, split_hi)``: EQUI-DEPTH tertile split
+    points of the per-doc set-size histogram — ``split_lo`` is the
+    smallest size whose cumulative doc count reaches 1/3 of the corpus,
+    ``split_hi`` the smallest reaching 2/3 (NULLs on an empty input).
+
+    Equi-depth partitioning over set sizes is the LSH Ensemble paper's
+    own partitioning rule (Zhu et al., VLDB'16: equi-depth domain-size
+    partitions are near-optimal for the skewed size distributions real
+    corpora have — each partition indexes the same mass), and it
+    is what makes the strata CORPUS-DERIVED instead of fixture literals
+    (VERDICT r12 item 3): each banding scheme indexes ~N/3 of the
+    documents regardless of how the size distribution shifts, so no
+    stratum's candidate volume can silently dominate.
+
+    Deterministic integer algebra — ``cdf*3 >= n_total`` over exact
+    BIGINT counts — so the DuckDB oracles replay the derived bounds
+    bit-exactly (same discipline as similarity.auto_n_cells).
+
+    Scale shape: one hash-agg of the counts relation into the size
+    HISTOGRAM (one row per distinct size — bounded by the max document
+    token count, metadata-sized at any corpus scale), then a single-
+    partition running sum over that histogram.  The single-partition
+    window is over the bounded histogram, never the corpus — the same
+    planner-statistic class as the CMS counter reads."""
+    from pyspark.sql.window import Window
+
+    h = counts.groupBy(n_col).agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy(n_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        F.col(n_col).alias("_sz"), F.sum("_cnt").over(w).alias("_cdf")
+    ).withColumn("_tot", F.max("_cdf").over(Window.partitionBy(F.lit(1))))
+    return cum.agg(
+        F.max("_tot").cast("long").alias("n_sized"),
+        F.min(F.when(F.col("_cdf") * 3 >= F.col("_tot"), F.col("_sz")))
+        .cast("long")
+        .alias("split_lo"),
+        F.min(F.when(F.col("_cdf") * 3 >= 2 * F.col("_tot"), F.col("_sz")))
+        .cast("long")
+        .alias("split_hi"),
+    )
+
+
+def auto_ensemble_strata(
+    split_lo: int, split_hi: int, num_hashes: int = 64
+) -> tuple[tuple[int, int | None, int, int], ...]:
+    """Corpus-derived ensemble strata: the :func:`ensemble_schemes`
+    ladder anchored at the equi-depth tertile bounds
+    (:func:`strata_split_points`) —
+    ``((0, lo, H/4, 4), (lo, hi, H/2, 2), (hi, None, H, 1))``.
+
+    Tied histograms collapse naturally: if the corpus is so uniform
+    that ``split_lo == split_hi``, the middle stratum's half-open range
+    is empty and the derivation degenerates toward a single scheme —
+    exactly what a size-homogeneous corpus needs (there is no extreme
+    size ratio for the ladder to recall)."""
+    return (
+        (0, int(split_lo), *ensemble_schemes(num_hashes)[0]),
+        (int(split_lo), int(split_hi), *ensemble_schemes(num_hashes)[1]),
+        (int(split_hi), None, *ensemble_schemes(num_hashes)[2]),
+    )
+
+
 #: In-memory HashedRelation footprint per narrow row (key + pointer +
 #: row object) — the arithmetic the ensemble's join routing prices
 #: broadcast candidates with.  64 MB builds comfortably inside ANY
@@ -484,7 +561,7 @@ def containment_lsh_ensemble_pairs(
     num_hashes: int = 64,
     shingle_k: int = 3,
     threshold: float = 0.8,
-    strata: tuple[tuple[int, int | None, int, int], ...] = ENSEMBLE_STRATA,
+    strata: tuple[tuple[int, int | None, int, int], ...] | None = None,
     broadcast_budget_bytes: int = _BROADCAST_BUDGET_BYTES,
 ) -> DataFrame:
     """Containment search via SIZE-STRATIFIED MinHash banding — the
@@ -514,9 +591,16 @@ def containment_lsh_ensemble_pairs(
     only.  Candidate
     volume is the per-stratum banding volume — each stratum's (b, r)
     trades its own recall against its own candidate count, the knob the
-    paper optimizes per partition; the strata bounds here are fixture-
-    calibrated literals, a deployment derives them from the size
-    histogram (a one-pass aggregate).
+    paper optimizes per partition.  Since r13 the strata BOUNDS are
+    CORPUS-DERIVED by default (``strata=None``): equi-depth tertile
+    split points of the per-doc shingle-count histogram
+    (:func:`strata_split_points` — one bounded hash-agg plus a
+    histogram-sized running sum, read back as one planner-statistic
+    row), anchoring the fixed :func:`ensemble_schemes` ladder
+    (:func:`auto_ensemble_strata`).  An explicit ``strata`` tuple stays
+    available as the override (and is the degenerate-corpus fallback:
+    an empty corpus has no split points, so the fixture literals
+    apply — the output is empty either way).
 
     Measured memory footprint (r11 10x probe, docs/SCALE.md): this is
     the SUITE'S largest per-task working set — at 50k docs / 32 local
@@ -601,6 +685,17 @@ def containment_lsh_ensemble_pairs(
     # (memory-backed checkpoints + optimizer-chosen broadcast).
     n_docs = sigs.count()
     shingle_rows = counts.agg(F.sum("n")).collect()[0][0] or 0
+    if strata is None:
+        # corpus-derived strata (VERDICT r12 item 3): equi-depth bounds
+        # from the size histogram, read back as ONE 1-row collect over
+        # the bounded-histogram aggregate — the same planner-statistic
+        # class as the two reads above (counts is already checkpointed)
+        srow = strata_split_points(counts).collect()[0]
+        strata = (
+            auto_ensemble_strata(srow.split_lo, srow.split_hi, rows_total)
+            if srow.split_lo is not None and srow.split_hi is not None
+            else ENSEMBLE_STRATA
+        )
     band_rows = n_docs * sum(b for _, _, b, _ in strata)
     oversized = (
         max(band_rows, shingle_rows + n_docs) * _BROADCAST_BYTES_PER_ROW

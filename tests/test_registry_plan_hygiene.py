@@ -38,6 +38,9 @@ _ALLOWED_THETA = {
     # output summary scalar (the agg_cms_join_size class); the ensemble
     # pipeline underneath is all equi-joins
     "dedup_ensemble_envelope_route",
+    # auto-strata attestation: same pattern — 1-row split-point bounds
+    # crossJoined with the 1-row ensemble output summary
+    "dedup_ensemble_auto_strata",
     "sim_ivf_kmeans_topk",
     "sim_ivf_recall",
     "sim_rp_lsh_topk",
@@ -157,7 +160,16 @@ def test_no_silent_theta_join(name, spark, sf_dir):
 #: their docstrings: text_zipf_token_share windows over the aggregated
 #: vocabulary (not the corpus), window_ntile_distribution is the
 #: documented report-sized-relation caveat demo.
-_ALLOWED_GLOBAL_WINDOW = {"text_zipf_token_share", "window_ntile_distribution"}
+#: dedup_ensemble_auto_strata windows over the per-doc SIZE HISTOGRAM
+#: (one row per distinct shingle count — bounded by the max document
+#: token count, metadata-sized at any corpus scale), never the corpus;
+#: the running-sum-over-histogram is the equi-depth split-point
+#: derivation itself (operators/dedup.strata_split_points).
+_ALLOWED_GLOBAL_WINDOW = {
+    "text_zipf_token_share",
+    "window_ntile_distribution",
+    "dedup_ensemble_auto_strata",
+}
 
 
 @pytest.mark.parametrize(
