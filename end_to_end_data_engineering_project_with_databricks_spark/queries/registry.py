@@ -48,27 +48,27 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-12 rotation (VERDICT r11 item 1) ========
-    # Freshness program: after r11 the stale tail is the named 20-row
-    # r5 backlog + 45 r6 rows.  This window re-attests the FULL 20-row
-    # r5 backlog (named by the r11 registry comment and VERDICT r11
-    # item 1) plus 23 of the 45 r6 rows, chosen round-robin across
+    # ======== round-13 rotation (VERDICT r12 item 1) ========
+    # Freshness program: after r12 the stale tail is the named 23-row
+    # r6 backlog + 45 r7 rows.  This window re-attests the FULL 23-row
+    # r6 backlog (named by the r12 registry comment and VERDICT r12
+    # item 1) plus 21 of the 45 r7 rows, chosen round-robin across
     # families (alphabetically-first per family, then a second row from
-    # each of the largest families) so every family keeps a fresh
-    # external attestation; with the 5 pinned anchors and the 2 new r12
-    # queries that is the full 50.
-    # Exact r13 rotation backlog (23 rows, latest driver row = r6):
-    # agg_hll_sketch_union, agg_skew_resistant_distinct,
-    # audit_referential_integrity, dedup_minhash_oph, dedup_simhash,
-    # events_ewma_bounded, events_mad_outliers, events_scd2_user_state,
-    # events_zscore_outliers, explode_with_position, join_range_binned,
-    # profile_numeric_columns, sample_language_temperature,
-    # sample_weighted_systematic, sim_rp_lsh_topk,
-    # sim_threshold_pairs_lsh, sql_group_order_by_all, sql_pipe_syntax,
-    # text_chunk_windows (displaced late-r12 by the third new query
-    # taking its slot), text_fingerprints, text_lang_confusion,
-    # text_language_profile, text_term_frequency — fill r13's free
-    # slots with these first, then the oldest r7 rows.
+    # each of the 8 largest families) so every family keeps a fresh
+    # external attestation; with the 5 pinned anchors and the 1 new
+    # r13 query that is the full 50.
+    # Exact r14 rotation backlog (24 rows, latest driver row = r7):
+    # agg_gini_concentration, agg_mode_exact, agg_rollup_year_status,
+    # agg_segment_stats, agg_trimmed_winsorized, agg_weighted_median,
+    # dedup_semdedup_clustered, dedup_span_ngram, events_cusum_alarms,
+    # events_ema_exact, events_ohlc_resample,
+    # join_left_anti_customers_without_orders,
+    # join_left_outer_nation_suppliers, mm_jpeg_decode, mm_video_frames,
+    # mm_video_keyframe_ann, pipeline_span_dedup_rewrite,
+    # profile_source_overlap, sample_train_val_test, sim_ivfpq_topk,
+    # sim_knn_graph, sim_pq_adc_topk, stream_cusum_alarms,
+    # text_ngram_diversity — fill r14's free slots with these first,
+    # then the oldest r8 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -77,59 +77,61 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- oldest-first re-attestation: latest driver row = r5 (all 20,
+    # -- oldest-first re-attestation: latest driver row = r6 (all 23,
     #    the full named backlog) --
-    "dedup_ngram_jaccard",
-    "dedup_oph_accuracy",
-    "dedup_simhash_accuracy",
-    "emb_pca_quality",
-    "events_transition_matrix",
-    "join_point_in_time_scd2",
-    "mm_wav_decode",
-    "pandas_grouped_agg_range",
-    "sim_ivf_recall",
-    "sim_rp_lsh_recall",
-    "sink_versioned_history",
-    "source_xml_roundtrip",
-    "sql_parameterized",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_stream_left_join",
-    "text_bpe_apply",
-    "text_quality_scores",
-    "text_rolling_fingerprint",
-    "window_percent_rank_cume_dist",
-    # -- latest driver row = r6: 23 of 45, round-robin one per family
-    #    (then a second events/text/agg/dedup/sql/audit/join row); the
-    #    22 deferred rows are the named r13 backlog above --
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "arrow_batch_audit",
-    "audit_k_anonymity",
-    "audit_observe_metrics",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",
-    "emb_whitening_quality",
-    "events_asof_next_purchase",
-    "events_cohort_retention",
-    "explode_outer_empty",
-    "join_bloom_prefilter",
-    "join_null_safe_dim",
-    "profile_corpus_datasheet",
-    "sample_bottom_k_uniform",
-    "sim_ivf_topk",
-    "sink_versioned_restore",
-    "source_binaryfile_images",
-    "sql_collation_lcase",
-    "sql_execute_immediate",
-    "stat_crosstab",
-    "text_boilerplate_ngrams",
-    # -- new in r12 (each takes a slot immediately per the standing
-    #    rule; the slots came out of the r6 tier, whose deferred rows
-    #    are the named r13 backlog) --
-    "join_cms_skew_salting",
-    "sim_ivf_auto_cells",
-    "dedup_ensemble_envelope_route",
+    "agg_hll_sketch_union",
+    "agg_skew_resistant_distinct",
+    "audit_referential_integrity",
+    "dedup_minhash_oph",
+    "dedup_simhash",
+    "events_ewma_bounded",
+    "events_mad_outliers",
+    "events_scd2_user_state",
+    "events_zscore_outliers",
+    "explode_with_position",
+    "join_range_binned",
+    "profile_numeric_columns",
+    "sample_language_temperature",
+    "sample_weighted_systematic",
+    "sim_rp_lsh_topk",
+    "sim_threshold_pairs_lsh",
+    "sql_group_order_by_all",
+    "sql_pipe_syntax",
+    "text_chunk_windows",
+    "text_fingerprints",
+    "text_lang_confusion",
+    "text_language_profile",
+    "text_term_frequency",
+    # -- latest driver row = r7: 21 of 45, round-robin one per family
+    #    (alphabetically-first of agg/dedup/events/topk/join/mm/
+    #    pipeline/profile/sample/sim/sql/stream/text = 13, then a
+    #    second row from each of the 8 largest families); the 24
+    #    deferred rows are the named r14 backlog above --
+    "agg_count_distinct",
+    "agg_cube_flags",
+    "dedup_jaccard_prefix",
+    "dedup_lsh_recall_audit",
+    "events_asof_nearest",
+    "events_asof_tolerance",
+    "global_topk_orders",
+    "join_full_outer_nation_presence",
+    "join_inner_brand_volume",
+    "mm_audio_energy_windows",
+    "mm_decode_permissive",
+    "pipeline_audio_curation",
+    "pipeline_dsir_mix",
+    "profile_embedding_drift",
+    "profile_key_skew",
+    "sample_dsir_importance",
+    "sim_ivf_kmeans_topk",
+    "sim_ivfpq_rerank",
+    "sql_scripting",
+    "stream_ann_lookup",
+    "text_bigram_lm_score",
+    # -- new in r13 (takes a slot immediately per the standing rule;
+    #    the slot came out of the r7 tier, whose deferred rows are the
+    #    named r14 backlog) --
+    "dedup_ensemble_auto_strata",
 )
 
 
