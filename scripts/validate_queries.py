@@ -19,12 +19,25 @@ from end_to_end_data_engineering_project_with_databricks_spark.session import ge
 from end_to_end_data_engineering_project_with_databricks_spark.queries.registry import (
     all_specs,
 )
-from tests.oracle import compare, duckdb_connection
+from tests.oracle import (
+    accelerated,
+    compare,
+    duckdb_connection,
+    materialize_shared_prefixes,
+)
 
 
 def main() -> int:
     names = sys.argv[1:]
+    if names == ["--all"]:
+        names = sorted(all_specs())
     sfs = os.environ.get("VALIDATE_SFS", "0.001,0.01").split(",")
+    # shared-prefix acceleration (VERDICT r12 item 6): materialize the
+    # dedup-oracle shingle/hash/signature chain once per fixture and
+    # rewrite each oracle to read it — local-harness only, equivalence
+    # pinned by tests/test_oracle_accel.py.  ORACLE_ACCEL=0 restores the
+    # raw driver-identical SQL.
+    accel = os.environ.get("ORACLE_ACCEL", "1") != "0"
     specs = all_specs()
     unknown = [n for n in names if n not in specs]
     if unknown:
@@ -35,6 +48,8 @@ def main() -> int:
     for sf in sfs:
         sf_dir = f"/root/testdata/sf{sf}"
         con = duckdb_connection(sf_dir)
+        if accel:
+            materialize_shared_prefixes(con)
         for n in names:
             spec = specs[n]
             t0 = time.time()
@@ -45,7 +60,8 @@ def main() -> int:
                     msg = f"rows-only ({cnt} rows)"
                     ok = True
                 else:
-                    problems = compare(df, con, spec.oracle)
+                    sql = accelerated(spec.oracle) if accel else spec.oracle
+                    problems = compare(df, con, sql)
                     ok = not problems
                     msg = "OK" if ok else "; ".join(problems)
             except Exception as exc:  # noqa: BLE001 — report, keep sweeping

@@ -56,6 +56,74 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# ---- shared-prefix acceleration (VERDICT r12 item 6) -------------------
+#
+# The dedup/text oracle family re-derives the same shingle -> hash ->
+# signature chain per query; at sf0.1 the full-registry sweep spends most
+# of its DuckDB time recomputing that prefix, and the 30x ensemble
+# replays cost 1541-1809 s each.  The LOCAL harness (validate_queries,
+# scale probes) may pre-materialize the chain once per (connection ==
+# fixture) and textually rewrite each oracle's embedded prefix CTEs to
+# read the temp tables.  The driver contract is untouched: oracle_sql()
+# still ships the self-contained per-query SQL, and
+# tests/test_oracle_accel.py pins that the rewrite is result-identical.
+
+
+def materialize_shared_prefixes(con: duckdb.DuckDBPyConnection) -> None:
+    """Build the shared dedup-oracle prefix once: TEMP tables
+    ``__mat_sh`` (distinct per-doc shingles), ``__mat_hs`` (per-doc
+    shingle hashes), ``__mat_sig`` (64-permutation MinHash signatures),
+    each from the EXACT generated CTE text the oracles embed (imported,
+    not copied, so generator drift cannot desynchronize them)."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
+        _HS_CTE,
+        _SHINGLE_CTES,
+        _sig_cte_sql,
+    )
+
+    con.execute(
+        f"CREATE TEMP TABLE __mat_sh AS WITH {_SHINGLE_CTES} SELECT * FROM sh"
+    )
+    con.execute(
+        f"CREATE TEMP TABLE __mat_hs AS WITH {_SHINGLE_CTES},{_HS_CTE} "
+        "SELECT * FROM hs"
+    )
+    # sig derives from hs alone — feed it the materialized hs instead of
+    # re-running the tokenize/shingle chain a third time
+    con.execute(
+        "CREATE TEMP TABLE __mat_sig AS WITH hs AS (SELECT * FROM __mat_hs),\n"
+        f"    {_sig_cte_sql()} SELECT * FROM sig"
+    )
+
+
+def accelerated(sql: str) -> str:
+    """Rewrite a generated oracle's shared-prefix CTE definitions to
+    read the pre-materialized temp tables (a textual no-op for oracles
+    that don't embed them).  Replacements swap each known generated
+    definition for a table read with the SAME CTE name, so every
+    downstream reference binds unchanged; the docs/eligible/pos CTEs
+    become unreferenced and DuckDB never evaluates them."""
+    from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
+        _HS_CTE,
+        _SHINGLE_CTES,
+        _sig_cte_sql,
+    )
+
+    shingle_fast = """
+    docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    eligible AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
+    pos AS (
+      SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+      FROM eligible
+    ),
+    sh AS MATERIALIZED (SELECT * FROM __mat_sh)"""
+    return (
+        sql.replace(_sig_cte_sql(), "sig AS (SELECT * FROM __mat_sig)")
+        .replace(_HS_CTE, "\n    hs AS (SELECT * FROM __mat_hs)")
+        .replace(_SHINGLE_CTES, shingle_fast)
+    )
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Driver-parity canonical form: name-sorted columns, value-sorted
     rows.  Raises TypeError on unhashable (list/array) cells, exactly
