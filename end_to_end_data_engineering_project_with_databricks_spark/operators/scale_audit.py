@@ -119,18 +119,32 @@ def replicate_embeddings(
     df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """k-fold embedding replica: replica r circularly shifts each vector
-    by r positions (orthogonal — norms and within-replica cosines are
-    exactly preserved; cross-replica cosines decorrelate).  Requires
-    k <= dim so all shifts are distinct.  New id = ``id*k + r``."""
+    by ``r % dim`` positions, and replicas ``r >= dim`` additionally
+    flip the sign of every odd coordinate — both transforms are
+    orthogonal (norms and within-replica cosines exactly preserved;
+    cross-replica cosines decorrelate), and the (shift, flip) pairs are
+    distinct for ``k <= 2*dim`` (the r13 100x probe needs k=100 over
+    dim=64; shift-only capped at k <= dim).  New id = ``id*k + r``."""
     dim = _vector_dim(df, vec_col)
-    if k > dim:
-        raise ValueError(f"k={k} exceeds vector dim {dim}: shifts would repeat")
+    if k > 2 * dim:
+        raise ValueError(
+            f"k={k} exceeds 2*dim={2 * dim}: (shift, flip) pairs would repeat"
+        )
     rep = _with_replica_spine(df, k)
     shift = F.col("_rep") % dim
     shifted = F.concat(
         F.slice(F.col(vec_col), shift + 1, F.lit(dim) - shift),
         F.slice(F.col(vec_col), F.lit(1), shift),
     )
+    if k > dim:
+        flip = (F.col("_rep") >= dim).cast("int")
+        shifted = F.zip_with(
+            shifted,
+            F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), lambda j: j),
+            lambda v, j: F.when(
+                (flip == 1) & (j % 2 == 1), -v
+            ).otherwise(v),
+        )
     return rep.select(
         (F.col(id_col) * k + F.col("_rep")).alias(id_col),
         shifted.alias(vec_col),
