@@ -51,7 +51,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: Replication factor (SCALE10X_K): 10 = the standing ~sf1.0 probe;
 #: 30 extends the executed frontier to ~sf3.0 (18M lineitem / 150k
-#: docs).  replicate_embeddings requires K <= embedding dim (64).
+#: docs).  replicate_embeddings requires K <= 2x embedding dim (128).
 K = int(os.environ.get("SCALE10X_K", "10"))
 DEFAULT_DIR = f"/tmp/e2e_spark_scale10x/sf{K / 10:g}"
 
