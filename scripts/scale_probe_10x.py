@@ -93,12 +93,26 @@ def materialize(src_dir: str, out_dir: str, k: int = K) -> None:
         pin_session_conf,
     )
 
-    spark = SparkSession.builder.getOrCreate()
+    # materialization is probe INFRASTRUCTURE, not the envelope under
+    # test — the bare-heap discipline applies to run(), not here.  At
+    # k=100 the 60M-row lineitem write (32 concurrent parquet writers'
+    # column buffers) OOMs a stock 1 GiB heap; size via
+    # SCALE10X_DRIVER_MEMORY for large k.
+    builder = SparkSession.builder
+    mem = os.environ.get("SCALE10X_DRIVER_MEMORY")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
     pin_session_conf(spark)
     os.makedirs(out_dir, exist_ok=True)
     t0 = time.perf_counter()
     for name, keys in _TPCH_KEYMAP.items():
         df = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+        # spread the k-way replica explode across the full parallelism:
+        # the sf0.1 fact parquets have 1-3 files, so at k=100 the
+        # explode otherwise runs 60M output rows through 3 tasks
+        if name in ("lineitem", "orders", "events"):
+            df = df.repartition(32)
         rep = _with_replica_spine(df, k)
         cols = [
             (F.col(c) * k + F.col("_rep")).alias(c) if c in keys else F.col(c)
