@@ -213,14 +213,34 @@ def run(sf_dir: str, names: list[str] | None = None) -> int:
             status = f"FAIL: {type(ex).__name__}: {str(ex)[:200]}"
             rc = 1
         wall = round(time.perf_counter() - t0, 2)
-        heap_gb = round(
-            (rt.totalMemory() - rt.freeMemory()) / (1 << 30), 2
-        )
+        try:
+            heap_gb = round(
+                (rt.totalMemory() - rt.freeMemory()) / (1 << 30), 2
+            )
+        except Exception:  # noqa: BLE001 — a task OOM can take the JVM with it
+            heap_gb = None
         results.append(
             {"query": name, "tier": tier, "wall_sec": wall,
              "heap_used_gb": heap_gb, "status": status}
         )
         print(json.dumps(results[-1]), flush=True)
+        if heap_gb is None:
+            # the gateway JVM is dead (driver heap is fixed at launch,
+            # so an in-process restart cannot restore the envelope) —
+            # record the remaining queries as unreached and stop cleanly
+            # instead of crashing without the summary line (the k=100
+            # bare run died exactly here)
+            for rest in (headline + tracking + extra)[
+                len(results):
+            ]:
+                results.append(
+                    {"query": rest, "tier": "unreached", "wall_sec": 0.0,
+                     "heap_used_gb": None,
+                     "status": "SKIP: jvm dead after previous failure"}
+                )
+                print(json.dumps(results[-1]), flush=True)
+            rc = 1
+            break
     print(json.dumps({
         "metric": "scale10x_probe",
         "sf_dir": sf_dir,
