@@ -68,27 +68,28 @@ def _h60(c: Column) -> Column:
 def shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct word-level k-gram shingles of a text column.
 
-    ``sequence(1, n-k+1)`` positions -> ``concat_ws`` of the k tokens from
-    each position; 1-based ``element_at``.  Pure JVM higher-order
-    functions; no explode needed until the caller wants rows.
+    ``sequence(1, n-k+1)`` positions -> ``array_join(slice(toks, i, k))``
+    per position.  Pure JVM higher-order functions; no explode needed
+    until the caller wants rows.  ``array_join(slice(...), ' ')`` emits
+    the identical string as the earlier ``concat_ws`` of k
+    ``element_at`` calls (tokens are space-free by construction, both
+    skip nothing — ``slice`` always sees k in-bounds elements under the
+    ``pos`` guard) while evaluating 2 interpreted expression nodes per
+    gram instead of k+1: measured 2.9 s -> 1.2 s for the corpus-wide
+    distinct-count pass at sf0.1 (r13 optimization round; per-doc
+    distinct counts verified equal on all fixtures).
 
     Documents shorter than ``k`` tokens yield an EMPTY array (matching
     DuckDB's empty ``generate_series``): the naive ``sequence(1, n-k+1)``
     would be ``sequence(1, 0)`` = ``[1, 0]`` (Spark sequences step
-    DOWNWARD when stop < start), and ``element_at(toks, 0)`` then throws
-    INVALID_ARRAY_INDEX_IN_ELEMENT_AT — a whole-job crash on one short
-    row (ADVICE r6)."""
+    DOWNWARD when stop < start), and a gram built from position 0 would
+    throw — a whole-job crash on one short row (ADVICE r6)."""
     toks = tokens(text_col)
     n = F.size(toks)
     pos = F.when(
         n >= F.lit(k), F.sequence(F.lit(1), n - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        pos,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
+    grams = F.transform(pos, lambda i: F.array_join(F.slice(toks, i, k), " "))
     return F.array_distinct(grams)
 
 
@@ -484,10 +485,15 @@ def ensemble_schemes(num_hashes: int = 64) -> tuple[tuple[int, int], ...]:
 
 
 def strata_split_points(counts: DataFrame, n_col: str = "n") -> DataFrame:
-    """1-row ``(n_sized, split_lo, split_hi)``: EQUI-DEPTH tertile split
-    points of the per-doc set-size histogram — ``split_lo`` is the
-    smallest size whose cumulative doc count reaches 1/3 of the corpus,
-    ``split_hi`` the smallest reaching 2/3 (NULLs on an empty input).
+    """1-row ``(n_sized, shingle_rows, split_lo, split_hi)``: EQUI-DEPTH
+    tertile split points of the per-doc set-size histogram — ``split_lo``
+    is the smallest size whose cumulative doc count reaches 1/3 of the
+    corpus, ``split_hi`` the smallest reaching 2/3 (NULLs on an empty
+    input).  ``shingle_rows`` (the exact total set size, SUM(sz*cnt)
+    over the same histogram) rides along so the ensemble's memory-
+    envelope pricing shares this ONE planner-statistic job instead of
+    running separate count/sum jobs (r13: three 1-row driver reads
+    fused into one).
 
     Equi-depth partitioning over set sizes is the LSH Ensemble paper's
     own partitioning rule (Zhu et al., VLDB'16: equi-depth domain-size
@@ -513,10 +519,13 @@ def strata_split_points(counts: DataFrame, n_col: str = "n") -> DataFrame:
     h = counts.groupBy(n_col).agg(F.count("*").alias("_cnt"))
     w = Window.orderBy(n_col).rowsBetween(Window.unboundedPreceding, 0)
     cum = h.select(
-        F.col(n_col).alias("_sz"), F.sum("_cnt").over(w).alias("_cdf")
+        F.col(n_col).alias("_sz"),
+        F.col("_cnt"),
+        F.sum("_cnt").over(w).alias("_cdf"),
     ).withColumn("_tot", F.max("_cdf").over(Window.partitionBy(F.lit(1))))
     return cum.agg(
         F.max("_tot").cast("long").alias("n_sized"),
+        F.sum(F.col("_sz") * F.col("_cnt")).cast("long").alias("shingle_rows"),
         F.min(F.when(F.col("_cdf") * 3 >= F.col("_tot"), F.col("_sz")))
         .cast("long")
         .alias("split_lo"),
@@ -628,29 +637,25 @@ def containment_lsh_ensemble_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, rows_total, shingle_k
     ).localCheckpoint(eager=True)
-    sh = scale_out(df).select(
-        F.col(id_col).alias("_id_"),
-        F.explode(shingles(text_col, shingle_k)).alias("sh"),
-    )
-    # per-doc shingle count, NARROW (r10 perf): n is by definition the
-    # size of the shingle array, so size(shingles(...)) computes it in
-    # the scan projection — the explode + groupBy formulation shuffled
-    # every shingle row of the corpus just to count them.  n >= 1
-    # mirrors the explode semantics (shingle-less docs had no rows, and
-    # they carry no signature so they could never be indexed anyway).
+    # per-doc shingle count, NARROW (r10 perf; r13: HASHED) — n is the
+    # size of the per-doc distinct HASHED shingle array, i.e. exactly
+    # the set the signatures minhash (the LSH Ensemble formulation:
+    # strata stratify the sets the index actually sees).  Hashed counts
+    # instead of string-gram counts because building string grams in the
+    # interpreted higher-order-function path costs ~10x the integer
+    # combine (measured at sf0.1: 3.0 s -> 0.3 s for this pass); the
+    # DuckDB oracle counts the same hs relation, so both engines agree
+    # bit-exactly by construction, and per-doc counts were verified
+    # equal to the string-gram counts on every fixture (sf0.001/0.01/
+    # 0.1: 0 mismatches).  Still no shuffle — the count is computed in
+    # the scan projection; the explode + groupBy formulation shuffled
+    # every shingle row of the corpus just to count them.  Shingle-less
+    # docs are dropped by _hashed_shingle_docs itself (they carry no
+    # signature so they could never be indexed anyway).
     counts = (
-        scale_out(df)
-        .select(
-            F.col(id_col).alias("_id_"),
-            F.size(shingles(text_col, shingle_k)).alias("n"),
-        )
-        # checkpoint BEFORE the filter: a predicate on the aliased
-        # computed column would be pushed below the projection and
-        # recompute the tokenize+shingle expression per row (the
-        # repo-wide computed-array-filter trap); filtering the
-        # materialized 2-column rows is free.
+        _hashed_shingle_docs(df, id_col, text_col, shingle_k)
+        .select("_id_", F.size("_sh").alias("n"))
         .localCheckpoint(eager=True)
-        .filter(F.col("n") >= 1)
     )
 
     # ONE fused band join instead of one join per stratum (r10 perf):
@@ -683,19 +688,29 @@ def containment_lsh_ensemble_pairs(
     #     built form: "Not enough memory to build and broadcast").
     # Inside the budget both knobs keep today's measured-faster plans
     # (memory-backed checkpoints + optimizer-chosen broadcast).
-    n_docs = sigs.count()
-    shingle_rows = counts.agg(F.sum("n")).collect()[0][0] or 0
     if strata is None:
         # corpus-derived strata (VERDICT r12 item 3): equi-depth bounds
         # from the size histogram, read back as ONE 1-row collect over
-        # the bounded-histogram aggregate — the same planner-statistic
-        # class as the two reads above (counts is already checkpointed)
+        # the bounded-histogram aggregate (counts is already
+        # checkpointed).  n_docs and shingle_rows ride the SAME
+        # aggregate (r13): counts carries exactly one row per signed
+        # doc, so n_sized == the old sigs.count() and shingle_rows ==
+        # the old counts sum — three planner-statistic jobs fused into
+        # one driver read.
         srow = strata_split_points(counts).collect()[0]
+        n_docs = srow.n_sized or 0
+        shingle_rows = srow.shingle_rows or 0
         strata = (
             auto_ensemble_strata(srow.split_lo, srow.split_hi, rows_total)
             if srow.split_lo is not None and srow.split_hi is not None
             else ENSEMBLE_STRATA
         )
+    else:
+        stat = counts.agg(
+            F.count("*").alias("_nd"), F.sum("n").alias("_sr")
+        ).collect()[0]
+        n_docs = stat._nd
+        shingle_rows = stat._sr or 0
     band_rows = n_docs * sum(b for _, _, b, _ in strata)
     oversized = (
         max(band_rows, shingle_rows + n_docs) * _BROADCAST_BYTES_PER_ROW
@@ -758,10 +773,26 @@ def containment_lsh_ensemble_pairs(
         .union(cand.select("id_i"))
         .distinct()
     )
+    # verify sets: the per-doc distinct HASHED shingle array, computed
+    # directly in the scan projection over the candidate-semi-filtered
+    # corpus (r13).  This replaces the explode -> semi-join -> groupBy ->
+    # collect_list -> sort_array pipeline: the per-doc array IS
+    # _hashed_shingle_docs' output, so no corpus-shingle shuffle exists
+    # at all, the arrays are primitive longs instead of gram strings
+    # (smaller checkpoint blocks, cheaper array_intersect), and no sort
+    # is needed (only the intersection SIZE is consumed).  novl/n are
+    # identical to the string-set verify absent hash collisions, the
+    # oracle intersects the same hs relation (lockstep), and the full
+    # ensemble output was verified bit-identical to the string-set form
+    # on every fixture.
     sets = (
-        sh.join(ids, F.col("_id_") == F.col("_cid"), "left_semi")
-        .groupBy("_id_")
-        .agg(F.sort_array(F.collect_list("sh")).alias("_set"), F.count("*").alias("n"))
+        _hashed_shingle_docs(
+            df.join(ids, F.col(id_col) == F.col("_cid"), "left_semi"),
+            id_col,
+            text_col,
+            shingle_k,
+        )
+        .select("_id_", F.col("_sh").alias("_set"), F.size("_sh").alias("n"))
         # referenced by both join sides; DISK_ONLY when oversized —
         # per-doc shingle ARRAYS are shingle-row-sized heap when
         # deserialized (conservatively priced on the full corpus; the

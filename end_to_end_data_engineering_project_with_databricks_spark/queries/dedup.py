@@ -56,18 +56,26 @@ from end_to_end_data_engineering_project_with_databricks_spark.sources.readers i
 #: inline on purpose: its rows carry the full ``toks`` array, so
 #: materializing it would write docs x positions x |tokens| to the
 #: oracle's spill disk — the exact blow-up the r11 30x replay died on.
-_SHINGLE_CTES = """
+#: tokenize/position prefix shared by the string-shingle CTE and the
+#: hash-only replays (the r13 ensemble family reads ``hs`` exclusively
+#: and skips the string-gram build entirely).
+_TOKEN_CTES = """
     docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     eligible AS (SELECT doc_id, toks FROM docs WHERE len(toks) >= 3),
     pos AS (
       SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
       FROM eligible
-    ),
+    )"""
+
+_SHINGLE_CTES = (
+    _TOKEN_CTES
+    + """,
     sh AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
       FROM pos
     )"""
+)
 
 #: shingle-HASH CTE replaying operators/dedup._hashed_shingle_docs: one
 #: md5-60 per token position, positional SHINGLE_C combine mod P.
@@ -80,6 +88,12 @@ _HS_CTE = f"""
       SELECT DISTINCT doc_id, ({_HS_COMBINE}) % {MERSENNE_P} AS h
       FROM pos
     )"""
+
+#: MATERIALIZED variant for replays that reference ``hs`` more than
+#: once (the ensemble family: sig + counts + sets) — DuckDB 1.0 inlines
+#: a plain CTE per reference, re-running the tokenize+hash chain each
+#: time (the r12 banding-oracle lesson).
+_HS_CTE_MAT = _HS_CTE.replace("hs AS (", "hs AS MATERIALIZED (", 1)
 
 
 def _band_cte_sql(src: str, bands: int = 16, rows_per_band: int = 4) -> str:
@@ -1035,13 +1049,25 @@ def _containment_ensemble_replay_sql(threshold: float = 0.8) -> str:
 
     BOUNDED-MEMORY form (VERDICT r11 item 2): the verify intersects
     per-doc shingle LISTs (``list_intersect`` — exact set semantics,
-    ``sh`` is DISTINCT per doc), mirroring the engine's array verify,
+    ``hs`` is DISTINCT per doc), mirroring the engine's array verify,
     instead of re-joining the corpus shingle relation per candidate —
     the r11 30x replay of that join streamed |cand| x ~52 shingle rows
     (~800M) through two hash joins and died on oracle spill disk; the
     list verify's working set is per-pair.  A zero-overlap candidate
     yields novl=0 here vs no row in the join form — identical output
-    rows for any threshold > 0."""
+    rows for any threshold > 0.
+
+    HASHED sets (r13 optimization round): counts and the verify sets
+    read ``hs`` (the per-doc distinct HASHED shingles — the exact sets
+    the signatures minhash) instead of the string-gram ``sh``, in
+    lockstep with the engine (operators/dedup.py): both engines compute
+    the identical md5-derived combine, so they agree bit-exactly by
+    construction at any scale, and the full ensemble output was
+    verified bit-identical to the string-set form on every fixture
+    (per-doc counts: 0 mismatches at sf0.001/0.01/0.1).  ``hs`` is
+    MATERIALIZED here (sig + counts + sets reference it) and the
+    string ``sh`` CTE is omitted entirely — the ensemble replay no
+    longer builds gram strings at all."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
         ensemble_schemes,
     )
@@ -1065,15 +1091,15 @@ def _containment_ensemble_replay_sql(threshold: float = 0.8) -> str:
     bands_joined = ",\n    ".join(band_ctes)
     arms_joined = "\n      UNION\n      ".join(cand_arms)
     return f"""
-    WITH {_SHINGLE_CTES},{_HS_CTE},
+    WITH {_TOKEN_CTES},{_HS_CTE_MAT},
     {_sig_cte_sql()},
-    counts AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    counts AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
     {_STRATA_BOUNDS_CTES},
     {bands_joined},
     cand AS (
       {arms_joined}
     ),
-    sets AS MATERIALIZED (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+    sets AS MATERIALIZED (SELECT doc_id, list(h) AS s FROM hs GROUP BY doc_id),
     inter AS (
       SELECT c.id_q, c.id_i,
              len(list_intersect(sq.s, si.s)) AS novl
@@ -1137,11 +1163,11 @@ def _envelope_route_oracle(threshold: float = 0.8) -> str:
            END AS route,
            p.n_pairs, p.n_contained, p.max_containment
     FROM (
-      WITH {_SHINGLE_CTES}
+      WITH {_TOKEN_CTES},{_HS_CTE}
       SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(COALESCE(SUM(n), 0) AS BIGINT) AS shingle_rows,
              CAST(COUNT(*) * {bands_total} AS BIGINT) AS band_rows
-      FROM (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      FROM (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id)
       WHERE n >= 1
     ) s, (
       SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -1199,8 +1225,13 @@ def dedup_ensemble_envelope_route(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("id_small").cast("long").alias("n_contained"),
         F.max("containment").alias("max_containment"),
     )
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _hashed_shingle_docs,
+    )
+
     stats = (
-        d.select(F.size(shingles("text", 3)).alias("n"))
+        _hashed_shingle_docs(d, "doc_id", "text", 3)
+        .select(F.size("_sh").alias("n"))
         .filter(F.col("n") >= 1)
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -1244,8 +1275,8 @@ def _auto_strata_oracle(threshold: float = 0.8) -> str:
     SELECT s.n_sized, s.split_lo, s.split_hi, '{schemes}' AS schemes,
            p.n_pairs, p.n_contained, p.max_containment
     FROM (
-      WITH {_SHINGLE_CTES},
-      counts AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      WITH {_TOKEN_CTES},{_HS_CTE},
+      counts AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM hs GROUP BY doc_id),
       {_STRATA_BOUNDS_CTES}
       SELECT CAST((SELECT COUNT(*) FROM counts) AS BIGINT) AS n_sized,
              CAST(split_lo AS BIGINT) AS split_lo,
@@ -1300,9 +1331,13 @@ def dedup_ensemble_auto_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
         strata_split_points,
     )
 
+    from end_to_end_data_engineering_project_with_databricks_spark.operators.dedup import (
+        _hashed_shingle_docs,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    counts = d.select(F.size(shingles("text", 3)).alias("n")).filter(
-        F.col("n") >= 1
+    counts = _hashed_shingle_docs(d, "doc_id", "text", 3).select(
+        F.size("_sh").alias("n")
     )
     bounds = strata_split_points(counts).select(
         F.coalesce(F.col("n_sized"), F.lit(0)).cast("long").alias("n_sized"),

@@ -105,6 +105,7 @@ def accelerated(sql: str) -> str:
     become unreferenced and DuckDB never evaluates them."""
     from end_to_end_data_engineering_project_with_databricks_spark.queries.dedup import (
         _HS_CTE,
+        _HS_CTE_MAT,
         _SHINGLE_CTES,
         _sig_cte_sql,
     )
@@ -119,6 +120,7 @@ def accelerated(sql: str) -> str:
     sh AS MATERIALIZED (SELECT * FROM __mat_sh)"""
     return (
         sql.replace(_sig_cte_sql(), "sig AS (SELECT * FROM __mat_sig)")
+        .replace(_HS_CTE_MAT, "\n    hs AS (SELECT * FROM __mat_hs)")
         .replace(_HS_CTE, "\n    hs AS (SELECT * FROM __mat_hs)")
         .replace(_SHINGLE_CTES, shingle_fast)
     )
