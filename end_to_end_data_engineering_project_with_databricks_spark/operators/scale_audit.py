@@ -767,9 +767,16 @@ def ml_lsh_growth_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str =
         shingles,
     )
 
-    sh = scale_out(docs).select(
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+        tokens,
+    )
+
+    # filter on a fresh cheap token count BEFORE the gram projection
+    # (>= 3 tokens <=> >= 1 gram): a predicate on the aliased computed
+    # array would re-evaluate the shingle chain per row
+    sh = scale_out(docs).filter(F.size(tokens(text_col)) >= 3).select(
         F.col(id_col).alias("_id_"), shingles(text_col, 3).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     feat = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 20, binary=True
     ).transform(sh)

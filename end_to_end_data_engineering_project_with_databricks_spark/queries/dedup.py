@@ -1229,10 +1229,15 @@ def dedup_ensemble_envelope_route(spark: SparkSession, sf_dir: str) -> DataFrame
         _hashed_shingle_docs,
     )
 
+    # no n >= 1 filter: _hashed_shingle_docs already drops gram-less
+    # docs (every surviving doc has >= 1 shingle), and a predicate on
+    # the aliased computed column would be pushed below the projection
+    # and re-evaluate the whole tokenize+md5+combine chain per row —
+    # measured 50 s vs 0.3 s at sf0.1 (the repo-wide
+    # computed-array-filter trap).
     stats = (
         _hashed_shingle_docs(d, "doc_id", "text", 3)
         .select(F.size("_sh").alias("n"))
-        .filter(F.col("n") >= 1)
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("shingle_rows"),
@@ -2113,9 +2118,18 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_verify,
     )
 
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.textfns import (
+        tokens,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(F.col("doc_id"), shingles("text", 3).alias("sh")).filter(
-        F.size("sh") > 0
+    # filter on a fresh cheap token count BEFORE the gram projection:
+    # a predicate on the aliased computed array would be pushed below
+    # the projection and re-evaluate the whole shingle chain per row
+    # (the computed-array-filter trap); >= 3 tokens <=> >= 1 gram, so
+    # the kept doc set is identical.
+    sh = d.filter(F.size(tokens("text")) >= 3).select(
+        F.col("doc_id"), shingles("text", 3).alias("sh")
     )
     # materialized once: fit + BOTH approxSimilarityJoin sides reference
     # this subtree, and without a checkpoint the tokenize+shingle+
