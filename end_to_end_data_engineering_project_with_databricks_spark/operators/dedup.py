@@ -1376,6 +1376,7 @@ def jaccard_prefix_candidate_pairs(
     threshold: float = 0.5,
     k: int = 3,
     shingle_rel: DataFrame | None = None,
+    counts_rel: DataFrame | None = None,
 ) -> DataFrame:
     """The PPJoin CANDIDATE stage of :func:`jaccard_prefix_filter_pairs`
     — distinct ``(id_a, id_b)`` pairs sharing at least one prefix
@@ -1396,13 +1397,24 @@ def jaccard_prefix_candidate_pairs(
     than the narrow tokenize+shingle re-scan it saves, the same verdict
     as the r6 hashed-shingle A/B.  The sharing buys definitional
     consistency (one place to change k/tokenization), not a saved scan;
-    standalone callers omit it."""
+    standalone callers omit it.
+
+    ``counts_rel``: optional pre-built ``(_id_, n)`` per-doc
+    distinct-shingle-count relation (r13) — the parent derives it for
+    free from its already-checkpointed verify-set arrays, saving this
+    stage one full explode + hash-agg shuffle of the corpus shingle
+    relation; standalone callers omit it and keep the self-contained
+    aggregate."""
     sh = shingle_rel
     if sh is None:
         sh = scale_out(df).select(
             F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh")
         )
-    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
+    counts = (
+        counts_rel
+        if counts_rel is not None
+        else sh.groupBy("_id_").agg(F.count("*").alias("n"))
+    )
     freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
 
     from pyspark.sql.window import Window
@@ -1486,15 +1498,41 @@ def jaccard_prefix_filter_pairs(
         scale_out(df)
         .select(F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh"))
     )
-    cand = jaccard_prefix_candidate_pairs(
-        df, id_col, text_col, threshold, k, shingle_rel=sh
-    )
-    # Exact verify on candidates only: per-document sorted shingle
-    # arrays, referenced by both sides -> one materialization.
+    # Exact verify on candidates only: per-document shingle arrays,
+    # referenced by both sides -> one materialization.  Built DIRECTLY
+    # in the scan projection (r13): shingles() already IS the per-doc
+    # distinct array, so the explode -> groupBy -> collect_list ->
+    # sort_array pipeline re-shuffled every shingle row just to
+    # reassemble it — and the sort was dead weight (only the
+    # intersection SIZE is consumed, which is order-independent).
+    # The >= k tokens pre-filter keeps the same doc set the explode
+    # form produced (gram-less docs had no rows) without tripping the
+    # computed-array-filter trap.
+    # n is derived AFTER the checkpoint so the shingle expression is
+    # evaluated exactly once (a same-projection size(_set) reference
+    # would collapse and inline the gram build a second time).
     sets = (
-        sh.groupBy("_id_")
-        .agg(F.sort_array(F.collect_list("sh")).alias("_set"), F.count("*").alias("n"))
+        scale_out(df)
+        .filter(F.size(tokens(text_col)) >= k)
+        .select(
+            F.col(id_col).alias("_id_"),
+            shingles(text_col, k).alias("_set"),
+        )
         .localCheckpoint(eager=True)
+        .withColumn("n", F.size("_set"))
+    )
+    # the candidate stage reuses the checkpointed arrays for its per-doc
+    # counts (size of the materialized array == COUNT(*) of the exploded
+    # distinct rows), saving one explode + hash-agg pass over the corpus
+    # shingle relation
+    cand = jaccard_prefix_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        threshold,
+        k,
+        shingle_rel=sh,
+        counts_rel=sets.select("_id_", "n"),
     )
     sa = sets.select(
         F.col("_id_").alias("id_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
