@@ -1521,18 +1521,17 @@ def jaccard_prefix_filter_pairs(
         .localCheckpoint(eager=True)
         .withColumn("n", F.size("_set"))
     )
-    # the candidate stage reuses the checkpointed arrays for its per-doc
-    # counts (size of the materialized array == COUNT(*) of the exploded
-    # distinct rows), saving one explode + hash-agg pass over the corpus
-    # shingle relation
+    # counts deliberately stay the explode-based aggregate inside the
+    # candidate stage: two cheaper-looking alternatives were MEASURED
+    # and rejected this round — (a) reading sizes off the checkpointed
+    # sets relation and (b) a narrow scan projection both perturb the
+    # prefix subtree's size estimates (a LogicalRDD carries no stats; a
+    # HOF-filtered scan estimates at full size), flipping the
+    # statically-planned broadcast candidate join into a sort-merge
+    # join with two extra exchanges.  The aggregate's estimate keeps
+    # the measured-faster plan.
     cand = jaccard_prefix_candidate_pairs(
-        df,
-        id_col,
-        text_col,
-        threshold,
-        k,
-        shingle_rel=sh,
-        counts_rel=sets.select("_id_", "n"),
+        df, id_col, text_col, threshold, k, shingle_rel=sh
     )
     sa = sets.select(
         F.col("_id_").alias("id_a"), F.col("_set").alias("_sa"), F.col("n").alias("na")
