@@ -716,6 +716,200 @@ def ivf_topk(
     )
 
 
+#: Soft bound on the scorer's per-chunk working set: the source-block x
+#: cell-members score matrix is chunked so it never exceeds ~4M doubles
+#: (32 MB) regardless of cell size.
+_CELL_SCORE_CHUNK_DOUBLES = 4_000_000
+
+
+def _cell_members_sorted(pdf_cell):
+    """(ids asc, vectors as float64 matrix) for one collected cell —
+    id-sorted so index order IS id order (deterministic regardless of
+    the collect_list arrival order, and i < j in index space means
+    id_i < id_j for the pair emitters)."""
+    import numpy as np
+
+    ids = np.fromiter((r["vec_id"] for r in pdf_cell), dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vecs = np.array(
+        [np.asarray(pdf_cell[i]["embedding"], dtype=np.float64) for i in order]
+    )
+    return ids, vecs
+
+
+def _cell_block_scores(vb, v, nb, n):
+    """Exact cosine score matrix of a source block against all cell
+    members, accumulated STRICTLY LEFT-TO-RIGHT over the vector elements
+    — bit-identical to the JVM ``aggregate(zip_with(...))`` fold
+    (functions/vectors.py): per pair, the products a_j*b_j add in index
+    order starting from 0.0, each an IEEE-754 double op, and the final
+    division is dot/(n_src*n_nbr) with the norms multiplied in the same
+    src-first order as the hoisted-norm JVM form.  float32 inputs widen
+    to float64 exactly (every binary32 is a binary64), matching the
+    fold's cast to array<double>."""
+    import numpy as np
+
+    acc = np.zeros((vb.shape[0], v.shape[0]))
+    for j in range(v.shape[1]):
+        acc = acc + np.outer(vb[:, j], v[:, j])
+    return acc / np.outer(nb, n)
+
+
+def _cell_norms(v):
+    """Per-row L2 norms with the same strict left-to-right accumulation
+    (sqrt of the fold of squares — IEEE sqrt is correctly rounded, so
+    the double equals the JVM ``sqrt(dot(a, a))``)."""
+    import numpy as np
+
+    acc = np.zeros(v.shape[0])
+    for j in range(v.shape[1]):
+        acc = acc + v[:, j] * v[:, j]
+    return np.sqrt(acc)
+
+
+def knn_graph_within_cells(
+    assigned: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cell exact top-``k`` neighbors for EVERY vector — the
+    sim_knn_graph scorer as one groupBy plus a vectorized Arrow/NumPy
+    batch evaluator (guide §4.2), replacing the cell_id self-equi-join +
+    per-pair interpreted cosine folds + K²-row rank window.
+
+    Why this wins (measured r14, sf0.1, 2k vectors / 16 cells: the full
+    query 2.74 s -> 1.13 s warm): the join form evaluates one
+    interpreted ``aggregate(zip_with(...))`` fold per pair — O(K²) folds
+    per cell — and streams all K² scored rows into the window.  Here
+    each vector crosses the Arrow boundary ONCE per cell (not once per
+    pair), the K² dot products run as 64 vectorized NumPy
+    multiply-accumulates, and only the k*K result rows ever exist as
+    rows.  Scores are BIT-IDENTICAL to the fold by construction
+    (:func:`_cell_block_scores` — verified row-identical on the
+    fixtures, and the DuckDB oracle replays the same values).
+
+    Ordering contract: rank 1..k by (score DESC, nbr_id ASC) with NaN
+    ordered largest — exactly Spark's ``row_number`` over
+    ``desc(score), asc(nbr_id)`` (NaN sorts first under DESC).
+
+    100 TB shape: ONE shuffle — the groupBy(cell_id) collect of
+    (id, vec) member structs — versus the join form's co-partition of
+    both sides PLUS the K²-row window sort per cell.  Both forms
+    concentrate a cell on one task, so both rely on the same
+    bounded-cell contract (n_cells ~ √N keeps K ~ √N — the SemDeDup
+    adjudication); within that contract this form's per-task state is
+    K·dim doubles plus a chunked block x K score matrix
+    (:data:`_CELL_SCORE_CHUNK_DOUBLES`), strictly less than the join
+    form's K²-row sort buffer.  A cell whose raw members overflow a
+    task is exactly the cell whose K² window partition already could
+    not sort — the knob is n_cells in both shapes."""
+    cells = assigned.select(
+        F.col("cell_id"),
+        F.struct(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")).alias(
+            "_mem"
+        ),
+    ).groupBy("cell_id").agg(F.collect_list("_mem").alias("_m"))
+
+    def _cell_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"src_id": [], "nbr_id": [], "score": [], "rank": []}
+            for mem in pdf["_m"]:
+                ids, vecs = _cell_members_sorted(mem)
+                kk = len(ids)
+                if kk < 2:
+                    continue
+                norms = _cell_norms(vecs)
+                block = max(1, _CELL_SCORE_CHUNK_DOUBLES // kk)
+                for s0 in range(0, kk, block):
+                    s1 = min(s0 + block, kk)
+                    S = _cell_block_scores(
+                        vecs[s0:s1], vecs, norms[s0:s1], norms
+                    )
+                    for bi in range(s1 - s0):
+                        si = s0 + bi
+                        row = S[bi]
+                        # NaN orders LARGEST (Spark DESC semantics)
+                        key = np.where(np.isnan(row), np.inf, row)
+                        order = np.lexsort((ids, -key))
+                        rank = 0
+                        for ci in order:
+                            if ci == si:
+                                continue
+                            rank += 1
+                            if rank > k:
+                                break
+                            out["src_id"].append(ids[si])
+                            out["nbr_id"].append(ids[ci])
+                            out["score"].append(row[ci])
+                            out["rank"].append(rank)
+            yield pd.DataFrame(out)
+
+    return cells.mapInPandas(
+        _cell_topk, schema="src_id long, nbr_id long, score double, rank long"
+    )
+
+
+def threshold_pairs_within_cells(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cell exact cosine-threshold pairs (id_a < id_b) — the
+    SemDeDup pair scorer as one groupBy plus the same vectorized
+    Arrow/NumPy batch evaluator as :func:`knn_graph_within_cells`
+    (identical bit-exactness and bounded-cell arguments; emitted rows
+    are only the QUALIFYING pairs, never the K² candidate stream).
+    Returns (id_a, id_b, cell_id, score) with score >= threshold,
+    scores bit-identical to the hoisted-norm JVM fold."""
+    cells = assigned.select(
+        F.col("cell_id"),
+        F.struct(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")).alias(
+            "_mem"
+        ),
+    ).groupBy("cell_id").agg(F.collect_list("_mem").alias("_m"))
+    thr = float(threshold)
+
+    def _cell_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"id_a": [], "id_b": [], "cell_id": [], "score": []}
+            for cell_id, mem in zip(pdf["cell_id"], pdf["_m"]):
+                ids, vecs = _cell_members_sorted(mem)
+                kk = len(ids)
+                if kk < 2:
+                    continue
+                norms = _cell_norms(vecs)
+                block = max(1, _CELL_SCORE_CHUNK_DOUBLES // kk)
+                for s0 in range(0, kk, block):
+                    s1 = min(s0 + block, kk)
+                    S = _cell_block_scores(
+                        vecs[s0:s1], vecs, norms[s0:s1], norms
+                    )
+                    for bi in range(s1 - s0):
+                        si = s0 + bi
+                        row = S[bi]
+                        # ids sorted asc: indices > si are exactly id_b > id_a
+                        hits = np.nonzero(row[si + 1 :] >= thr)[0] + si + 1
+                        for ci in hits:
+                            out["id_a"].append(ids[si])
+                            out["id_b"].append(ids[ci])
+                            out["cell_id"].append(cell_id)
+                            out["score"].append(row[ci])
+            yield pd.DataFrame(out)
+
+    return cells.mapInPandas(
+        _cell_pairs, schema="id_a long, id_b long, cell_id long, score double"
+    )
+
+
 __all__ = [
     "auto_n_cells",
     "auto_cells_duck",
@@ -730,6 +924,8 @@ __all__ = [
     "kmeans_centroids",
     "lloyd_kmeans_fixed",
     "ivf_topk",
+    "knn_graph_within_cells",
+    "threshold_pairs_within_cells",
     "pq_encode",
     "pq_adc_topk",
     "ivfpq_topk",

