@@ -722,50 +722,60 @@ def ivf_topk(
 _CELL_SCORE_CHUNK_DOUBLES = 4_000_000
 
 
-def _cell_members_sorted(pdf_cell):
-    """(ids asc, vectors as float64 matrix) for one collected cell —
-    id-sorted so index order IS id order (deterministic regardless of
-    the collect_list arrival order, and i < j in index space means
-    id_i < id_j for the pair emitters)."""
-    import numpy as np
+def _cell_scorer_helpers():
+    """The NumPy kernels shared by both cell scorers, returned as LOCAL
+    closures so cloudpickle ships them BY VALUE inside the mapInPandas
+    function: a module-level helper would be pickled by reference, and
+    the Python workers of a driver that imported this package via a
+    sys.path edit (the external-driver contract — __spark_entry__ run
+    from an arbitrary cwd) cannot import the module (caught by the
+    r14 verify drive: ModuleNotFoundError in the worker)."""
 
-    ids = np.fromiter((r["vec_id"] for r in pdf_cell), dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    vecs = np.array(
-        [np.asarray(pdf_cell[i]["embedding"], dtype=np.float64) for i in order]
-    )
-    return ids, vecs
+    def members_sorted(pdf_cell):
+        """(ids asc, vectors as float64 matrix) for one collected cell —
+        id-sorted so index order IS id order (deterministic regardless
+        of the collect_list arrival order, and i < j in index space
+        means id_i < id_j for the pair emitters)."""
+        import numpy as np
 
+        ids = np.fromiter((r["vec_id"] for r in pdf_cell), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = np.array(
+            [np.asarray(pdf_cell[i]["embedding"], dtype=np.float64) for i in order]
+        )
+        return ids, vecs
 
-def _cell_block_scores(vb, v, nb, n):
-    """Exact cosine score matrix of a source block against all cell
-    members, accumulated STRICTLY LEFT-TO-RIGHT over the vector elements
-    — bit-identical to the JVM ``aggregate(zip_with(...))`` fold
-    (functions/vectors.py): per pair, the products a_j*b_j add in index
-    order starting from 0.0, each an IEEE-754 double op, and the final
-    division is dot/(n_src*n_nbr) with the norms multiplied in the same
-    src-first order as the hoisted-norm JVM form.  float32 inputs widen
-    to float64 exactly (every binary32 is a binary64), matching the
-    fold's cast to array<double>."""
-    import numpy as np
+    def block_scores(vb, v, nb, n):
+        """Exact cosine score matrix of a source block against all cell
+        members, accumulated STRICTLY LEFT-TO-RIGHT over the vector
+        elements — bit-identical to the JVM ``aggregate(zip_with(...))``
+        fold (functions/vectors.py): per pair, the products a_j*b_j add
+        in index order starting from 0.0, each an IEEE-754 double op,
+        and the final division is dot/(n_src*n_nbr) with the norms
+        multiplied in the same src-first order as the hoisted-norm JVM
+        form.  float32 inputs widen to float64 exactly (every binary32
+        is a binary64), matching the fold's cast to array<double>."""
+        import numpy as np
 
-    acc = np.zeros((vb.shape[0], v.shape[0]))
-    for j in range(v.shape[1]):
-        acc = acc + np.outer(vb[:, j], v[:, j])
-    return acc / np.outer(nb, n)
+        acc = np.zeros((vb.shape[0], v.shape[0]))
+        for j in range(v.shape[1]):
+            acc = acc + np.outer(vb[:, j], v[:, j])
+        return acc / np.outer(nb, n)
 
+    def norms(v):
+        """Per-row L2 norms with the same strict left-to-right
+        accumulation (sqrt of the fold of squares — IEEE sqrt is
+        correctly rounded, so the double equals the JVM
+        ``sqrt(dot(a, a))``)."""
+        import numpy as np
 
-def _cell_norms(v):
-    """Per-row L2 norms with the same strict left-to-right accumulation
-    (sqrt of the fold of squares — IEEE sqrt is correctly rounded, so
-    the double equals the JVM ``sqrt(dot(a, a))``)."""
-    import numpy as np
+        acc = np.zeros(v.shape[0])
+        for j in range(v.shape[1]):
+            acc = acc + v[:, j] * v[:, j]
+        return np.sqrt(acc)
 
-    acc = np.zeros(v.shape[0])
-    for j in range(v.shape[1]):
-        acc = acc + v[:, j] * v[:, j]
-    return np.sqrt(acc)
+    return members_sorted, block_scores, norms
 
 
 def knn_graph_within_cells(
@@ -811,6 +821,8 @@ def knn_graph_within_cells(
             "_mem"
         ),
     ).groupBy("cell_id").agg(F.collect_list("_mem").alias("_m"))
+    members_sorted, block_scores, cell_norms = _cell_scorer_helpers()
+    chunk = _CELL_SCORE_CHUNK_DOUBLES
 
     def _cell_topk(batches):
         import numpy as np
@@ -819,15 +831,15 @@ def knn_graph_within_cells(
         for pdf in batches:
             out = {"src_id": [], "nbr_id": [], "score": [], "rank": []}
             for mem in pdf["_m"]:
-                ids, vecs = _cell_members_sorted(mem)
+                ids, vecs = members_sorted(mem)
                 kk = len(ids)
                 if kk < 2:
                     continue
-                norms = _cell_norms(vecs)
-                block = max(1, _CELL_SCORE_CHUNK_DOUBLES // kk)
+                norms = cell_norms(vecs)
+                block = max(1, chunk // kk)
                 for s0 in range(0, kk, block):
                     s1 = min(s0 + block, kk)
-                    S = _cell_block_scores(
+                    S = block_scores(
                         vecs[s0:s1], vecs, norms[s0:s1], norms
                     )
                     for bi in range(s1 - s0):
@@ -874,6 +886,8 @@ def threshold_pairs_within_cells(
         ),
     ).groupBy("cell_id").agg(F.collect_list("_mem").alias("_m"))
     thr = float(threshold)
+    members_sorted, block_scores, cell_norms = _cell_scorer_helpers()
+    chunk = _CELL_SCORE_CHUNK_DOUBLES
 
     def _cell_pairs(batches):
         import numpy as np
@@ -882,15 +896,15 @@ def threshold_pairs_within_cells(
         for pdf in batches:
             out = {"id_a": [], "id_b": [], "cell_id": [], "score": []}
             for cell_id, mem in zip(pdf["cell_id"], pdf["_m"]):
-                ids, vecs = _cell_members_sorted(mem)
+                ids, vecs = members_sorted(mem)
                 kk = len(ids)
                 if kk < 2:
                     continue
-                norms = _cell_norms(vecs)
-                block = max(1, _CELL_SCORE_CHUNK_DOUBLES // kk)
+                norms = cell_norms(vecs)
+                block = max(1, chunk // kk)
                 for s0 in range(0, kk, block):
                     s1 = min(s0 + block, kk)
-                    S = _cell_block_scores(
+                    S = block_scores(
                         vecs[s0:s1], vecs, norms[s0:s1], norms
                     )
                     for bi in range(s1 - s0):
