@@ -87,12 +87,16 @@ def _scaled(col: Column | str) -> Column:
       quantized measure that crosses 2^52 at fixture scale), so the
       value passes through unrounded — identical to ROUND on an
       integer-valued double.
-    - below 2^52 the ``+ 0.5`` add is exact for every |y| >= 1 (0.5 is
-      a multiple of the result ulp), so floor gives true
-      ties-away-from-zero; the only residual divergence class is a
-      fractional part within one ulp below .5 at |y| < 1, which the
-      <= 6-significant-decimals module contract keeps five orders of
-      magnitude away.
+    - below 2^52, floor is unaffected by the at-most-half-ulp error of
+      the ``+ 0.5`` add for every |y| >= 1 (sums crossing a binade can
+      be inexact, but the rounding error is < 1/2 ulp and the true sum
+      is >= 1/2 ulp away from the next integer except AT a tie, where
+      the sum is exact), so floor gives true ties-away-from-zero.  The
+      abstract divergence class — |y| < 1 within one ulp below .5,
+      where the add lands on 1.0 — is UNREACHABLE through this
+      function at SCALE=1e6: no double input maps onto the edge
+      product (pinned, with the boundary cases above, by
+      tests/test_numeric_properties.py).
 
     Verified per-row on EVERY fixture: all base double columns and
     every derived measure expression (including the squared/product

@@ -1376,7 +1376,6 @@ def jaccard_prefix_candidate_pairs(
     threshold: float = 0.5,
     k: int = 3,
     shingle_rel: DataFrame | None = None,
-    counts_rel: DataFrame | None = None,
 ) -> DataFrame:
     """The PPJoin CANDIDATE stage of :func:`jaccard_prefix_filter_pairs`
     — distinct ``(id_a, id_b)`` pairs sharing at least one prefix
@@ -1399,22 +1398,19 @@ def jaccard_prefix_candidate_pairs(
     consistency (one place to change k/tokenization), not a saved scan;
     standalone callers omit it.
 
-    ``counts_rel``: optional pre-built ``(_id_, n)`` per-doc
-    distinct-shingle-count relation (r13) — the parent derives it for
-    free from its already-checkpointed verify-set arrays, saving this
-    stage one full explode + hash-agg shuffle of the corpus shingle
-    relation; standalone callers omit it and keep the self-contained
-    aggregate."""
+    Counts stay the self-contained explode-based aggregate on purpose
+    (r13/r14): feeding them from the parent's checkpointed verify-set
+    arrays — or from a narrow HOF-filtered scan projection — was
+    measured and REVERTED, because both perturb the prefix subtree's
+    size estimates (a LogicalRDD carries no stats; a HOF-filtered scan
+    estimates at full size) and flip the statically-planned broadcast
+    candidate join into a sort-merge join with two extra exchanges."""
     sh = shingle_rel
     if sh is None:
         sh = scale_out(df).select(
             F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh")
         )
-    counts = (
-        counts_rel
-        if counts_rel is not None
-        else sh.groupBy("_id_").agg(F.count("*").alias("n"))
-    )
+    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
 
     from pyspark.sql.window import Window

@@ -161,3 +161,82 @@ def test_dsum_wide_exact_on_squared_magnitudes(spark):
     got = sdf.collect()[0].w
     expected = float(sum(int(round(v * 1e6)) for v in sq)) / 1e6
     assert got == expected
+
+
+def test_scaled_quantize_pins_divergence_class_and_2pow52_boundary(spark):
+    """Pin the _scaled (guarded FP floor) contract against round()
+    (r13 ADVICE item 3) so a future contract change — more decimal
+    places, wider magnitudes — fails loudly instead of silently
+    shifting per-row quantizes:
+
+    - KNOWN divergence class: a scaled value y with |y| < 1 whose
+      fractional part lies within one ulp below .5 rounds AWAY under
+      floor(|y| + 0.5) (the + 0.5 add rounds up to 1.0) but to 0 under
+      BigDecimal HALF_UP.  The module's <= 6-significant-decimals
+      contract keeps real measures five orders of magnitude away from
+      this class; this test documents it rather than hiding it.
+    - 2^52 boundary: at |y| >= 2^52 doubles are integral and the guard
+      passes y through unrounded — identical to ROUND — while just
+      BELOW 2^52 the + 0.5 path still matches ROUND exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_project_with_databricks_spark.functions.numeric import (
+        SCALE,
+        _scaled,
+    )
+
+    def both(raw_value: float):
+        df = spark.createDataFrame([(raw_value,)], "v double")
+        row = df.select(
+            _scaled("v").alias("flo"),
+            F.round(F.col("v") * F.lit(SCALE)).cast("long").alias("rnd"),
+        ).collect()[0]
+        return row.flo, row.rnd
+
+    # The divergence class in the ABSTRACT: y = 0.49999999999999994
+    # (the largest double below 0.5, = 0.5 - 2^-54) floors to 1 under
+    # floor(|y| + 0.5) (the add is inexact and lands on 1.0) but rounds
+    # to 0 under HALF_UP.  Pin that the class is UNREACHABLE through
+    # _scaled at SCALE=1e6: products v*1e6 near 0.5 land on roughly
+    # every other double of the finer [0.25, 0.5) binade, and the edge
+    # value is one of the skipped ones — no double input v maps onto
+    # it (verified over +/-50k neighboring doubles of 0.5/SCALE), so
+    # _scaled and round() agree on EVERY reachable input, not merely on
+    # the contract's >= 1e-6 magnitudes.
+    import math
+    import struct
+
+    y_edge = 0.49999999999999994
+    assert math.nextafter(y_edge, 1.0) == 0.5  # it IS the edge double
+    bits = struct.unpack("<q", struct.pack("<d", y_edge / SCALE))[0]
+    reachable = [
+        struct.unpack("<d", struct.pack("<q", bits + off))[0]
+        for off in range(-50_000, 50_000)
+    ]
+    assert not any(v * SCALE == y_edge for v in reachable)
+    # and on every double that DOES land just below 0.5, both spellings
+    # agree (floor 0 == HALF_UP 0)
+    near = sorted({v * SCALE for v in reachable if 0.49999999 < v * SCALE < 0.5})
+    assert near, "no products just below 0.5?"
+    for v in reachable:
+        y = v * SCALE
+        if 0.49999999 < y < 0.5:
+            flo, rnd = both(v)
+            assert flo == rnd == 0, (y, flo, rnd)
+            break
+
+    # everywhere the module contract allows (|y| >= 1, <= 6 decimals),
+    # the two spellings agree — sampled across magnitudes and signs,
+    # including exact .5 ties (away from zero in both)
+    for y in (0.0, 1.0, -1.0, 2.5, -2.5, 3.49999, 1234567.5, -1234567.5,
+              987654321.123456 * SCALE / SCALE, 2.0**52 - 2.5):
+        flo, rnd = both(y / SCALE)
+        assert flo == rnd, (y, flo, rnd)
+
+    # 2^52 boundary: integral doubles pass through unrounded on both
+    # sides of the guard; the odd integer just below 2^52 is the case
+    # the guard exists for (the + 0.5 tie would round-to-even it UP)
+    for y in (2.0**52, 2.0**52 + 2, -(2.0**52), 4503599627370495.0):
+        flo, rnd = both(y / SCALE)
+        assert flo == rnd == int(y), (y, flo, rnd)
