@@ -1398,29 +1398,32 @@ def jaccard_prefix_candidate_pairs(
     consistency (one place to change k/tokenization), not a saved scan;
     standalone callers omit it.
 
-    Counts stay the self-contained explode-based aggregate on purpose
-    (r13/r14): feeding them from the parent's checkpointed verify-set
-    arrays — or from a narrow HOF-filtered scan projection — was
-    measured and REVERTED, because both perturb the prefix subtree's
-    size estimates (a LogicalRDD carries no stats; a HOF-filtered scan
-    estimates at full size) and flip the statically-planned broadcast
-    candidate join into a sort-merge join with two extra exchanges."""
+    Per-doc set sizes ride the rank window itself (r14):
+    ``count(*) over (partition by _id_)`` shares the window's
+    hashpartitioning(_id_) exchange, so the separate explode + hash-agg
+    + equi-join that used to deliver ``n`` is gone from the plan
+    (HashAggregate pairs 2 -> 1, one fewer BroadcastHashJoin in the
+    prefix subtree; the candidate self-join verified still broadcast,
+    0 SortMergeJoin — the r13 estimate-perturbation trap applied to
+    REPLACING the aggregate's source, not to removing the join).  Two
+    alternatives measured this round and NOT adopted: hashed prefix
+    keys (order by (df, h60(sh)), join on the hash — provably a
+    candidate superset, output identical) and hashed+windowed combined
+    were both within host noise at sf0.1 (6.0-6.9 s full-pipeline
+    mins across interleaved runs) while adding an md5 per shingle row;
+    the windowed count is the variant with a strict plan-shape win."""
     sh = shingle_rel
     if sh is None:
         sh = scale_out(df).select(
             F.col(id_col).alias("_id_"), F.explode(shingles(text_col, k)).alias("sh")
         )
-    counts = sh.groupBy("_id_").agg(F.count("*").alias("n"))
     freq = sh.groupBy("sh").agg(F.count("*").alias("_dfreq"))
 
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_id_").orderBy("_dfreq", "sh")
-    prefix_len = (
-        F.col("n")
-        - F.ceil(F.lit(float(threshold)) * F.col("n") - F.lit(1e-9))
-        + F.lit(1)
-    )
+    n = F.count("*").over(Window.partitionBy("_id_"))
+    prefix_len = n - F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9)) + F.lit(1)
     # Rank shingles rarest-first within each document, keep the prefix.
     # Materialize: the prefix relation feeds BOTH sides of the candidate
     # self-join (the lsh_candidate_pairs lesson — without a barrier the
@@ -1428,8 +1431,8 @@ def jaccard_prefix_candidate_pairs(
     prefix = (
         sh.join(freq, "sh")
         .withColumn("_rk", F.row_number().over(w))
-        .join(counts, "_id_")
-        .filter(F.col("_rk") <= prefix_len)
+        .withColumn("_pl", prefix_len)
+        .filter(F.col("_rk") <= F.col("_pl"))
         .select("_id_", "sh")
         .localCheckpoint(eager=True)
     )
