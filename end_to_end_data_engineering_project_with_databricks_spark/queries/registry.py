@@ -48,27 +48,29 @@ REGISTRY: dict[str, "QuerySpec"] = {}
 #: "Next round" item 1).  Everything NOT in this window still registers and
 #: is still oracle-checked locally by tests/test_queries_vs_oracle.py.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # ======== round-13 rotation (VERDICT r12 item 1) ========
-    # Freshness program: after r12 the stale tail is the named 23-row
-    # r6 backlog + 45 r7 rows.  This window re-attests the FULL 23-row
-    # r6 backlog (named by the r12 registry comment and VERDICT r12
-    # item 1) plus 21 of the 45 r7 rows, chosen round-robin across
-    # families (alphabetically-first per family, then a second row from
-    # each of the 8 largest families) so every family keeps a fresh
-    # external attestation; with the 5 pinned anchors and the 1 new
-    # r13 query that is the full 50.
-    # Exact r14 rotation backlog (24 rows, latest driver row = r7):
-    # agg_gini_concentration, agg_mode_exact, agg_rollup_year_status,
-    # agg_segment_stats, agg_trimmed_winsorized, agg_weighted_median,
-    # dedup_semdedup_clustered, dedup_span_ngram, events_cusum_alarms,
-    # events_ema_exact, events_ohlc_resample,
-    # join_left_anti_customers_without_orders,
-    # join_left_outer_nation_suppliers, mm_jpeg_decode, mm_video_frames,
-    # mm_video_keyframe_ann, pipeline_span_dedup_rewrite,
-    # profile_source_overlap, sample_train_val_test, sim_ivfpq_topk,
-    # sim_knn_graph, sim_pq_adc_topk, stream_cusum_alarms,
-    # text_ngram_diversity — fill r14's free slots with these first,
-    # then the oldest r8 rows.
+    # ======== round-14 rotation (standing program; VERDICT r13
+    # item 8) ========
+    # Freshness program: after r13 the stale tail is the named 24-row
+    # r7 backlog + 45 r8 rows.  This window re-attests the FULL 24-row
+    # r7 backlog (named by the r13 registry comment and VERDICT r13
+    # item 8) plus 21 of the 45 r8 rows, chosen round-robin across
+    # families (alphabetically-first per family — registration-order
+    # first for the numbered TPC-H family — then a second row from
+    # each of the 7 largest families); with the 5 pinned anchors that
+    # is the full 50.
+    # Exact r15 rotation backlog (24 rows, latest driver row = r8):
+    # q7_volume_shipping, q8_market_share, q9_product_profit,
+    # q11_important_parts, q12_priority_linestatus,
+    # q13_customer_distribution, q14_promo_revenue, q15_top_supplier,
+    # q16_supplier_count, q17_small_quantity_revenue,
+    # q18_large_volume_customers, q19_disjunctive_revenue,
+    # q20_excess_suppliers, q21_waiting_suppliers,
+    # q22_dormant_customers, join_range_price_bands,
+    # join_right_outer_part_lines, join_salted_skew,
+    # window_rank_customers, window_running_total, sim_threshold_pairs,
+    # text_quality_gopher, text_tfidf_distinctive_terms,
+    # text_quality_classifier — fill r15's free slots with these first,
+    # then the oldest r9 rows.
     # -- §2.1 reference parity anchors (never rotate out) --
     "ref_antijoin_incremental",
     "ref_nested_struct_flatten",
@@ -77,61 +79,58 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary",
     # -- LLM curation capstone (pinned) --
     "pipeline_corpus_curation",
-    # -- oldest-first re-attestation: latest driver row = r6 (all 23,
+    # -- oldest-first re-attestation: latest driver row = r7 (all 24,
     #    the full named backlog) --
-    "agg_hll_sketch_union",
-    "agg_skew_resistant_distinct",
-    "audit_referential_integrity",
-    "dedup_minhash_oph",
-    "dedup_simhash",
-    "events_ewma_bounded",
-    "events_mad_outliers",
-    "events_scd2_user_state",
-    "events_zscore_outliers",
-    "explode_with_position",
-    "join_range_binned",
-    "profile_numeric_columns",
-    "sample_language_temperature",
-    "sample_weighted_systematic",
-    "sim_rp_lsh_topk",
-    "sim_threshold_pairs_lsh",
-    "sql_group_order_by_all",
-    "sql_pipe_syntax",
-    "text_chunk_windows",
-    "text_fingerprints",
-    "text_lang_confusion",
-    "text_language_profile",
-    "text_term_frequency",
-    # -- latest driver row = r7: 21 of 45, round-robin one per family
-    #    (alphabetically-first of agg/dedup/events/topk/join/mm/
-    #    pipeline/profile/sample/sim/sql/stream/text = 13, then a
-    #    second row from each of the 8 largest families); the 24
-    #    deferred rows are the named r14 backlog above --
-    "agg_count_distinct",
-    "agg_cube_flags",
-    "dedup_jaccard_prefix",
-    "dedup_lsh_recall_audit",
-    "events_asof_nearest",
-    "events_asof_tolerance",
-    "global_topk_orders",
-    "join_full_outer_nation_presence",
-    "join_inner_brand_volume",
-    "mm_audio_energy_windows",
-    "mm_decode_permissive",
-    "pipeline_audio_curation",
-    "pipeline_dsir_mix",
-    "profile_embedding_drift",
-    "profile_key_skew",
-    "sample_dsir_importance",
-    "sim_ivf_kmeans_topk",
-    "sim_ivfpq_rerank",
-    "sql_scripting",
-    "stream_ann_lookup",
-    "text_bigram_lm_score",
-    # -- new in r13 (takes a slot immediately per the standing rule;
-    #    the slot came out of the r7 tier, whose deferred rows are the
-    #    named r14 backlog) --
-    "dedup_ensemble_auto_strata",
+    "agg_gini_concentration",
+    "agg_mode_exact",
+    "agg_rollup_year_status",
+    "agg_segment_stats",
+    "agg_trimmed_winsorized",
+    "agg_weighted_median",
+    "dedup_semdedup_clustered",
+    "dedup_span_ngram",
+    "events_cusum_alarms",
+    "events_ema_exact",
+    "events_ohlc_resample",
+    "join_left_anti_customers_without_orders",
+    "join_left_outer_nation_suppliers",
+    "mm_jpeg_decode",
+    "mm_video_frames",
+    "mm_video_keyframe_ann",
+    "pipeline_span_dedup_rewrite",
+    "profile_source_overlap",
+    "sample_train_val_test",
+    "sim_ivfpq_topk",
+    "sim_knn_graph",
+    "sim_pq_adc_topk",
+    "stream_cusum_alarms",
+    "text_ngram_diversity",
+    # -- latest driver row = r8: 21 of 45, round-robin one per family
+    #    (alphabetically-first of agg/dedup/distinct/join/mm/tpch/
+    #    scalar/set/sim/sink/source/stream/text/window = 14, then a
+    #    second row from each of the 7 largest families); the 24
+    #    deferred rows are the named r15 backlog above --
+    "agg_having",
+    "dedup_exact_documents",
+    "dedup_fingerprint_md5",
+    "distinct_status_priority",
+    "join_cross_region_segments",
+    "join_left_semi_active_customers",
+    "mm_decode_features",
+    "mm_resize",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "scalar_subquery_above_avg",
+    "set_except_nations",
+    "set_intersect_nations",
+    "sim_hnsw_search",
+    "sink_versioned_time_travel",
+    "source_python_datasource",
+    "stream_dedup_keys",
+    "text_bpe_iterative",
+    "text_pii_redaction",
+    "window_lag_lead",
+    "window_ntile_distribution",
 )
 
 
