@@ -116,11 +116,19 @@ def _mem_available_gb() -> float | None:
 
 #: Non-headline tracking tier: the heaviest post-r1 operators, timed
 #: per attempt but never folded into `value` (see module docstring).
+#: r14 ADDS sim_knn_graph and dedup_semdedup_clustered (the two
+#: operators the r14 cell-scorer optimization rebuilt — 2.74->1.13 s
+#: and 5.33->4.35 s warm) so the driver measures them directly and
+#: future rounds inherit bands; additions only — no existing entry
+#: removed or renamed, and `value` remains the pinned 12-query
+#: headline.
 TRACKING_QUERIES = (
     "sim_hnsw_search",
     "dedup_containment_ensemble",
     "text_bpe_iterative_deep",
     "stream_ann_refresh",
+    "sim_knn_graph",
+    "dedup_semdedup_clustered",
 )
 
 #: Band half-width around the artifact-history median — the r12-declared

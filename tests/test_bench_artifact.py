@@ -179,8 +179,21 @@ def test_current_bands_from_real_history_and_compact_carries_verdicts() -> None:
     bench = _bench()
     bands = bench.current_bands()
     assert set(bands["tracking"]) == set(bench.TRACKING_QUERIES)
-    # r11/r12 artifacts carry tracking values -> bands derived, not None
-    assert all(b is not None for b in bands["tracking"].values())
+    # r11+ artifacts carry tracking values for the original four ->
+    # bands derived, not None; the r14 ADDITIONS (sim_knn_graph,
+    # dedup_semdedup_clustered) have no parsed history yet and must be
+    # band-ABSENT (None), never silently in-band, until official
+    # artifacts accumulate
+    legacy = (
+        "sim_hnsw_search",
+        "dedup_containment_ensemble",
+        "text_bpe_iterative_deep",
+        "stream_ann_refresh",
+    )
+    assert all(bands["tracking"][n] is not None for n in legacy)
+    for n in bench.TRACKING_QUERIES:
+        if n not in legacy:
+            assert bands["tracking"][n] is None, n
     assert bands["headline"].get("q1_pricing_summary") is not None
     attempts = [_fake_attempt(bench, 0.1 * i) for i in range(2)]
     compact = json.loads(bench.artifact_lines(attempts[0], attempts, 0.1)[1])
