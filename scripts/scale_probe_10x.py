@@ -66,8 +66,8 @@ _TPCH_KEYMAP = {
 }
 _COPY_TABLES = ("nation", "region")
 
-#: the 16 bench queries: the pinned 12-query headline suite + the
-#: 4-query tracking tier (bench.py TRACKING_QUERIES)
+#: the bench queries: the pinned 12-query headline suite + the
+#: tracking tier (bench.py TRACKING_QUERIES — 6 entries since r14)
 def _bench_query_names():
     import bench  # repo root is on sys.path (top of this file)
 
